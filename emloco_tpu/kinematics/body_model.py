@@ -1,0 +1,340 @@
+"""SMPL-parameterized humanoid body model → batched physics parameters.
+
+TPU-native replacement for the reference's Robot/MJCF pipeline
+(/root/reference/pacer/uhc/smpllib/smpl_local_robot.py:1138-1447: per-env
+SMPL betas → capsule MJCF XML → PhysX asset parse). A per-env XML round-trip
+makes no sense on TPU: instead we map betas **directly** to batched arrays
+(joint offsets, capsule radii/half-lengths, masses, inertias, PD gains,
+torque limits, joint limits) that a single vmapped engine consumes — same
+engine code for every env, heterogeneous bodies as data, zero recompilation
+(reference equivalent: has_shape_variation, humanoid.py:690-739).
+
+The canonical 24-joint skeleton follows the SMPL joint hierarchy (names and
+order as the reference's MJCF humanoid, humanoid.py:264) with a z-up,
+upright rest pose (reference `has_upright_start`, humanoid.py:239). When a
+real SMPL model npz is available it can be plugged in via `from_smpl_npz`;
+otherwise the built-in mean-shape template (canonical offsets + linear beta
+scaling) is used, which preserves every downstream code path.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .skeleton import SkeletonTree
+
+# ---------------------------------------------------------------------------
+# Canonical skeleton (z-up, upright rest pose; T-pose arms along +/-y)
+# Order matches the reference's `_body_names_orig` (humanoid.py:264).
+# ---------------------------------------------------------------------------
+
+BODY_NAMES = (
+    "Pelvis", "L_Hip", "L_Knee", "L_Ankle", "L_Toe",
+    "R_Hip", "R_Knee", "R_Ankle", "R_Toe",
+    "Torso", "Spine", "Chest", "Neck", "Head",
+    "L_Thorax", "L_Shoulder", "L_Elbow", "L_Wrist", "L_Hand",
+    "R_Thorax", "R_Shoulder", "R_Elbow", "R_Wrist", "R_Hand",
+)
+
+PARENTS = np.array([
+    -1, 0, 1, 2, 3,       # pelvis, left leg
+    0, 5, 6, 7,           # right leg
+    0, 9, 10, 11, 12,     # torso..head
+    11, 14, 15, 16, 17,   # left arm (thorax from chest)
+    11, 19, 20, 21, 22,   # right arm
+], dtype=np.int64)
+
+NUM_BODIES = len(BODY_NAMES)     # 24
+NUM_JOINTS = NUM_BODIES - 1      # 23 actuated spherical joints
+NUM_DOF = NUM_JOINTS * 3         # 69
+
+# Mean-shape local joint offsets in parent frame (meters, z-up, x forward).
+# Template values for an ~1.7 m adult; limbs scale with betas below.
+_MEAN_OFFSETS = np.array([
+    [0.000,  0.000,  0.000],   # Pelvis (root)
+    [0.000,  0.084, -0.073],   # L_Hip
+    [0.000,  0.000, -0.386],   # L_Knee
+    [0.000,  0.000, -0.415],   # L_Ankle
+    [0.130,  0.000, -0.060],   # L_Toe
+    [0.000, -0.084, -0.073],   # R_Hip
+    [0.000,  0.000, -0.386],   # R_Knee
+    [0.000,  0.000, -0.415],   # R_Ankle
+    [0.130,  0.000, -0.060],   # R_Toe
+    [0.000,  0.000,  0.113],   # Torso
+    [0.000,  0.000,  0.131],   # Spine
+    [0.000,  0.000,  0.055],   # Chest
+    [0.000,  0.000,  0.212],   # Neck
+    [0.000,  0.000,  0.090],   # Head
+    [0.000,  0.072,  0.137],   # L_Thorax
+    [0.000,  0.105,  0.000],   # L_Shoulder
+    [0.000,  0.262,  0.000],   # L_Elbow
+    [0.000,  0.249,  0.000],   # L_Wrist
+    [0.000,  0.085,  0.000],   # L_Hand
+    [0.000, -0.072,  0.137],   # R_Thorax
+    [0.000, -0.105,  0.000],   # R_Shoulder
+    [0.000, -0.262,  0.000],   # R_Elbow
+    [0.000, -0.249,  0.000],   # R_Wrist
+    [0.000, -0.085,  0.000],   # R_Hand
+], dtype=np.float32)
+
+# Capsule geometry per body: radius (m). Half-length is derived from the
+# child-bone length (distal direction, smpl_local_robot.py:1477-1501).
+_CAPSULE_RADIUS = np.array([
+    0.115,                     # Pelvis
+    0.070, 0.055, 0.045, 0.035,   # left leg
+    0.070, 0.055, 0.045, 0.035,   # right leg
+    0.105, 0.105, 0.110, 0.045, 0.095,  # torso..head
+    0.055, 0.045, 0.035, 0.030, 0.030,  # left arm
+    0.055, 0.045, 0.035, 0.030, 0.030,  # right arm
+], dtype=np.float32)
+
+# Per-body mass fraction of total body mass (sums to 1). Derived from standard
+# biomechanical segment-mass tables (Winter); total default mass = 77 kg
+# when `real_weight` (reference humanoid.py:907, default_humanoid_mass).
+_MASS_FRAC = np.array([
+    0.1366,                          # Pelvis
+    0.0700, 0.0465, 0.0130, 0.0020,  # left leg: thigh, shank, foot, toe
+    0.0700, 0.0465, 0.0130, 0.0020,  # right leg
+    0.0650, 0.0650, 0.1300, 0.0120, 0.0670,  # torso, spine, chest, neck, head
+    0.0150, 0.0265, 0.0155, 0.0050, 0.0040,  # left arm
+    0.0150, 0.0265, 0.0155, 0.0050, 0.0040,  # right arm
+], dtype=np.float32)
+_MASS_FRAC = _MASS_FRAC / _MASS_FRAC.sum()  # normalize to exactly 1
+
+# PD gains and torque limits per joint (kp, kd, torque_limit). Values follow
+# the reference's GAINS table (uhc/khrylib/mocap/skeleton_mesh_local.py:14-38:
+# [kp, kd, _, torque_lim]).
+_PD_TABLE = {
+    "L_Hip": (500, 50, 500), "L_Knee": (500, 50, 500),
+    "L_Ankle": (400, 40, 500), "L_Toe": (200, 20, 500),
+    "R_Hip": (500, 50, 500), "R_Knee": (500, 50, 500),
+    "R_Ankle": (400, 40, 500), "R_Toe": (200, 20, 500),
+    "Torso": (1000, 100, 500), "Spine": (1000, 100, 500),
+    "Chest": (1000, 100, 500), "Neck": (100, 10, 250), "Head": (100, 10, 250),
+    "L_Thorax": (400, 40, 500), "L_Shoulder": (400, 40, 500),
+    "L_Elbow": (300, 30, 150), "L_Wrist": (100, 10, 150), "L_Hand": (100, 10, 150),
+    "R_Thorax": (400, 40, 150), "R_Shoulder": (400, 40, 250),
+    "R_Elbow": (300, 30, 150), "R_Wrist": (100, 10, 150), "R_Hand": (100, 10, 150),
+}
+
+# Symmetric per-axis joint limits (rad), upright variant
+# (smpl_local_robot.py:177-275 update_joint_limits[_upright]). Axis order is
+# the joint exp-map axis order (x, y, z) in the child frame.
+_PI = np.pi
+_JOINT_LIMITS = {
+    "Head": (_PI / 2, _PI / 2, _PI / 2),
+    "Chest": (_PI / 3, _PI / 3, _PI / 3),
+    "Spine": (_PI / 3, _PI / 3, _PI / 3),
+    "Torso": (_PI / 3, _PI / 3, _PI / 3),
+    "Neck": (_PI / 2, _PI / 2, _PI / 2),
+    "L_Thorax": (_PI, _PI, _PI), "R_Thorax": (_PI, _PI, _PI),
+    "L_Shoulder": (_PI, _PI, _PI), "R_Shoulder": (_PI, _PI, _PI),
+    "L_Elbow": (_PI / 2, _PI, _PI / 32), "R_Elbow": (_PI / 2, _PI, _PI / 32),
+    "L_Wrist": (_PI / 2, _PI / 2, _PI / 2), "R_Wrist": (_PI / 2, _PI / 2, _PI / 2),
+    "L_Hand": (_PI / 2, _PI / 2, _PI / 2), "R_Hand": (_PI / 2, _PI / 2, _PI / 2),
+    "L_Hip": (_PI / 2, _PI / 2, _PI / 2), "R_Hip": (_PI / 2, _PI / 3, _PI / 3),
+    # upright variant: knee flexion about y
+    "L_Knee": (_PI / 32, _PI, _PI / 32), "R_Knee": (_PI / 32, _PI, _PI / 32),
+    "L_Ankle": (_PI / 4, _PI / 2, _PI / 4), "R_Ankle": (_PI / 4, _PI / 2, _PI / 4),
+    "L_Toe": (_PI / 32, _PI / 2, _PI / 32), "R_Toe": (_PI / 32, _PI / 2, _PI / 32),
+}
+
+KEY_BODIES = ("R_Ankle", "L_Ankle", "R_Wrist", "L_Wrist")  # pacer.yaml keyBodies
+CONTACT_BODIES = ("R_Ankle", "L_Ankle", "R_Toe", "L_Toe")  # allowed ground contact
+
+DEFAULT_HUMANOID_MASS = 77.0  # kg (reference humanoid.py:907)
+
+
+def canonical_skeleton() -> SkeletonTree:
+    return SkeletonTree(names=BODY_NAMES, parents=PARENTS,
+                        local_translation=_MEAN_OFFSETS.copy())
+
+
+class BodyParams(struct.PyTreeNode):
+    """Batched per-env physical parameters — the 'asset', as data.
+
+    All arrays lead with the env axis (N, ...). This is the TPU-native
+    equivalent of one parsed PhysX asset per env.
+    """
+
+    local_offsets: jnp.ndarray    # (N, 24, 3) rest offsets in parent frame
+    capsule_radius: jnp.ndarray   # (N, 24)
+    capsule_half: jnp.ndarray     # (N, 24) half-length along capsule axis
+    capsule_axis: jnp.ndarray     # (N, 24, 3) capsule axis in body frame (unit)
+    mass: jnp.ndarray             # (N, 24)
+    inv_mass: jnp.ndarray         # (N, 24)
+    inertia: jnp.ndarray          # (N, 24, 3) principal inertia (body frame diag)
+    inv_inertia: jnp.ndarray      # (N, 24, 3)
+    kp: jnp.ndarray               # (N, 23) PD stiffness per joint
+    kd: jnp.ndarray               # (N, 23) PD damping
+    torque_limit: jnp.ndarray     # (N, 23)
+    joint_limit: jnp.ndarray      # (N, 23, 3) symmetric per-axis limits (rad)
+    betas: jnp.ndarray            # (N, 16) the generating shape params
+    height_offset: jnp.ndarray    # (N,) rest pelvis height above ground
+
+    @property
+    def num_envs(self) -> int:
+        return self.local_offsets.shape[0]
+
+
+def _bone_vectors(offsets: np.ndarray | jnp.ndarray):
+    """Mean child offset per body (the 'bone' each capsule covers).
+
+    For leaf bodies uses a nominal extent along the capsule direction.
+    """
+    xp = jnp if isinstance(offsets, jnp.ndarray) else np
+    children = [[] for _ in range(NUM_BODIES)]
+    for j in range(1, NUM_BODIES):
+        children[PARENTS[j]].append(j)
+    bones = []
+    leaf_extent = {
+        "L_Toe": [0.10, 0.0, 0.0], "R_Toe": [0.10, 0.0, 0.0],
+        "Head": [0.0, 0.0, 0.14],
+        "L_Hand": [0.0, 0.10, 0.0], "R_Hand": [0.0, -0.10, 0.0],
+    }
+    for b in range(NUM_BODIES):
+        if children[b]:
+            v = sum(offsets[..., c, :] for c in children[b]) / len(children[b])
+        else:
+            v = xp.broadcast_to(
+                xp.asarray(leaf_extent[BODY_NAMES[b]], dtype=offsets.dtype),
+                offsets[..., b, :].shape,
+            )
+        bones.append(v)
+    return xp.stack(bones, axis=-2)  # (..., 24, 3)
+
+
+def build_body_params(
+    betas: jnp.ndarray,
+    kp_scale: float = 1.0,
+    kd_scale: float = 1.0,
+    total_mass: Optional[float] = None,
+) -> BodyParams:
+    """betas (N, 16) → BodyParams. Fully traced/jittable (reshape-free math).
+
+    Beta semantics (template stand-in for the SMPL shape space; swap in real
+    blend shapes via `from_smpl_npz` when model files are present):
+      beta[0]: overall scale (±0.05 per unit), beta[1]: limb-length vs torso,
+      beta[2]: girth (capsule radii / mass). Remaining betas perturb
+      per-segment lengths with small weights so the 16-d input stays live.
+    """
+    betas = jnp.asarray(betas, dtype=jnp.float32)
+    if betas.ndim == 1:
+        betas = betas[None]
+    N = betas.shape[0]
+    B = NUM_BODIES
+
+    overall = 1.0 + 0.05 * betas[:, 0:1]                      # (N,1)
+    limb = 1.0 + 0.04 * betas[:, 1:2]
+    girth = 1.0 + 0.06 * betas[:, 2:3]
+    # small per-body jitter from remaining betas (fixed random projection)
+    rng = np.random.RandomState(7)
+    proj = jnp.asarray(rng.randn(13, B).astype(np.float32) * 0.01)
+    per_body = 1.0 + betas[:, 3:16] @ proj                    # (N,24)
+
+    is_limb = np.zeros(B, np.float32)
+    for i, n in enumerate(BODY_NAMES):
+        if n.startswith(("L_", "R_")):
+            is_limb[i] = 1.0
+    limb_scale = jnp.where(jnp.asarray(is_limb)[None], limb, 1.0)  # (N,24)
+
+    scale = overall * limb_scale * per_body                   # (N,24)
+    offsets = jnp.asarray(_MEAN_OFFSETS)[None] * scale[..., None]
+
+    bones = _bone_vectors(offsets)                            # (N,24,3)
+    bone_len = jnp.linalg.norm(bones, axis=-1)
+    axis = bones / jnp.maximum(bone_len[..., None], 1e-6)
+    radius = jnp.asarray(_CAPSULE_RADIUS)[None] * girth * overall
+    half = jnp.maximum(bone_len * 0.5, radius * 0.5)
+
+    if total_mass is None:
+        total_mass = DEFAULT_HUMANOID_MASS
+    mass_scale = overall[:, 0] ** 3 * girth[:, 0]             # volume-ish scaling
+    mass = jnp.asarray(_MASS_FRAC)[None] * total_mass * mass_scale[:, None]
+
+    # capsule principal inertia (solid cylinder+caps approximation, body frame
+    # diag with the long axis as the small moment)
+    r2 = radius ** 2
+    L = 2 * half
+    i_axial = 0.5 * mass * r2
+    i_trans = mass * (L ** 2 / 12.0 + r2 / 4.0)
+    # compose diag in body frame: align the small moment with the capsule axis.
+    # We keep a diagonal approximation: lerp between axial/transverse by axis
+    # components (valid for near-axis-aligned capsules; cheap and stable).
+    ax2 = axis ** 2
+    inertia = ax2 * i_axial[..., None] + (1 - ax2) * i_trans[..., None]
+    inertia = jnp.maximum(inertia, 1e-4)
+
+    kp = jnp.asarray([_PD_TABLE[n][0] for n in BODY_NAMES[1:]], jnp.float32)
+    kd = jnp.asarray([_PD_TABLE[n][1] for n in BODY_NAMES[1:]], jnp.float32)
+    tl = jnp.asarray([_PD_TABLE[n][2] for n in BODY_NAMES[1:]], jnp.float32)
+    # PD gains scale with body mass (reference humanoid.py:906-910)
+    pd_scale = (mass.sum(-1) / DEFAULT_HUMANOID_MASS)[:, None]
+    kp = kp[None] * pd_scale * kp_scale
+    kd = kd[None] * pd_scale * kd_scale
+    tl = jnp.broadcast_to(tl[None], (N, NUM_JOINTS))
+
+    jl = jnp.asarray([_JOINT_LIMITS[n] for n in BODY_NAMES[1:]], jnp.float32)
+    jl = jnp.broadcast_to(jl[None], (N, NUM_JOINTS, 3))
+
+    # rest pelvis height: distance from pelvis to lowest point (foot bottom)
+    # along the left-leg chain at rest
+    chain = [1, 2, 3]  # L_Hip, L_Knee, L_Ankle
+    drop = -sum(offsets[:, c, 2] for c in chain)
+    foot_clear = radius[:, 3] + 0.02
+    height_offset = drop + foot_clear
+
+    return BodyParams(
+        local_offsets=offsets,
+        capsule_radius=radius,
+        capsule_half=half,
+        capsule_axis=axis,
+        mass=mass,
+        inv_mass=1.0 / mass,
+        inertia=inertia,
+        inv_inertia=1.0 / inertia,
+        kp=kp,
+        kd=kd,
+        torque_limit=tl,
+        joint_limit=jl,
+        betas=betas,
+        height_offset=height_offset,
+    )
+
+
+def from_smpl_npz(path: str, betas: jnp.ndarray, **kw) -> BodyParams:
+    """Build BodyParams from a real SMPL model file (J_regressor/shapedirs).
+
+    Mirrors SMPL_Parser.get_offsets (reference smpl_parser.py:370-385): joint
+    rest positions from the regressor applied to the beta-shaped template,
+    converted to parent-relative offsets (rotated to z-up upright).
+    """
+    data = np.load(path, allow_pickle=True)
+    v_template = np.asarray(data["v_template"], np.float32)        # (V,3) y-up
+    shapedirs = np.asarray(data["shapedirs"], np.float32)          # (V,3,K)
+    j_reg = np.asarray(data["J_regressor"], np.float32)            # (24,V)
+    K = min(shapedirs.shape[-1], betas.shape[-1])
+
+    betas_np = np.asarray(betas, np.float32)
+    if betas_np.ndim == 1:
+        betas_np = betas_np[None]
+    v = v_template[None] + np.einsum("vdk,nk->nvd", shapedirs[..., :K], betas_np[:, :K])
+    joints = np.einsum("jv,nvd->njd", j_reg, v)                    # (N,24,3) y-up
+
+    # y-up → z-up upright: (x, y, z)_smpl → (x, -z, y)? SMPL faces +z with +y
+    # up; the upright MJCF robot faces +x with +z up. Map: x→x stays forward?
+    # SMPL's forward is +z, so forward z→x, up y→z, left x→y.
+    R = np.array([[0, 0, 1], [1, 0, 0], [0, 1, 0]], np.float32)
+    joints = joints @ R.T
+
+    offsets = joints.copy()
+    offsets[:, 0] = 0.0
+    for j in range(1, NUM_BODIES):
+        offsets[:, j] = joints[:, j] - joints[:, PARENTS[j]]
+
+    bp = build_body_params(jnp.asarray(betas_np), **kw)
+    return dataclasses.replace(bp, local_offsets=jnp.asarray(offsets))

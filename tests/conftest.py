@@ -1,0 +1,25 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding correctness is
+validated against 8 virtual CPU devices (the driver separately dry-runs the
+multi-chip path via __graft_entry__.dryrun_multichip).
+"""
+import os
+
+# Force CPU: the ambient environment sets JAX_PLATFORMS=axon (remote TPU
+# tunnel), which is slow and single-chip; tests validate semantics + sharding
+# on a local 8-device CPU mesh instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize (ambient environment) registers a remote-TPU PJRT
+# plugin and programmatically sets jax_platforms="axon,cpu", which overrides
+# the env var — force it back to cpu before any backend is initialized.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
