@@ -165,6 +165,10 @@ class BodyParams(struct.PyTreeNode):
     capsule_radius: jnp.ndarray   # (N, 24)
     capsule_half: jnp.ndarray     # (N, 24) half-length along capsule axis
     capsule_axis: jnp.ndarray     # (N, 24, 3) capsule axis in body frame (unit)
+    capsule_start: jnp.ndarray    # (N, 24, 3) capsule segment start in body frame
+    #   (zero for most bodies; feet start behind the ankle pivot — the heel —
+    #    mirroring the reference foot geoms that cover heel→toe,
+    #    smpl_local_robot.py get_joint_geometries + replace_feet)
     mass: jnp.ndarray             # (N, 24)
     inv_mass: jnp.ndarray         # (N, 24)
     inertia: jnp.ndarray          # (N, 24, 3) principal inertia (body frame diag)
@@ -246,6 +250,17 @@ def build_body_params(
     offsets = jnp.asarray(_MEAN_OFFSETS)[None] * scale[..., None]
 
     bones = _bone_vectors(offsets)                            # (N,24,3)
+    # feet: capsule spans heel→toe (heel extends behind the ankle pivot so the
+    # support polygon brackets the COM — otherwise the humanoid cannot stand)
+    start = jnp.zeros_like(offsets)
+    for ankle, toe in ((BODY_NAMES.index("L_Ankle"), BODY_NAMES.index("L_Toe")),
+                       (BODY_NAMES.index("R_Ankle"), BODY_NAMES.index("R_Toe"))):
+        toe_off = offsets[:, toe]                             # (N,3)
+        heel = jnp.stack(
+            [-0.45 * jnp.abs(toe_off[:, 0]), jnp.zeros_like(toe_off[:, 1]),
+             toe_off[:, 2]], axis=-1)
+        start = start.at[:, ankle].set(heel)
+        bones = bones.at[:, ankle].set(toe_off - heel)
     bone_len = jnp.linalg.norm(bones, axis=-1)
     axis = bones / jnp.maximum(bone_len[..., None], 1e-6)
     radius = jnp.asarray(_CAPSULE_RADIUS)[None] * girth * overall
@@ -281,18 +296,24 @@ def build_body_params(
     jl = jnp.asarray([_JOINT_LIMITS[n] for n in BODY_NAMES[1:]], jnp.float32)
     jl = jnp.broadcast_to(jl[None], (N, NUM_JOINTS, 3))
 
-    # rest pelvis height: distance from pelvis to lowest point (foot bottom)
-    # along the left-leg chain at rest
-    chain = [1, 2, 3]  # L_Hip, L_Knee, L_Ankle
-    drop = -sum(offsets[:, c, 2] for c in chain)
-    foot_clear = radius[:, 3] + 0.02
-    height_offset = drop + foot_clear
+    # rest pelvis height = distance from pelvis pivot to the lowest capsule
+    # surface point in the identity pose (exact rest-pose FK: cumulative
+    # parent-chain offsets, since all joint rotations are identity)
+    pivot_z = [offsets[:, 0, 2] * 0.0]
+    for b in range(1, B):
+        pivot_z.append(pivot_z[PARENTS[b]] + offsets[:, b, 2])
+    pivot_z = jnp.stack(pivot_z, axis=-1)            # (N, 24)
+    seg0_z = pivot_z + start[..., 2]
+    bone_z = 2.0 * half * axis[..., 2]
+    end_lo = jnp.minimum(seg0_z, seg0_z + bone_z) - radius
+    height_offset = -jnp.min(end_lo, axis=-1) + 0.01
 
     return BodyParams(
         local_offsets=offsets,
         capsule_radius=radius,
         capsule_half=half,
         capsule_axis=axis,
+        capsule_start=start,
         mass=mass,
         inv_mass=1.0 / mass,
         inertia=inertia,

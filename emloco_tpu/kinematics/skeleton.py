@@ -21,9 +21,10 @@ import numpy as np
 from ..ops import quat
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class SkeletonTree:
-    """Static skeleton topology. Immutable, hashable by identity, host-side."""
+    """Static skeleton topology. Immutable, hashable by identity (eq=False so
+    it can be a static jit argument), host-side."""
 
     names: Tuple[str, ...]
     parents: np.ndarray          # (J,) int, -1 for root; parents[j] < j

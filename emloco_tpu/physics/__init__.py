@@ -1,0 +1,20 @@
+from .terrain import (  # noqa: F401
+    Heightfield,
+    flat_terrain,
+    generate_mixed_terrain,
+    height_at,
+    height_at_min2,
+    normal_at,
+)
+from .types import EngineConfig  # noqa: F401
+from .reduced import (  # noqa: F401
+    Model,
+    PhysicsState,
+    body_frame_state,
+    build_model,
+    default_tree,
+    joint_state,
+    kinematic_state,
+    refresh_cache,
+    step,
+)

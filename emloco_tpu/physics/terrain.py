@@ -1,0 +1,285 @@
+"""Heightfield terrain: on-device height/normal queries + host-side generators.
+
+TPU-native replacement for the reference's triangle-mesh terrain
+(/root/reference/pacer/pacer/env/tasks/humanoid_pedestrain_terrain.py:1135-1463
+and isaacgym/python/isaacgym/terrain_utils.py:17-360). Instead of
+heightfield → trimesh → PhysX BVH, the heightfield itself IS the collision
+representation: contact and the policy's height-map sensor both read the same
+(H, W) grid with gather + lerp — no trees, no branching, MXU/VPU friendly.
+
+Generators run host-side in numpy at setup time (same place the reference
+builds terrain, once per training run).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+class Heightfield(struct.PyTreeNode):
+    """Static world geometry as a pytree (device arrays; shared across envs)."""
+
+    heights: jnp.ndarray               # (H, W) float32 meters
+    cell: float = struct.field(pytree_node=False, default=0.1)
+    origin: tuple = struct.field(pytree_node=False, default=(0.0, 0.0))
+    # sampling table of valid spawn locations (world xy), used for resets
+    # (reference: walkable_field + coord sampling, terrain.sample_valid_locations,
+    # humanoid_pedestrain_terrain.py:1196-1210)
+    spawnable_xy: jnp.ndarray | None = None  # (S, 2) float32
+
+    @property
+    def shape(self):
+        return self.heights.shape
+
+
+def flat_terrain(extent: float = 40.0, cell: float = 0.1) -> Heightfield:
+    n = int(extent / cell)
+    return Heightfield(
+        heights=jnp.zeros((n, n), jnp.float32),
+        cell=cell,
+        origin=(-extent / 2, -extent / 2),
+        spawnable_xy=jnp.zeros((1, 2), jnp.float32),
+    )
+
+
+def _grid_coords(hf: Heightfield, xy: jnp.ndarray):
+    """World xy → fractional grid coords, clamped inside the grid."""
+    gx = (xy[..., 0] - hf.origin[0]) / hf.cell
+    gy = (xy[..., 1] - hf.origin[1]) / hf.cell
+    H, W = hf.heights.shape
+    gx = jnp.clip(gx, 0.0, H - 1.001)
+    gy = jnp.clip(gy, 0.0, W - 1.001)
+    return gx, gy
+
+
+def height_at(hf: Heightfield, xy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear height at world xy (...,2) → (...). Smooth, differentiable."""
+    gx, gy = _grid_coords(hf, xy)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    fx = gx - x0
+    fy = gy - y0
+    h = hf.heights
+    h00 = h[x0, y0]
+    h10 = h[x0 + 1, y0]
+    h01 = h[x0, y0 + 1]
+    h11 = h[x0 + 1, y0 + 1]
+    return (
+        h00 * (1 - fx) * (1 - fy)
+        + h10 * fx * (1 - fy)
+        + h01 * (1 - fx) * fy
+        + h11 * fx * fy
+    )
+
+
+def height_at_min2(hf: Heightfield, xy: jnp.ndarray) -> jnp.ndarray:
+    """Conservative 2-point min gather — the reference sensor's lookup
+    (humanoid_pedestrain_terrain.py:1282-1297 uses min of [x0,y0],[x0+1,y0+1])."""
+    gx, gy = _grid_coords(hf, xy)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    return jnp.minimum(hf.heights[x0, y0], hf.heights[x0 + 1, y0 + 1])
+
+
+def normal_at(hf: Heightfield, xy: jnp.ndarray) -> jnp.ndarray:
+    """Outward unit surface normal from central differences of the bilinear
+    surface — used as the contact frame."""
+    gx, gy = _grid_coords(hf, xy)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    h = hf.heights
+    # slope of the bilinear cell (constant per cell is fine for contact)
+    fy = gy - y0
+    fx = gx - x0
+    dhdx = ((h[x0 + 1, y0] - h[x0, y0]) * (1 - fy)
+            + (h[x0 + 1, y0 + 1] - h[x0, y0 + 1]) * fy) / hf.cell
+    dhdy = ((h[x0, y0 + 1] - h[x0, y0]) * (1 - fx)
+            + (h[x0 + 1, y0 + 1] - h[x0 + 1, y0]) * fx) / hf.cell
+    n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
+    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Host-side procedural generators (numpy; semantics follow
+# isaacgym/terrain_utils.py:17-360 — new implementations, not ports)
+# ---------------------------------------------------------------------------
+
+def gen_random_uniform(shape, cell, min_h=-0.1, max_h=0.1, step=0.025, rng=None):
+    rng = rng or np.random.RandomState(0)
+    levels = np.arange(min_h, max_h + step, step)
+    idx = rng.randint(0, len(levels), size=shape)
+    return levels[idx].astype(np.float32)
+
+
+def gen_sloped(shape, cell, slope=0.2, axis=0):
+    H, W = shape
+    ramp = np.arange(H if axis == 0 else W, dtype=np.float32) * cell * slope
+    return np.broadcast_to(ramp[:, None] if axis == 0 else ramp[None, :], shape).copy()
+
+
+def gen_pyramid_sloped(shape, cell, slope=0.2):
+    H, W = shape
+    x = np.minimum(np.arange(H), H - 1 - np.arange(H)).astype(np.float32)
+    y = np.minimum(np.arange(W), W - 1 - np.arange(W)).astype(np.float32)
+    return (np.minimum(x[:, None], y[None, :]) * cell * slope).astype(np.float32)
+
+
+def gen_discrete_obstacles(shape, cell, max_h=0.15, min_size=0.8, max_size=1.6,
+                           num_rects=24, rng=None):
+    rng = rng or np.random.RandomState(0)
+    H, W = shape
+    out = np.zeros(shape, np.float32)
+    for _ in range(num_rects):
+        w = int(rng.uniform(min_size, max_size) / cell)
+        h = int(rng.uniform(min_size, max_size) / cell)
+        x = rng.randint(0, max(1, H - h))
+        y = rng.randint(0, max(1, W - w))
+        out[x:x + h, y:y + w] = rng.choice([-max_h, -max_h / 2, max_h / 2, max_h])
+    return out
+
+
+def gen_wave(shape, cell, num_waves=2, amplitude=0.15):
+    H, W = shape
+    x = np.linspace(0, num_waves * 2 * np.pi, H)
+    y = np.linspace(0, num_waves * 2 * np.pi, W)
+    return (amplitude * (np.sin(x)[:, None] + np.cos(y)[None, :]) / 2).astype(np.float32)
+
+
+def gen_stairs(shape, cell, step_width=0.75, step_height=0.15):
+    H, W = shape
+    sw = max(1, int(step_width / cell))
+    steps = (np.arange(H) // sw).astype(np.float32) * step_height
+    return np.broadcast_to(steps[:, None], shape).copy()
+
+
+def gen_pyramid_stairs(shape, cell, step_width=0.75, step_height=0.12):
+    H, W = shape
+    sw = max(1, int(step_width / cell))
+    x = np.minimum(np.arange(H), H - 1 - np.arange(H))
+    y = np.minimum(np.arange(W), W - 1 - np.arange(W))
+    ring = np.minimum(x[:, None], y[None, :]) // sw
+    return (ring * step_height).astype(np.float32)
+
+
+def gen_stepping_stones(shape, cell, stone_size=0.8, spacing=0.4, height=0.1,
+                        depth=-0.5, rng=None):
+    rng = rng or np.random.RandomState(0)
+    H, W = shape
+    out = np.full(shape, depth, np.float32)
+    pitch = max(1, int((stone_size + spacing) / cell))
+    size = max(1, int(stone_size / cell))
+    for i in range(0, H, pitch):
+        off = rng.randint(0, pitch)
+        for j in range(-pitch, W, pitch):
+            jj = j + off
+            if jj < 0 or jj + size > W:
+                continue
+            out[i:i + size, jj:jj + size] = rng.uniform(-height, height)
+    return out
+
+
+def gen_poles(shape, cell, num_poles=40, radius=0.15, height=2.0, rng=None):
+    """Vertical obstacle poles (reference draw_utils.py shape rasterizers +
+    'poles' terrain type, humanoid_pedestrain_terrain.py terrain proportions)."""
+    rng = rng or np.random.RandomState(0)
+    H, W = shape
+    out = np.zeros(shape, np.float32)
+    rr = max(1, int(radius / cell))
+    for _ in range(num_poles):
+        cx, cy = rng.randint(rr, H - rr), rng.randint(rr, W - rr)
+        out[cx - rr:cx + rr, cy - rr:cy + rr] = height
+    return out
+
+
+_GENERATORS = {
+    "random_uniform": gen_random_uniform,
+    "sloped": gen_sloped,
+    "pyramid_sloped": gen_pyramid_sloped,
+    "discrete_obstacles": gen_discrete_obstacles,
+    "wave": gen_wave,
+    "stairs": gen_stairs,
+    "pyramid_stairs": gen_pyramid_stairs,
+    "stepping_stones": gen_stepping_stones,
+    "poles": gen_poles,
+}
+
+
+def walkable_mask(heights: np.ndarray, cell: float, max_slope: float = 0.5,
+                  margin_cells: int = 3) -> np.ndarray:
+    """Cells whose local slope is below max_slope, eroded by a safety margin
+    (reference: walkable_field_raw + binary dilation,
+    humanoid_pedestrain_terrain.py:1196-1210)."""
+    gx, gy = np.gradient(heights, cell)
+    ok = (np.abs(gx) < max_slope) & (np.abs(gy) < max_slope)
+    # erosion by max-pool of the bad mask
+    bad = ~ok
+    k = margin_cells
+    H, W = heights.shape
+    padded = np.pad(bad, k, constant_values=True)
+    out = np.zeros_like(bad)
+    for dx in range(-k, k + 1):
+        out |= padded[k + dx:k + dx + H, k:k + W]
+        out |= padded[k:k + H, k + dx:k + dx + W]
+    return ~out
+
+
+def generate_mixed_terrain(
+    map_length: float = 8.0,
+    num_tiles: int = 8,
+    cell: float = 0.1,
+    proportions=(0.2, 0.1, 0.15, 0.15, 0.05, 0.1, 0.15, 0.1),
+    types=("random_uniform", "sloped", "pyramid_sloped", "discrete_obstacles",
+           "wave", "stairs", "pyramid_stairs", "stepping_stones"),
+    difficulty: float = 1.0,
+    seed: int = 0,
+    border_cells: int = 10,
+) -> Heightfield:
+    """Tiled multi-type terrain with spawn table — semantic equivalent of the
+    reference Terrain class (humanoid_pedestrain_terrain.py:1135-1463): a grid
+    of num_tiles × num_tiles sub-terrains, type sampled by proportions,
+    difficulty scaling heights/slopes, plus flat border."""
+    rng = np.random.RandomState(seed)
+    tile = int(map_length / cell)
+    n = num_tiles * tile + 2 * border_cells
+    big = np.zeros((n, n), np.float32)
+    cum = np.cumsum(proportions) / np.sum(proportions)
+    for i in range(num_tiles):
+        for j in range(num_tiles):
+            u = rng.rand()
+            t = types[int(np.searchsorted(cum, u))]
+            d = difficulty * rng.uniform(0.4, 1.0)
+            kwargs = {}
+            if t == "random_uniform":
+                kwargs = dict(min_h=-0.08 * d, max_h=0.08 * d, rng=rng)
+            elif t in ("sloped", "pyramid_sloped"):
+                kwargs = dict(slope=0.35 * d)
+            elif t == "discrete_obstacles":
+                kwargs = dict(max_h=0.12 * d, rng=rng)
+            elif t == "wave":
+                kwargs = dict(amplitude=0.12 * d)
+            elif t in ("stairs", "pyramid_stairs"):
+                kwargs = dict(step_height=0.10 * d)
+            elif t == "stepping_stones":
+                kwargs = dict(height=0.05 * d, depth=-0.2 * d, rng=rng)
+            patch = _GENERATORS[t]((tile, tile), cell, **kwargs)
+            x0 = border_cells + i * tile
+            y0 = border_cells + j * tile
+            big[x0:x0 + tile, y0:y0 + tile] = patch
+
+    mask = walkable_mask(big, cell)
+    xs, ys = np.where(mask)
+    extent = n * cell
+    origin = (-extent / 2, -extent / 2)
+    xy = np.stack([xs * cell + origin[0], ys * cell + origin[1]], -1).astype(np.float32)
+    if len(xy) == 0:
+        xy = np.zeros((1, 2), np.float32)
+    # cap table size for device residency; uniform subsample
+    if len(xy) > 65536:
+        xy = xy[rng.choice(len(xy), 65536, replace=False)]
+    return Heightfield(
+        heights=jnp.asarray(big),
+        cell=cell,
+        origin=origin,
+        spawnable_xy=jnp.asarray(xy),
+    )

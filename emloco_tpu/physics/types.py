@@ -1,0 +1,30 @@
+"""Engine configuration pytree."""
+from __future__ import annotations
+
+from flax import struct
+
+
+class EngineConfig(struct.PyTreeNode):
+    """Solver budget. Defaults mirror the reference's PhysX budget
+    (pacer.yaml:93-104: dt=1/60, substeps 2, TGS, 4 position iters,
+    controlFrequencyInv=2) → control dt = 1/30, physics dt = 1/120.
+    All static (hashable) so they can close over jit.
+    """
+
+    control_dt: float = struct.field(pytree_node=False, default=1.0 / 30.0)
+    n_substeps: int = struct.field(pytree_node=False, default=4)   # per control step
+    gravity: float = struct.field(pytree_node=False, default=-9.81)
+    static_friction: float = struct.field(pytree_node=False, default=1.0)
+    dynamic_friction: float = struct.field(pytree_node=False, default=1.0)
+    linear_damping: float = struct.field(pytree_node=False, default=0.05)
+    angular_damping: float = struct.field(pytree_node=False, default=0.05)
+    # implicit contact model (reduced engine): normal spring/damper and
+    # Coulomb-capped viscous friction
+    contact_stiffness: float = struct.field(pytree_node=False, default=40000.0)
+    contact_damping: float = struct.field(pytree_node=False, default=500.0)
+    friction_vel_ref: float = struct.field(pytree_node=False, default=0.05)
+    max_friction_damping: float = struct.field(pytree_node=False, default=4000.0)
+
+    @property
+    def substep_dt(self) -> float:
+        return self.control_dt / self.n_substeps

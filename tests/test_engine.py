@@ -1,0 +1,183 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emloco_tpu.kinematics import body_model as bm
+from emloco_tpu.ops import quat
+from emloco_tpu.physics import (
+    EngineConfig,
+    body_frame_state,
+    build_model,
+    default_tree,
+    flat_terrain,
+    joint_state,
+    kinematic_state,
+    step,
+)
+
+TREE = default_tree()
+CFG = EngineConfig(n_substeps=4)
+
+
+def make_world(n_envs=2, betas=None):
+    if betas is None:
+        betas = jnp.zeros((n_envs, 16))
+    params = bm.build_body_params(betas)
+    model = build_model(params)
+    terrain = flat_terrain(extent=20.0, cell=0.1)
+    return model, terrain
+
+
+def rest_state(model, z=None):
+    n = model.num_envs
+    if z is None:
+        z = model.params.height_offset[:, None] * jnp.ones((n, 1))
+    root_pos = jnp.concatenate([jnp.zeros((n, 2)), jnp.reshape(z, (n, 1))], -1)
+    root_rot = quat.identity_like((n,))
+    local_rot = quat.identity_like((n, bm.NUM_BODIES))
+    return kinematic_state(model, TREE, root_pos, root_rot, local_rot)
+
+
+def test_kinematic_state_velocities():
+    model, _ = make_world(1)
+    root_vel = jnp.array([[1.0, 0.5, 0.0]])
+    st = kinematic_state(
+        model, TREE,
+        jnp.array([[0.0, 0.0, 1.0]]),
+        quat.identity_like((1,)),
+        quat.identity_like((1, bm.NUM_BODIES)),
+        root_vel=root_vel,
+    )
+    np.testing.assert_allclose(
+        st.body_v, jnp.broadcast_to(root_vel[:, None], st.body_v.shape),
+        atol=1e-5)
+
+
+def test_freefall_com():
+    """With no ground (start high), COM follows projectile motion."""
+    model, terrain = make_world(1)
+    st = rest_state(model, z=jnp.array([[5.0]]))
+    m = model.params.mass[0][:, None]
+    com0 = (st.body_x[0] * m).sum(0) / m.sum()
+    T = 6
+    for _ in range(T):
+        st = step(model, terrain, st, jnp.zeros((1, 23, 3)), CFG)
+    com1 = (np.asarray(st.body_x[0]) * np.asarray(m)).sum(0) / float(m.sum())
+    t = T * CFG.control_dt
+    expected_drop = 0.5 * 9.81 * t**2
+    drop = float(com0[2] - com1[2])
+    assert abs(drop - expected_drop) / expected_drop < 0.1
+    assert abs(float(com1[0] - com0[0])) < 1e-3
+
+
+def test_standing_stability():
+    """PD holding the rest pose keeps the humanoid upright ≥1.5 s with the
+    pose essentially unperturbed (joints are exact in reduced coords)."""
+    model, terrain = make_world(1)
+    st = rest_state(model)
+    head = TREE.index("Head")
+    z0 = float(st.body_x[0, head, 2])
+    for _ in range(45):  # 1.5 s
+        st = step(model, terrain, st, jnp.zeros((1, 23, 3)), CFG)
+    assert np.all(np.isfinite(np.asarray(st.body_x)))
+    z1 = float(st.body_x[0, head, 2])
+    assert z1 > 0.9 * z0, f"head dropped from {z0:.2f} to {z1:.2f}"
+    dof_pos, _ = joint_state(model, st)
+    assert float(jnp.abs(dof_pos).max()) < 0.2, "pose not held"
+
+
+def test_weight_on_ground():
+    """Total normal contact force equals body weight once settled."""
+    model, terrain = make_world(1)
+    st = rest_state(model)
+    for _ in range(20):
+        st = step(model, terrain, st, jnp.zeros((1, 23, 3)), CFG)
+    total_fz = float(st.contact_force[0, :, 2].sum())
+    weight = float(model.params.mass[0].sum() * 9.81)
+    assert abs(total_fz - weight) / weight < 0.1, (total_fz, weight)
+
+
+def test_pd_tracks_target():
+    """An elbow exp-map target is reached accurately (exact-stiffness SPD)."""
+    model, terrain = make_world(1)
+    st = rest_state(model, z=jnp.array([[5.0]]))  # in the air
+    target = jnp.zeros((1, 23, 3))
+    jidx = TREE.index("L_Elbow") - 1
+    target = target.at[0, jidx, 1].set(0.8)
+    for _ in range(15):
+        st = step(model, terrain, st, target, CFG)
+    dof_pos, _ = joint_state(model, st)
+    got = float(dof_pos[0, jidx, 1])
+    assert abs(got - 0.8) < 0.1, f"elbow angle {got:.3f} vs target 0.8"
+
+
+def test_gravity_sag_matches_kp():
+    """Static sag under gravity ≈ τ_gravity / kp (PD stiffness is exact)."""
+    model, terrain = make_world(1)
+    st = rest_state(model, z=jnp.array([[50.0]]))
+    for _ in range(20):
+        st = step(model, terrain, st, jnp.zeros((1, 23, 3)), CFG)
+    dof_pos, _ = joint_state(model, st)
+    sh = TREE.index("L_Shoulder") - 1
+    sag = float(jnp.linalg.norm(dof_pos[0, sh]))
+    # arm gravity torque about shoulder ~11 N·m, kp=400 → θ ≈ 0.028
+    assert sag < 0.1, f"shoulder sag {sag:.3f} too large (drive too soft)"
+
+
+def test_joint_limits_enforced():
+    """Targets far beyond the limit cannot push the joint past it."""
+    model, terrain = make_world(1)
+    st = rest_state(model, z=jnp.array([[5.0]]))
+    target = jnp.zeros((1, 23, 3))
+    jidx = TREE.index("Head") - 1  # Head limits ±π/2
+    target = target.at[0, jidx, 0].set(3.0)
+    for _ in range(20):
+        st = step(model, terrain, st, target, CFG)
+    dof_pos, _ = joint_state(model, st)
+    assert float(dof_pos[0, jidx, 0]) < np.pi / 2 + 0.05
+
+
+def test_no_ground_penetration():
+    model, terrain = make_world(1)
+    st = rest_state(model)
+    for _ in range(30):
+        st = step(model, terrain, st, jnp.zeros((1, 23, 3)), CFG)
+    low = (np.asarray(st.body_x[0, :, 2])
+           - np.asarray(model.params.capsule_radius[0]))
+    assert low.min() > -0.05, f"body sunk to {low.min():.3f}"
+
+
+def test_vmap_over_envs_heterogeneous():
+    """Different betas per env run in one batch; shapes stay static."""
+    betas = jnp.array([[0.0] * 16, [1.5] + [0.0] * 15, [-1.5] + [0.0] * 15])
+    model, terrain = make_world(3, betas)
+    st = rest_state(model)
+    for _ in range(10):
+        st = step(model, terrain, st, jnp.zeros((3, 23, 3)), CFG)
+    assert np.all(np.isfinite(np.asarray(st.body_x)))
+
+
+def test_body_frame_state_shapes():
+    model, terrain = make_world(2)
+    st = rest_state(model)
+    pos, rot, vel, ang = body_frame_state(model, st)
+    assert pos.shape == (2, 24, 3) and rot.shape == (2, 24, 4)
+    np.testing.assert_allclose(
+        np.asarray(pos[:, 0, 2]), np.asarray(model.params.height_offset),
+        atol=1e-4)
+
+
+def test_scan_rollout():
+    """The whole rollout compiles into one lax.scan (no host round-trips)."""
+    model, terrain = make_world(2)
+    st = rest_state(model)
+
+    def rollout(st):
+        def body(s, _):
+            s = step(model, terrain, s, jnp.zeros((2, 23, 3)), CFG)
+            return s, s.body_x[:, 0, 2]
+        return jax.lax.scan(body, st, None, length=10)
+
+    final, heights = jax.jit(rollout)(st)
+    assert heights.shape == (10, 2)
+    assert np.all(np.isfinite(np.asarray(heights)))
