@@ -1,0 +1,184 @@
+"""Observation kernels — pure batched jnp functions.
+
+Semantics match the reference's torch-jit obs kernels 1:1 so that policies,
+discriminators and the LocoVal function see the same features:
+  * humanoid_obs_max      ↔ compute_humanoid_observations_smpl_max
+                            (humanoid.py:1327-1687 family)
+  * amp_obs               ↔ build_amp_observations_smpl (humanoid_amp.py:918-971)
+  * location_obs          ↔ compute_location_observations
+                            (humanoid_pedestrain_terrain.py:1539-1560 /
+                             humanoid_traj.py:263-283)
+  * heightmap_obs         ↔ get_heights + center-height normalization
+                            (humanoid_pedestrain_terrain.py:404-441,1282-1297)
+  * flip_* obs            ↔ _compute_flip_humanoid_obs (humanoid.py:1066-1108)
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..kinematics import body_model as bm
+from ..ops import quat
+from ..physics.terrain import Heightfield, height_at_min2
+
+# dof subset: drop hands and toes from disc features (reference
+# humanoid.py:294-330, remove_names = [L_Hand, R_Hand, L_Toe, R_Toe])
+_REMOVE = {"L_Hand", "R_Hand", "L_Toe", "R_Toe"}
+DOF_SUBSET_JOINTS = np.array(
+    [i for i, n in enumerate(bm.BODY_NAMES[1:]) if n not in _REMOVE])
+KEY_BODY_IDS = np.array([bm.BODY_NAMES.index(n) for n in bm.KEY_BODIES])
+CONTACT_BODY_IDS = np.array([bm.BODY_NAMES.index(n) for n in bm.CONTACT_BODIES])
+
+# left-right body permutation for the motion-symmetry loss
+# (reference humanoid.py:330-333)
+def _mirror_index():
+    out = []
+    for n in bm.BODY_NAMES:
+        if n.startswith("L_"):
+            out.append(bm.BODY_NAMES.index("R_" + n[2:]))
+        elif n.startswith("R_"):
+            out.append(bm.BODY_NAMES.index("L_" + n[2:]))
+        else:
+            out.append(bm.BODY_NAMES.index(n))
+    return np.array(out)
+
+
+MIRROR_BODY = _mirror_index()
+MIRROR_ACTION = MIRROR_BODY[1:] - 1  # joint-index permutation
+
+SELF_OBS_DIM = 1 + bm.NUM_BODIES * 15 - 3  # 358 (root height slot included)
+
+
+def dof_to_obs(dof_pos: jnp.ndarray) -> jnp.ndarray:
+    """(…, J, 3) exp-map → (…, J*6) tan-norm features
+    (reference dof_to_obs_smpl, humanoid.py:1327-1339)."""
+    q = quat.exp_map_to_quat(dof_pos)
+    tn = quat.to_tan_norm(q)
+    return tn.reshape(tn.shape[:-2] + (-1,))
+
+
+def humanoid_obs_max(body_pos, body_rot, body_vel, body_ang_vel,
+                     betas=None, limb_weights=None,
+                     root_height_obs: bool = False,
+                     upright: bool = True) -> jnp.ndarray:
+    """Max-coordinate self observation (heading-relative), reference
+    compute_humanoid_observations_smpl_max (humanoid.py:1430+):
+    [root_h?, local body pos (23·3), body rot tan-norm (24·6),
+     body vel (24·3), body ang vel (24·3), shape (11)?, limb weights (10)?].
+    """
+    N = body_pos.shape[0]
+    root_pos = body_pos[:, 0]
+    root_rot = body_rot[:, 0]
+    heading_inv = quat.heading_quat_inv(root_rot)          # (N,4)
+    h_exp = heading_inv[:, None]
+
+    local_pos = quat.rotate(h_exp, body_pos - root_pos[:, None])
+    local_pos = local_pos[:, 1:].reshape(N, -1)
+
+    local_rot = quat.mul(jnp.broadcast_to(h_exp, body_rot.shape), body_rot)
+    rot_obs = quat.to_tan_norm(local_rot).reshape(N, -1)
+
+    local_vel = quat.rotate(h_exp, body_vel).reshape(N, -1)
+    local_ang_vel = quat.rotate(h_exp, body_ang_vel).reshape(N, -1)
+
+    parts = []
+    root_h = root_pos[:, 2:3]
+    parts.append(root_h if root_height_obs else jnp.zeros_like(root_h))
+    parts += [local_pos, rot_obs, local_vel, local_ang_vel]
+    if betas is not None:
+        parts.append(betas[:, :11])
+    if limb_weights is not None:
+        parts.append(limb_weights)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def amp_obs(root_pos, root_rot, root_vel, root_ang_vel, dof_pos, dof_vel,
+            key_pos, betas=None, limb_weights=None,
+            root_height_obs: bool = True) -> jnp.ndarray:
+    """AMP discriminator features (reference build_amp_observations_smpl,
+    humanoid_amp.py:918-971): [root_h, root rot tan-norm (6), local root
+    vel (3), local root ang vel (3), dof_obs subset (19·6), dof_vel subset
+    (19·3), local key body pos (4·3), shape (11)?, limb weights (10)?]."""
+    N = root_pos.shape[0]
+    heading_inv = quat.heading_quat_inv(root_rot)
+    root_rot_obs = quat.to_tan_norm(quat.mul(heading_inv, root_rot))
+    local_vel = quat.rotate(heading_inv, root_vel)
+    local_ang_vel = quat.rotate(heading_inv, root_ang_vel)
+
+    rel_key = key_pos - root_pos[:, None]
+    local_key = quat.rotate(heading_inv[:, None], rel_key).reshape(N, -1)
+
+    sel = jnp.asarray(DOF_SUBSET_JOINTS)
+    dof_obs = dof_to_obs(dof_pos[:, sel])
+    dvel = dof_vel[:, sel].reshape(N, -1)
+
+    parts = []
+    if root_height_obs:
+        parts.append(root_pos[:, 2:3])
+    parts += [root_rot_obs, local_vel, local_ang_vel, dof_obs, dvel, local_key]
+    if betas is not None:
+        parts.append(betas[:, :11])
+    if limb_weights is not None:
+        parts.append(limb_weights)
+    return jnp.concatenate(parts, axis=-1)
+
+
+AMP_OBS_DIM = 1 + 6 + 3 + 3 + len(DOF_SUBSET_JOINTS) * 9 + len(KEY_BODY_IDS) * 3
+
+
+def location_obs(root_pos, root_rot, traj_samples) -> jnp.ndarray:
+    """Future trajectory samples in the heading-local frame, xy only
+    (reference compute_location_observations). traj_samples (N,S,3) → (N,S·2)."""
+    heading_inv = quat.heading_quat_inv(root_rot)
+    delta = traj_samples - root_pos[:, None]
+    local = quat.rotate(heading_inv[:, None], delta)
+    return local[..., :2].reshape(root_pos.shape[0], -1)
+
+
+def make_sensor_grid(extent: float = 2.0, res: int = 32) -> np.ndarray:
+    """(res², 2) local xy grid — reference init_square_height_points
+    (humanoid_pedestrain_terrain.py:650-668)."""
+    lin = np.linspace(-extent, extent, res)
+    gx, gy = np.meshgrid(lin, lin, indexing="ij")
+    return np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)
+
+
+def heightmap_obs(terrain: Heightfield, sensor_pos, sensor_rot, center_xy,
+                  grid_local, meas_scale: float = 5.0) -> jnp.ndarray:
+    """Heading-rotated height grid around the sensor root (the head,
+    reference terrain_obs_root 'head'), normalized by the mean ground height
+    under the root (use_center_height) and scaled
+    (humanoid_pedestrain_terrain.py:404-441). Heights use the conservative
+    2-point min gather like the reference's get_heights (:1282-1297)."""
+    N = sensor_pos.shape[0]
+    heading = quat.heading_quat(sensor_rot)                # (N,4)
+    g = jnp.asarray(grid_local)                            # (P,2)
+    g3 = jnp.concatenate([g, jnp.zeros((g.shape[0], 1))], -1)
+    pts = quat.rotate(heading[:, None], g3[None]) + sensor_pos[:, None]
+    h = height_at_min2(terrain, pts[..., :2])              # (N,P)
+    # center height: mean ground height under the root (3×3 patch)
+    cg = jnp.asarray(make_sensor_grid(0.15, 3))
+    cg3 = jnp.concatenate([cg, jnp.zeros((9, 1))], -1)
+    cpts = quat.rotate(heading[:, None], cg3[None]) + \
+        jnp.concatenate([center_xy, jnp.zeros((N, 1))], -1)[:, None]
+    ch = height_at_min2(terrain, cpts[..., :2]).mean(-1, keepdims=True)
+    return jnp.clip(ch - h, -3.0, 3.0) * meas_scale
+
+
+def flip_body_state(body_pos, body_rot, body_vel, body_ang_vel):
+    """Mirror the body state across the xz plane for the motion-symmetry loss
+    (reference humanoid.py:1066-1108)."""
+    mi = jnp.asarray(MIRROR_BODY)
+    bp = body_pos.at[..., 1].multiply(-1.0)[:, mi]
+    br = body_rot.at[..., 0].multiply(-1.0).at[..., 2].multiply(-1.0)[:, mi]
+    bv = body_vel.at[..., 1].multiply(-1.0)[:, mi]
+    bav = body_ang_vel.at[..., 0].multiply(-1.0).at[..., 2].multiply(-1.0)[:, mi]
+    return bp, br, bv, bav
+
+
+def flip_actions(actions):
+    """Mirror exp-map actions (reference left_to_right_index_action)."""
+    a = actions.reshape(actions.shape[0], bm.NUM_JOINTS, 3)
+    a = a[:, jnp.asarray(MIRROR_ACTION)]
+    a = a.at[..., 0].multiply(-1.0).at[..., 2].multiply(-1.0)
+    return a.reshape(actions.shape[0], -1)

@@ -1,0 +1,467 @@
+"""HumanoidPedestrianTerrain — the main EmLoco environment, TPU-native.
+
+Semantic rebuild of the reference env
+(/root/reference/pacer/pacer/env/tasks/humanoid_pedestrain_terrain.py):
+trajectory following over procedural terrain with a heightmap sensor,
+location+power reward, contact/height early termination and motion-library
+resets with random heading — BUT structured as pure functions over pytrees:
+
+  reset(key)             → EnvState
+  step(state, actions)   → (EnvState, StepOutput)
+
+Auto-reset happens INSIDE step with `where` masks (the reference resets
+between steps with indexed tensor setters from the host, humanoid.py:467-481;
+here the whole rollout compiles into one lax.scan with no host round-trips —
+that host-sync per step is exactly where the reference pays its throughput).
+
+Config cross-references (reference pacer/pacer/data/cfg/pacer.yaml):
+episodeLength 168, numTrajSamples 15, trajSampleTimestep 0.4, stepToPred 144,
+speedMin/Max 0.0005/3.0, accelMax 2.0, sharpTurnProb 0.02, sensor 32×32 ±2 m,
+power_coefficient 5e-4, terminationHeight 0.15, keyBodies ankles+wrists,
+contactBodies ankles+toes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..kinematics import body_model as bm
+from ..kinematics import motion_lib as ml
+from ..ops import quat
+from ..physics import (
+    EngineConfig,
+    Heightfield,
+    Model,
+    PhysicsState,
+    body_frame_state,
+    build_model,
+    default_tree,
+    height_at,
+    joint_state,
+    kinematic_state,
+    step as physics_step,
+)
+from . import observations as obs
+from . import traj_gen
+
+
+class EnvConfig(struct.PyTreeNode):
+    num_envs: int = struct.field(pytree_node=False, default=64)
+    episode_length: int = struct.field(pytree_node=False, default=168)
+    num_traj_samples: int = struct.field(pytree_node=False, default=15)
+    traj_sample_timestep: float = struct.field(pytree_node=False, default=0.4)
+    step_to_pred: int = struct.field(pytree_node=False, default=144)
+    sensor_extent: float = struct.field(pytree_node=False, default=2.0)
+    sensor_res: int = struct.field(pytree_node=False, default=32)
+    height_meas_scale: float = struct.field(pytree_node=False, default=5.0)
+    terrain_obs: bool = struct.field(pytree_node=False, default=True)
+    power_reward: bool = struct.field(pytree_node=False, default=True)
+    power_coefficient: float = struct.field(pytree_node=False, default=5e-4)
+    location_coefficient: float = struct.field(pytree_node=False, default=1.0)
+    fail_dist: float = struct.field(pytree_node=False, default=4.0)
+    termination_height: float = struct.field(pytree_node=False, default=0.15)
+    enable_early_termination: bool = struct.field(pytree_node=False, default=True)
+    contact_force_threshold: float = struct.field(pytree_node=False, default=1.0)
+    num_amp_obs_steps: int = struct.field(pytree_node=False, default=15)
+    random_heading: bool = struct.field(pytree_node=False, default=True)
+    num_waypoints: int = struct.field(pytree_node=False, default=13)  # LocoVal
+    freeze_toe: bool = struct.field(pytree_node=False, default=True)
+    freeze_hand: bool = struct.field(pytree_node=False, default=True)
+    # ref-state init: probability of motion-library state vs default pose
+    # (reference StateInit Random / hybridInitProb semantics)
+    ref_state_init_prob: float = struct.field(pytree_node=False, default=0.9)
+    traj: traj_gen.TrajConfig = struct.field(
+        pytree_node=False,
+        default=traj_gen.TrajConfig(episode_dur=2 * 168 / 30.0))
+    engine: EngineConfig = struct.field(pytree_node=False,
+                                        default=EngineConfig())
+
+    @property
+    def dt(self):
+        return self.engine.control_dt
+
+    @property
+    def self_obs_dim(self):
+        return obs.SELF_OBS_DIM + 11 + 10  # + shape + limb weights
+
+    @property
+    def task_obs_dim(self):
+        d = self.num_traj_samples * 2
+        if self.terrain_obs:
+            d += self.sensor_res ** 2
+        return d
+
+    @property
+    def obs_dim(self):
+        return self.self_obs_dim + self.task_obs_dim
+
+    @property
+    def amp_obs_per_step(self):
+        return obs.AMP_OBS_DIM + 11 + 10
+
+    @property
+    def num_actions(self):
+        return bm.NUM_DOF
+
+
+class EnvState(struct.PyTreeNode):
+    physics: PhysicsState
+    traj_verts: jnp.ndarray        # (N, V, 3)
+    inverted: jnp.ndarray          # (N,) bool — heading-inverted real path
+    progress: jnp.ndarray          # (N,) int32
+    reset_buf: jnp.ndarray         # (N,) bool — needs reset next step
+    terminate_buf: jnp.ndarray     # (N,) bool — early termination
+    rng: jnp.ndarray
+    amp_obs_hist: jnp.ndarray      # (N, S, amp_dim) newest at index 0
+    # LocoVal capture at episode start (reference humanoid_pedestrain_terrain
+    # .py:93-99, 493-523; origin-normalized in vec_task_wrappers.py:44-66)
+    waypoint_traj: jnp.ndarray     # (N, W, 2)
+    init_pose: jnp.ndarray         # (N, 24, 3)
+    init_vel: jnp.ndarray          # (N, 2)
+
+
+class StepOutput(struct.PyTreeNode):
+    obs: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray              # reset (terminated | truncated)
+    terminated: jnp.ndarray        # early termination only
+    amp_obs: jnp.ndarray           # (N, S·amp_dim) flattened window
+    reward_raw: jnp.ndarray        # (N, 2) [location, power]
+
+
+class PedestrianTerrainEnv:
+    """Holds static members (model/terrain/motion lib/config); all methods are
+    pure and jit-compatible."""
+
+    def __init__(self, cfg: EnvConfig, terrain: Heightfield,
+                 motion_lib: ml.MotionLib,
+                 betas: Optional[jnp.ndarray] = None,
+                 real_traj_bank: Optional[jnp.ndarray] = None):
+        self.cfg = cfg
+        self.terrain = terrain
+        self.motion_lib = motion_lib
+        self.tree = default_tree()
+        if betas is None:
+            betas = jnp.zeros((cfg.num_envs, 16))
+        self.params = bm.build_body_params(betas)
+        self.model = build_model(self.params)
+        self.real_traj_bank = real_traj_bank
+        self.sensor_grid = obs.make_sensor_grid(cfg.sensor_extent,
+                                                cfg.sensor_res)
+        # PD action mapping (reference _build_pd_action_offset_scale,
+        # humanoid.py:950-1025: symmetric ±1.2·max|limit| clamped to π;
+        # knee y-scale widened to 5)
+        lim = np.asarray(self.params.joint_limit[0])           # (23,3)
+        scale = np.minimum(1.2 * np.abs(lim).max(-1, keepdims=True), np.pi)
+        scale = np.broadcast_to(scale, lim.shape).copy()
+        for knee in ("L_Knee", "R_Knee"):
+            scale[bm.BODY_NAMES.index(knee) - 1, 1] = 5.0
+        self.pd_action_scale = jnp.asarray(scale)
+        # limb weight obs: per-group mass fractions + total mass scale
+        mass = self.params.mass                                 # (N,24)
+        groups = [
+            ["L_Hip", "L_Knee", "L_Ankle", "L_Toe"],
+            ["R_Hip", "R_Knee", "R_Ankle", "R_Toe"],
+            ["Pelvis", "Torso", "Spine", "Chest", "Neck", "Head"],
+            ["L_Thorax", "L_Shoulder", "L_Elbow", "L_Wrist", "L_Hand"],
+            ["R_Thorax", "R_Shoulder", "R_Elbow", "R_Wrist", "R_Hand"],
+        ]
+        gm = jnp.stack([
+            mass[:, [bm.BODY_NAMES.index(n) for n in g]].sum(-1)
+            for g in groups], -1)                               # (N,5)
+        total = mass.sum(-1, keepdims=True)
+        # 10-dim limb weight obs: per-group mass fraction + absolute group
+        # mass (scaled) — reference humanoid_limb_and_weights (humanoid.py:766+)
+        self.limb_weights = jnp.concatenate([gm / total, gm / 20.0], -1)
+        # frozen joints: toes (+ hands) pinned to default targets
+        frozen = []
+        if cfg.freeze_toe:
+            frozen += [bm.BODY_NAMES.index("L_Toe") - 1,
+                       bm.BODY_NAMES.index("R_Toe") - 1]
+        if cfg.freeze_hand:
+            frozen += [bm.BODY_NAMES.index("L_Hand") - 1,
+                       bm.BODY_NAMES.index("R_Hand") - 1]
+        mask = np.ones((bm.NUM_JOINTS, 1), np.float32)
+        mask[frozen] = 0.0
+        self.action_mask = jnp.asarray(mask)
+
+    # ------------------------------------------------------------------
+    # resets
+    # ------------------------------------------------------------------
+
+    def _sample_spawn(self, key, n):
+        table = self.terrain.spawnable_xy
+        idx = jax.random.randint(key, (n,), 0, table.shape[0])
+        return table[idx]
+
+    def _reset_states(self, key, n):
+        """Sample fresh per-env states: motion-lib pose, random heading,
+        terrain spawn, new trajectory (reference _reset_actors +
+        _reset_task, humanoid_pedestrain_terrain.py:493-631)."""
+        cfg = self.cfg
+        keys = jax.random.split(key, 6)
+        mids = ml.sample_motions(self.motion_lib, keys[0], n)
+        t = ml.sample_time(self.motion_lib, keys[1], mids)
+        ms = ml.get_motion_state(self.motion_lib, mids, t)
+
+        spawn_xy = self._sample_spawn(keys[2], n)
+        ground_h = height_at(self.terrain, spawn_xy)
+
+        root_rot = ms["root_rot"]
+        root_vel = ms["root_vel"]
+        root_ang_vel = ms["root_ang_vel"]
+        if cfg.random_heading:
+            yaw = jax.random.uniform(keys[3], (n,), minval=-np.pi,
+                                     maxval=np.pi)
+            ez = jnp.zeros((n, 3)).at[:, 2].set(1.0)
+            dq = quat.from_angle_axis(yaw, ez)
+            # strip current heading, apply new (reference _reset_ref_state_init
+            # random-heading logic, humanoid_pedestrain_terrain.py:526-573)
+            hq_inv = quat.heading_quat_inv(root_rot)
+            root_rot = quat.mul(dq, quat.mul(hq_inv, root_rot))
+            root_vel = quat.rotate(dq, quat.rotate(hq_inv, root_vel))
+            root_ang_vel = quat.rotate(dq, quat.rotate(hq_inv, root_ang_vel))
+
+        root_pos = jnp.concatenate(
+            [spawn_xy, (ms["root_pos"][:, 2] + ground_h)[:, None]], -1)
+
+        # default-pose fallback with probability (1 − ref_state_init_prob)
+        use_ref = (jax.random.uniform(keys[4], (n,))
+                   < cfg.ref_state_init_prob)
+        ident = quat.identity_like((n, bm.NUM_BODIES))
+        local_rot = jnp.where(use_ref[:, None, None], ms["local_rot"], ident)
+        zed = jnp.zeros((n, 3))
+        root_pos_d = jnp.concatenate(
+            [spawn_xy, (self.params.height_offset[:n] + ground_h)[:, None]],
+            -1)
+        root_pos = jnp.where(use_ref[:, None], root_pos, root_pos_d)
+        root_rot = jnp.where(use_ref[:, None], root_rot,
+                             quat.identity_like((n,)))
+        root_vel = jnp.where(use_ref[:, None], root_vel, zed)
+        root_ang_vel = jnp.where(use_ref[:, None], root_ang_vel, zed)
+        dof_vel = jnp.where(use_ref[:, None, None], ms["dof_vel"],
+                            jnp.zeros((n, bm.NUM_JOINTS, 3)))
+        local_rot = local_rot.at[:, 0].set(root_rot)
+
+        physics = kinematic_state(
+            self.model, self.tree, root_pos, root_rot, local_rot,
+            root_vel=root_vel, root_ang_vel=root_ang_vel, dof_vel=dof_vel)
+
+        verts, inverted = traj_gen.sample_traj(
+            keys[5], cfg.traj, root_pos, root_vel=root_vel,
+            real_bank=self.real_traj_bank)
+        # pin traj z to terrain height under each vertex (flat obs frame)
+        return physics, verts, inverted
+
+    def _capture_locoval_inputs(self, physics: PhysicsState, verts):
+        """Waypoints + initial pose/velocity for the LocoVal function,
+        origin-normalized (reference get_waypoint_traj/get_init_pose/
+        get_init_vel, vec_task_wrappers.py:44-66; capture at reset,
+        humanoid_pedestrain_terrain.py:93-99)."""
+        cfg = self.cfg
+        n = verts.shape[0]
+        times = jnp.zeros((n,))
+        wp = traj_gen.fetch_samples(verts, times, cfg.traj.episode_dur,
+                                    cfg.num_waypoints,
+                                    cfg.traj_sample_timestep)[..., :2]
+        origin = physics.body_x[:, 0, :2]
+        wp = wp - origin[:, None]
+        pose = physics.body_x - physics.body_x[:, 0:1]     # root-relative
+        init_vel = physics.body_v[:, 0, :2]
+        return wp, pose, init_vel
+
+    def reset(self, key) -> EnvState:
+        cfg = self.cfg
+        n = cfg.num_envs
+        k1, k2 = jax.random.split(key)
+        physics, verts, inverted = self._reset_states(k1, n)
+        wp, pose, vel = self._capture_locoval_inputs(physics, verts)
+        amp = self._amp_obs_single(physics)
+        hist = jnp.tile(amp[:, None], (1, cfg.num_amp_obs_steps, 1))
+        return EnvState(
+            physics=physics,
+            traj_verts=verts,
+            inverted=inverted,
+            progress=jnp.zeros((n,), jnp.int32),
+            reset_buf=jnp.zeros((n,), bool),
+            terminate_buf=jnp.zeros((n,), bool),
+            rng=k2,
+            amp_obs_hist=hist,
+            waypoint_traj=wp,
+            init_pose=pose,
+            init_vel=vel,
+        )
+
+    # ------------------------------------------------------------------
+    # observations
+    # ------------------------------------------------------------------
+
+    def _amp_obs_single(self, physics: PhysicsState):
+        pos, rot, vel, ang = body_frame_state(self.model, physics)
+        dof_pos, dof_vel = joint_state(self.model, physics)
+        key_pos = pos[:, jnp.asarray(obs.KEY_BODY_IDS)]
+        return obs.amp_obs(pos[:, 0], rot[:, 0], vel[:, 0], ang[:, 0],
+                           dof_pos, dof_vel, key_pos,
+                           betas=self.params.betas,
+                           limb_weights=self.limb_weights)
+
+    def _self_obs(self, physics: PhysicsState):
+        pos, rot, vel, ang = body_frame_state(self.model, physics)
+        return obs.humanoid_obs_max(pos, rot, vel, ang,
+                                    betas=self.params.betas,
+                                    limb_weights=self.limb_weights)
+
+    def _task_obs(self, state: EnvState):
+        cfg = self.cfg
+        physics = state.physics
+        pos, rot, _, _ = body_frame_state(self.model, physics)
+        root_pos, root_rot = pos[:, 0], rot[:, 0]
+        times = state.progress.astype(jnp.float32) * cfg.dt
+        samples = traj_gen.fetch_samples(
+            state.traj_verts, times, cfg.traj.episode_dur,
+            cfg.num_traj_samples, cfg.traj_sample_timestep)
+        loc = obs.location_obs(root_pos, root_rot, samples)
+        if not cfg.terrain_obs:
+            return loc
+        head = pos[:, self.tree.index("Head")]
+        hm = obs.heightmap_obs(self.terrain, head, root_rot,
+                               root_pos[:, :2], self.sensor_grid,
+                               cfg.height_meas_scale)
+        return jnp.concatenate([loc, hm], -1)
+
+    def observe(self, state: EnvState):
+        return jnp.concatenate(
+            [self._self_obs(state.physics), self._task_obs(state)], -1)
+
+    # ------------------------------------------------------------------
+    # step
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def step(self, state: EnvState, actions: jnp.ndarray):
+        """actions (N, 69) in [-1,1] exp-map scale → PD targets
+        (reference pre_physics_step, humanoid.py:1184-1209)."""
+        cfg = self.cfg
+        a = actions.reshape(-1, bm.NUM_JOINTS, 3)
+        pd_target = a * self.pd_action_scale[None] * self.action_mask[None]
+
+        physics = physics_step(self.model, self.terrain, state.physics,
+                               pd_target, cfg.engine, self.tree)
+        progress = state.progress + 1
+
+        # reward (reference _compute_reward,
+        # humanoid_pedestrain_terrain.py:907-930)
+        times = progress.astype(jnp.float32) * cfg.dt
+        tar = traj_gen.calc_pos(state.traj_verts, times, cfg.traj.episode_dur)
+        root_xy = physics.body_x[:, 0, :2]
+        err = jnp.sum((tar[:, :2] - root_xy) ** 2, -1)
+        loc_reward = cfg.location_coefficient * jnp.exp(-2.0 * err)
+
+        dof_pos, dof_vel = joint_state(self.model, physics)
+        tau = (self.params.kp[..., None] * (pd_target - dof_pos)
+               - self.params.kd[..., None] * dof_vel)
+        power = jnp.abs(tau * dof_vel).sum((-2, -1))
+        pow_reward = -cfg.power_coefficient * power
+        reward = loc_reward + (pow_reward if cfg.power_reward else 0.0)
+        reward_raw = jnp.stack([loc_reward, pow_reward], -1)
+
+        # resets (reference compute_humanoid_reset,
+        # humanoid_pedestrain_terrain.py:1468-1530)
+        pos, _, _, _ = body_frame_state(self.model, physics)
+        contact = jnp.linalg.norm(physics.contact_force, axis=-1)
+        allowed = jnp.zeros((bm.NUM_BODIES,), bool).at[
+            jnp.asarray(obs.CONTACT_BODY_IDS)].set(True)
+        bad_contact = jnp.any(contact * (~allowed)[None]
+                              > cfg.contact_force_threshold, -1)
+        ground = height_at(self.terrain, pos[..., :2].reshape(-1, 2))
+        ground = ground.reshape(pos.shape[0], -1)
+        body_h = pos[..., 2] - ground
+        low = body_h < cfg.termination_height
+        low = low.at[:, jnp.asarray(obs.CONTACT_BODY_IDS)].set(False)
+        fall_h = jnp.any(low, -1)
+        has_fallen = bad_contact & fall_h & (progress > 1)
+        tar_dist = jnp.sum((tar[:, :2] - root_xy) ** 2, -1)
+        tar_fail = tar_dist > cfg.fail_dist ** 2
+        terminated = (has_fallen | tar_fail) if cfg.enable_early_termination \
+            else jnp.zeros_like(has_fallen)
+        truncated = progress >= cfg.episode_length - 1
+        done = terminated | truncated
+
+        # AMP obs window update (reference _update_hist_amp_obs,
+        # humanoid_amp.py:139-163)
+        amp = self._amp_obs_single(physics)
+        hist = jnp.concatenate([amp[:, None],
+                                state.amp_obs_hist[:, :-1]], axis=1)
+
+        new_state = state.replace(physics=physics, progress=progress,
+                                  reset_buf=done, terminate_buf=terminated,
+                                  amp_obs_hist=hist)
+
+        # masked auto-reset (per-env where-select of fresh states)
+        new_state = self._auto_reset(new_state, done)
+
+        out = StepOutput(
+            obs=self.observe(new_state),
+            reward=reward,
+            done=done,
+            terminated=terminated,
+            amp_obs=new_state.amp_obs_hist.reshape(cfg.num_envs, -1),
+            reward_raw=reward_raw,
+        )
+        return new_state, out
+
+    def _auto_reset(self, state: EnvState, done):
+        cfg = self.cfg
+        n = cfg.num_envs
+        key, k1 = jax.random.split(state.rng)
+        physics_new, verts_new, inv_new = self._reset_states(k1, n)
+        wp, pose, vel = self._capture_locoval_inputs(physics_new, verts_new)
+
+        def pick(a, b):
+            d = done.reshape((n,) + (1,) * (a.ndim - 1))
+            return jnp.where(d, a, b)
+
+        physics = jax.tree.map(pick, physics_new, state.physics)
+        amp_new = self._amp_obs_single(physics_new)
+        hist_new = jnp.tile(amp_new[:, None], (1, cfg.num_amp_obs_steps, 1))
+        return state.replace(
+            physics=physics,
+            traj_verts=pick(verts_new, state.traj_verts),
+            inverted=pick(inv_new, state.inverted),
+            progress=pick(jnp.zeros((n,), jnp.int32), state.progress),
+            rng=key,
+            amp_obs_hist=pick(hist_new, state.amp_obs_hist),
+            waypoint_traj=pick(wp, state.waypoint_traj),
+            init_pose=pick(pose, state.init_pose),
+            init_vel=pick(vel, state.init_vel),
+        )
+
+    # ------------------------------------------------------------------
+    # AMP demo fetch (reference fetch_amp_obs_demo, humanoid_amp.py:168-220)
+    # ------------------------------------------------------------------
+
+    def fetch_amp_obs_demo(self, key, num_samples: int):
+        cfg = self.cfg
+        S = cfg.num_amp_obs_steps
+        k1, k2 = jax.random.split(key)
+        mids = ml.sample_motions(self.motion_lib, k1, num_samples)
+        truncate = cfg.dt * (S - 1)
+        t0 = ml.sample_time(self.motion_lib, k2, mids, truncate_time=truncate)
+        t0 = t0 + truncate
+        # steps back in time: newest first (matches the live window layout)
+        offsets = -jnp.arange(S) * cfg.dt
+        ts = (t0[:, None] + offsets[None]).reshape(-1)
+        mids_rep = jnp.repeat(mids, S)
+        ms = ml.get_motion_state(self.motion_lib, mids_rep, ts)
+        betas16 = ms["betas"]
+        a = obs.amp_obs(ms["root_pos"], ms["root_rot"], ms["root_vel"],
+                        ms["root_ang_vel"], ms["dof_pos"], ms["dof_vel"],
+                        ms["key_pos"], betas=betas16,
+                        limb_weights=jnp.tile(self.limb_weights[:1],
+                                              (len(mids_rep), 1)))
+        return a.reshape(num_samples, -1)

@@ -1,0 +1,119 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emloco_tpu.envs import EnvConfig, PedestrianTerrainEnv
+from emloco_tpu.envs import traj_gen
+from emloco_tpu.kinematics import motion_lib as ml
+from emloco_tpu.physics import flat_terrain
+
+
+def make_env(n=4, terrain_obs=True):
+    cfg = EnvConfig(num_envs=n, terrain_obs=terrain_obs)
+    terrain = flat_terrain(extent=30.0, cell=0.1)
+    lib = ml.synthetic_walk_motions(speeds=(1.0, 1.5))
+    bank = traj_gen.synthetic_real_bank(num_paths=16)
+    return PedestrianTerrainEnv(cfg, terrain, lib, real_traj_bank=bank)
+
+
+def test_reset_shapes():
+    env = make_env(4)
+    st = env.reset(jax.random.PRNGKey(0))
+    o = env.observe(st)
+    assert o.shape == (4, env.cfg.obs_dim)
+    assert st.waypoint_traj.shape == (4, 13, 2)
+    assert st.init_pose.shape == (4, 24, 3)
+    assert st.init_vel.shape == (4, 2)
+    # waypoints are origin-normalized: first ≈ 0
+    np.testing.assert_allclose(np.asarray(st.waypoint_traj[:, 0]), 0,
+                               atol=1e-4)
+
+
+def test_step_runs_and_is_finite():
+    env = make_env(4)
+    st = env.reset(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    for i in range(5):
+        key, k = jax.random.split(key)
+        a = jax.random.uniform(k, (4, env.cfg.num_actions), minval=-0.2,
+                               maxval=0.2)
+        st, out = env.step(st, a)
+        assert np.all(np.isfinite(np.asarray(out.obs)))
+        assert np.all(np.isfinite(np.asarray(out.reward)))
+    assert out.amp_obs.shape == (4, env.cfg.num_amp_obs_steps
+                                 * env.cfg.amp_obs_per_step)
+
+
+def test_location_reward_peak():
+    """Standing exactly on the target gives reward ≈ location_coefficient."""
+    env = make_env(2)
+    st = env.reset(jax.random.PRNGKey(0))
+    # overwrite the trajectory with a constant vertex chain at the root xy
+    root_xy = st.physics.body_x[:, 0, :2]
+    verts = jnp.tile(
+        jnp.concatenate([root_xy, jnp.zeros((2, 1))], -1)[:, None],
+        (1, env.cfg.traj.num_verts, 1))
+    st = st.replace(traj_verts=verts)
+    st2, out = env.step(st, jnp.zeros((2, env.cfg.num_actions)))
+    assert np.all(np.asarray(out.reward_raw[:, 0]) > 0.95)
+
+
+def test_episode_truncation_resets():
+    env = make_env(2)
+    st = env.reset(jax.random.PRNGKey(0))
+    st = st.replace(progress=jnp.full((2,), env.cfg.episode_length - 2,
+                                      jnp.int32))
+    st2, out = env.step(st, jnp.zeros((2, env.cfg.num_actions)))
+    assert bool(out.done.all())
+    # progress reset to zero for done envs
+    assert np.all(np.asarray(st2.progress) == 0)
+
+
+def test_amp_demo_fetch():
+    env = make_env(2)
+    demo = env.fetch_amp_obs_demo(jax.random.PRNGKey(0), 8)
+    assert demo.shape == (8, env.cfg.num_amp_obs_steps
+                          * env.cfg.amp_obs_per_step)
+    assert np.all(np.isfinite(np.asarray(demo)))
+
+
+def test_rollout_in_scan():
+    """The env steps inside lax.scan — the shape RL training uses."""
+    env = make_env(2)
+    st = env.reset(jax.random.PRNGKey(0))
+
+    def body(s, _):
+        s, out = env.step(s, jnp.zeros((2, env.cfg.num_actions)))
+        return s, out.reward
+
+    final, rewards = jax.jit(
+        lambda s: jax.lax.scan(body, s, None, length=8))(st)
+    assert rewards.shape == (8, 2)
+    assert np.all(np.isfinite(np.asarray(rewards)))
+
+
+def test_motion_lib_blending():
+    lib = ml.synthetic_walk_motions(speeds=(1.0,))
+    ids = jnp.zeros((3,), jnp.int32)
+    t = jnp.array([0.0, 0.5, 1.0])
+    ms = ml.get_motion_state(lib, ids, t)
+    assert ms["root_pos"].shape == (3, 3)
+    # walking forward: x increases with time
+    x = np.asarray(ms["root_pos"][:, 0])
+    assert x[0] < x[1] < x[2]
+    # blended quats are unit
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(ms["local_rot"]), axis=-1), 1.0, atol=1e-4)
+
+
+def test_traj_calc_pos_endpoints():
+    cfg = traj_gen.TrajConfig()
+    key = jax.random.PRNGKey(0)
+    init = jnp.zeros((3, 3))
+    verts, _ = traj_gen.sample_traj(key, cfg, init)
+    p0 = traj_gen.calc_pos(verts, jnp.zeros(3), cfg.episode_dur)
+    np.testing.assert_allclose(np.asarray(p0[:, :2]), 0.0, atol=1e-5)
+    pend = traj_gen.calc_pos(verts, jnp.full((3,), cfg.episode_dur),
+                             cfg.episode_dur)
+    np.testing.assert_allclose(np.asarray(pend), np.asarray(verts[:, -1]),
+                               atol=1e-4)
