@@ -338,6 +338,26 @@ class PedestrianTerrainEnv:
         return jnp.concatenate(
             [self._self_obs(state.physics), self._task_obs(state)], -1)
 
+    def observe_flipped(self, state: EnvState):
+        """Left/right mirrored observation for the motion-symmetry loss
+        (reference _compute_flip_humanoid_obs humanoid.py:1066-1108 and
+        _compute_flip_task_obs humanoid_pedestrain_terrain.py:455-490)."""
+        cfg = self.cfg
+        physics = state.physics
+        pos, rot, vel, ang = body_frame_state(self.model, physics)
+        fp, fr, fv, fa = obs.flip_body_state(pos, rot, vel, ang)
+        self_obs = obs.humanoid_obs_max(fp, fr, fv, fa,
+                                        betas=self.params.betas,
+                                        limb_weights=self.limb_weights)
+        task = self._task_obs(state)
+        S = cfg.num_traj_samples
+        loc = task[:, :2 * S].reshape(-1, S, 2).at[..., 1].multiply(-1.0)
+        parts = [self_obs, loc.reshape(-1, 2 * S)]
+        if cfg.terrain_obs:
+            hm = task[:, 2 * S:].reshape(-1, cfg.sensor_res, cfg.sensor_res)
+            parts.append(hm[:, :, ::-1].reshape(-1, cfg.sensor_res ** 2))
+        return jnp.concatenate(parts, -1)
+
     # ------------------------------------------------------------------
     # step
     # ------------------------------------------------------------------

@@ -1,0 +1,402 @@
+"""PPO + AMP agent — the reference's training loop as one compiled program.
+
+Semantics follow CommonAgent/AMPAgent
+(/root/reference/pacer/pacer/learning/common_agent.py:35-757 and
+amp_continuous.py:24-803) with hyperparameters from
+amp_humanoid_smpl_sept_task.yaml:75-130, but the architecture is TPU-first:
+
+  * The 32-step rollout is a `lax.scan` over the compiled env step — the
+    reference's Python `for n in range(horizon)` loop (amp_continuous.py:
+    106-165) pays a host sync per step; here an entire epoch (rollout + GAE +
+    6 PPO mini-epochs + discriminator + buffers) is ONE jitted function.
+  * The demo/replay machinery (reference replay_buffer.py:4-84 and
+    amp_continuous.py:621-649) is a fixed-size ring buffer carried in the
+    train state; demos are re-sampled from the motion library on device.
+  * Combined reward 0.5·task + 0.5·disc with disc reward
+    −log(1−σ(D))·scale (amp_continuous.py:659-692).
+  * Discriminator loss: BCE + logit-reg + R1 gradient penalty on demo obs +
+    weight decay (amp_continuous.py:536-598), via `jax.grad` through the
+    disc input.
+  * Motion-symmetry loss on flipped obs/actions (amp_continuous.py:517-534).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..envs import observations as obs_mod
+from ..envs.pedestrian_terrain import PedestrianTerrainEnv
+from .networks import AMPSeptValueNet
+from .running_norm import RunningNorm
+
+
+class AMPConfig(struct.PyTreeNode):
+    horizon: int = struct.field(pytree_node=False, default=32)
+    num_minibatches: int = struct.field(pytree_node=False, default=2)
+    mini_epochs: int = struct.field(pytree_node=False, default=6)
+    gamma: float = struct.field(pytree_node=False, default=0.99)
+    tau: float = struct.field(pytree_node=False, default=0.95)
+    lr: float = struct.field(pytree_node=False, default=2e-5)
+    e_clip: float = struct.field(pytree_node=False, default=0.2)
+    grad_norm: float = struct.field(pytree_node=False, default=50.0)
+    actor_coef: float = struct.field(pytree_node=False, default=1.0)
+    critic_coef: float = struct.field(pytree_node=False, default=5.0)
+    bounds_coef: float = struct.field(pytree_node=False, default=10.0)
+    disc_coef: float = struct.field(pytree_node=False, default=5.0)
+    tv_coef: float = struct.field(pytree_node=False, default=5.0)
+    sym_coef: float = struct.field(pytree_node=False, default=1.0)
+    motion_sym_loss: bool = struct.field(pytree_node=False, default=True)
+    disc_logit_reg: float = struct.field(pytree_node=False, default=0.01)
+    disc_grad_penalty: float = struct.field(pytree_node=False, default=5.0)
+    disc_weight_decay: float = struct.field(pytree_node=False, default=1e-4)
+    disc_reward_scale: float = struct.field(pytree_node=False, default=2.0)
+    task_reward_w: float = struct.field(pytree_node=False, default=0.5)
+    disc_reward_w: float = struct.field(pytree_node=False, default=0.5)
+    amp_replay_size: int = struct.field(pytree_node=False, default=16384)
+    amp_batch_size: int = struct.field(pytree_node=False, default=512)
+    normalize_input: bool = struct.field(pytree_node=False, default=True)
+    normalize_value: bool = struct.field(pytree_node=False, default=True)
+    normalize_advantage: bool = struct.field(pytree_node=False, default=True)
+    # LocoVal reward normalization bounds (common_agent.py:154-155)
+    max_cum_reward: float = struct.field(pytree_node=False, default=100.0)
+    min_cum_reward: float = struct.field(pytree_node=False, default=-10.0)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    obs_norm: RunningNorm
+    amp_norm: RunningNorm
+    value_norm: RunningNorm
+    env_state: Any
+    replay_amp: jnp.ndarray          # (R, amp_dim)
+    replay_ptr: jnp.ndarray
+    replay_filled: jnp.ndarray
+    key: jnp.ndarray
+    epoch: jnp.ndarray
+
+
+class AMPAgent:
+    """Holds env + nets + optimizer (static); all methods pure/jittable."""
+
+    def __init__(self, env: PedestrianTerrainEnv, cfg: AMPConfig = AMPConfig()):
+        self.env = env
+        self.cfg = cfg
+        ecfg = env.cfg
+        self.amp_dim = ecfg.num_amp_obs_steps * ecfg.amp_obs_per_step
+        self.net = AMPSeptValueNet(
+            num_actions=ecfg.num_actions,
+            self_obs_dim=ecfg.self_obs_dim,
+            traj_obs_dim=ecfg.num_traj_samples * 2,
+            task_obs_dim=ecfg.task_obs_dim,
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_norm),
+            optax.adam(cfg.lr),
+        )
+
+    # ------------------------------------------------------------------
+
+    def init(self, key) -> TrainState:
+        k1, k2, k3 = jax.random.split(key, 3)
+        ecfg = self.env.cfg
+        obs0 = jnp.zeros((1, ecfg.obs_dim))
+        amp0 = jnp.zeros((1, self.amp_dim))
+        params = self.net.init(k1, obs0, amp0)
+        env_state = self.env.reset(k2)
+        return TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            obs_norm=RunningNorm.create(ecfg.obs_dim),
+            amp_norm=RunningNorm.create(self.amp_dim),
+            value_norm=RunningNorm.create(1),
+            env_state=env_state,
+            replay_amp=jnp.zeros((self.cfg.amp_replay_size, self.amp_dim)),
+            replay_ptr=jnp.zeros((), jnp.int32),
+            replay_filled=jnp.zeros((), jnp.int32),
+            key=k3,
+            epoch=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    # rollout
+    # ------------------------------------------------------------------
+
+    def _policy(self, params, obs_norm, obs, key):
+        o = obs_norm.normalize(obs) if self.cfg.normalize_input else obs
+        mu, sigma = self.net.apply(params, o, method=self.net.actor)
+        a = mu + sigma * jax.random.normal(key, mu.shape)
+        logp = self._logp(mu, sigma, a)
+        return a, mu, sigma, logp, o
+
+    @staticmethod
+    def _logp(mu, sigma, a):
+        return (-0.5 * (((a - mu) / sigma) ** 2)
+                - jnp.log(sigma)
+                - 0.5 * jnp.log(2 * jnp.pi)).sum(-1)
+
+    def rollout(self, ts: TrainState):
+        """Collect horizon steps; returns batch dict + new train state."""
+        cfg = self.cfg
+
+        def step_fn(carry, _):
+            env_state, key = carry
+            key, k_act = jax.random.split(key)
+            obs = self.env.observe(env_state)
+            a, mu, sigma, logp, o_n = self._policy(ts.params, ts.obs_norm,
+                                                   obs, k_act)
+            value = self.net.apply(ts.params, o_n, method=self.net.critic)
+            new_env_state, out = self.env.step(env_state, a)
+            data = dict(obs=obs, action=a, logp=logp, value=value,
+                        reward=out.reward, done=out.done,
+                        terminated=out.terminated, amp_obs=out.amp_obs,
+                        reward_raw=out.reward_raw,
+                        inverted=env_state.inverted)
+            return (new_env_state, key), data
+
+        key, k_roll = jax.random.split(ts.key)
+        (env_state, _), batch = jax.lax.scan(
+            step_fn, (ts.env_state, k_roll), None, length=cfg.horizon)
+        ts = ts.replace(env_state=env_state, key=key)
+        return ts, batch
+
+    def _disc_reward(self, params, amp_norm, amp_obs):
+        a = amp_norm.normalize(amp_obs)
+        logit = self.net.apply(params, a, method=self.net.disc)
+        prob = jax.nn.sigmoid(logit)
+        return -jnp.log(jnp.maximum(1 - prob, 1e-4)) * self.cfg.disc_reward_scale
+
+    def compute_gae(self, ts, batch):
+        """GAE over the scanned batch (reference discount_values,
+        common_agent.py:573-587). Terminated steps bootstrap 0; truncated
+        bootstrap V(s')."""
+        cfg = self.cfg
+        # combined reward
+        disc_r = self._disc_reward(ts.params, ts.amp_norm, batch["amp_obs"])
+        reward = (cfg.task_reward_w * batch["reward"]
+                  + cfg.disc_reward_w * disc_r)
+
+        last_obs = self.env.observe(ts.env_state)
+        o_n = ts.obs_norm.normalize(last_obs) if cfg.normalize_input else last_obs
+        last_value = self.net.apply(ts.params, o_n, method=self.net.critic)
+        if cfg.normalize_value:
+            values = ts.value_norm.denormalize(batch["value"][..., None])[..., 0]
+            last_value = ts.value_norm.denormalize(last_value[..., None])[..., 0]
+        else:
+            values = batch["value"]
+
+        def gae_step(carry, x):
+            adv_next, v_next = carry
+            r, v, done, term = x
+            nonterm = 1.0 - term.astype(jnp.float32)
+            nondone = 1.0 - done.astype(jnp.float32)
+            delta = r + cfg.gamma * v_next * nonterm - v
+            adv = delta + cfg.gamma * cfg.tau * nondone * adv_next
+            return (adv, v), adv
+
+        (_, _), advs = jax.lax.scan(
+            gae_step,
+            (jnp.zeros_like(last_value), last_value),
+            (reward, values, batch["done"], batch["terminated"]),
+            reverse=True,
+        )
+        returns = advs + values
+        return advs, returns, reward, disc_r
+
+    # ------------------------------------------------------------------
+    # losses
+    # ------------------------------------------------------------------
+
+    def _update_minibatch(self, params, opt_state, mb, demo_amp, key):
+        cfg = self.cfg
+
+        def loss_fn(p):
+            mu, sigma = self.net.apply(p, mb["obs_n"], method=self.net.actor)
+            logp = self._logp(mu, sigma, mb["action"])
+            ratio = jnp.exp(logp - mb["logp"])
+            surr1 = ratio * mb["adv"]
+            surr2 = jnp.clip(ratio, 1 - cfg.e_clip, 1 + cfg.e_clip) * mb["adv"]
+            a_loss = -jnp.minimum(surr1, surr2).mean()
+
+            v = self.net.apply(p, mb["obs_n"], method=self.net.critic)
+            c_loss = 0.5 * jnp.mean((v - mb["ret_n"]) ** 2)
+
+            b_loss = jnp.mean(
+                jnp.sum(jnp.clip(mu - 1.1, 0, None) ** 2
+                        + jnp.clip(mu + 1.1, None, 0) ** 2, -1))
+
+            # discriminator: agent (rollout ∪ replay) vs demo
+            def disc_logit(x):
+                return self.net.apply(p, x, method=self.net.disc)
+
+            agent_logit = disc_logit(mb["amp_n"])
+            demo_logit = disc_logit(demo_amp)
+            d_loss = 0.5 * (
+                jnp.mean(jax.nn.softplus(agent_logit))       # BCE label 0
+                + jnp.mean(jax.nn.softplus(-demo_logit)))    # BCE label 1
+            # squared weights of the disc logit layer (amp_continuous.py:553)
+            logit_reg = jnp.sum(p["params"]["disc_logits"]["kernel"] ** 2)
+            grad = jax.grad(lambda x: disc_logit(x).sum())(demo_amp)
+            grad_pen = jnp.mean(jnp.sum(grad ** 2, -1))
+            w_decay = sum(
+                jnp.sum(p["params"][k]["kernel"] ** 2)
+                for k in p["params"] if k.startswith("disc_mlp"))
+            disc_total = (d_loss + cfg.disc_logit_reg * logit_reg
+                          + cfg.disc_grad_penalty * grad_pen
+                          + cfg.disc_weight_decay * w_decay)
+
+            # auxiliary task-value head toward normalized returns
+            tv = self.net.apply(p, mb["obs_n"], method=self.net.task_value)
+            tv_loss = jnp.mean((tv - mb["ret_01"]) ** 2)
+
+            total = (cfg.actor_coef * a_loss + cfg.critic_coef * c_loss
+                     + cfg.bounds_coef * b_loss + cfg.disc_coef * disc_total
+                     + cfg.tv_coef * tv_loss)
+
+            if cfg.motion_sym_loss:
+                mu_f, _ = self.net.apply(p, mb["flip_obs_n"],
+                                         method=self.net.actor)
+                sym = jnp.mean(jnp.sum(
+                    (mu - obs_mod.flip_actions(mu_f)) ** 2, -1))
+                total = total + cfg.sym_coef * sym
+
+            metrics = dict(a_loss=a_loss, c_loss=c_loss, b_loss=b_loss,
+                           d_loss=d_loss, grad_pen=grad_pen, tv_loss=tv_loss)
+            return total, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["total"] = loss
+        return params, opt_state, metrics
+
+    # ------------------------------------------------------------------
+    # epoch
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def train_epoch(self, ts: TrainState):
+        cfg = self.cfg
+        ecfg = self.env.cfg
+        N = ecfg.num_envs
+        T = cfg.horizon
+
+        # flipped obs of the current state per step are needed per sample;
+        # recompute on the flattened batch after the rollout (cheaper: flip
+        # feature-level from stored obs is not possible for the heightmap, so
+        # we collect them in the rollout via observe_flipped)
+        def step_fn(carry, _):
+            env_state, key = carry
+            key, k_act = jax.random.split(key)
+            obs = self.env.observe(env_state)
+            flip_obs = (self.env.observe_flipped(env_state)
+                        if cfg.motion_sym_loss else obs)
+            a, mu, sigma, logp, o_n = self._policy(ts.params, ts.obs_norm,
+                                                   obs, k_act)
+            value = self.net.apply(ts.params, o_n, method=self.net.critic)
+            new_env_state, out = self.env.step(env_state, a)
+            data = dict(obs=obs, flip_obs=flip_obs, action=a, logp=logp,
+                        value=value, reward=out.reward, done=out.done,
+                        terminated=out.terminated, amp_obs=out.amp_obs,
+                        reward_raw=out.reward_raw)
+            return (new_env_state, key), data
+
+        key, k_roll, k_demo, k_perm, k_replay = jax.random.split(ts.key, 5)
+        (env_state, _), batch = jax.lax.scan(
+            step_fn, (ts.env_state, k_roll), None, length=T)
+        ts = ts.replace(env_state=env_state, key=key)
+
+        advs, returns, comb_reward, disc_r = self.compute_gae(ts, batch)
+
+        # normalization updates (obs/amp/value)
+        flat = lambda x: x.reshape((T * N,) + x.shape[2:])
+        obs_f = flat(batch["obs"])
+        amp_f = flat(batch["amp_obs"])
+        if cfg.normalize_input:
+            ts = ts.replace(obs_norm=ts.obs_norm.update(obs_f))
+        ts = ts.replace(amp_norm=ts.amp_norm.update(amp_f))
+        ret_f = flat(returns)
+        if cfg.normalize_value:
+            ts = ts.replace(value_norm=ts.value_norm.update(ret_f[:, None]))
+            ret_n = ts.value_norm.normalize(ret_f[:, None], clip=1e6)[:, 0]
+        else:
+            ret_n = ret_f
+
+        adv_f = flat(advs)
+        if cfg.normalize_advantage:
+            adv_f = (adv_f - adv_f.mean()) / (adv_f.std() + 1e-8)
+
+        # returns mapped to [0,1] for the task-value head (LocoVal bounds)
+        ret01 = jnp.clip((ret_f - cfg.min_cum_reward)
+                         / (cfg.max_cum_reward - cfg.min_cum_reward), 0, 1)
+
+        # replay buffer update (ring)
+        R = cfg.amp_replay_size
+        n_new = min(T * N, R)
+        idx = (ts.replay_ptr + jnp.arange(n_new)) % R
+        replay = ts.replay_amp.at[idx].set(amp_f[:n_new])
+        ts = ts.replace(
+            replay_amp=replay,
+            replay_ptr=(ts.replay_ptr + n_new) % R,
+            replay_filled=jnp.minimum(ts.replay_filled + n_new, R),
+        )
+
+        # assemble normalized minibatch pools
+        obs_n = ts.obs_norm.normalize(obs_f) if cfg.normalize_input else obs_f
+        flip_n = (ts.obs_norm.normalize(flat(batch["flip_obs"]))
+                  if cfg.normalize_input else flat(batch["flip_obs"]))
+        amp_pool_agent = ts.amp_norm.normalize(amp_f)
+
+        data = dict(obs_n=obs_n, flip_obs_n=flip_n,
+                    action=flat(batch["action"]), logp=flat(batch["logp"]),
+                    adv=adv_f, ret_n=ret_n, ret_01=ret01, amp_n=amp_pool_agent)
+
+        batch_size = T * N
+        mb_size = batch_size // cfg.num_minibatches
+
+        demo_raw = self.env.fetch_amp_obs_demo(k_demo,
+                                               cfg.num_minibatches
+                                               * cfg.amp_batch_size)
+        demo_n = ts.amp_norm.normalize(demo_raw).reshape(
+            cfg.num_minibatches, cfg.amp_batch_size, -1)
+
+        def mini_epoch(carry, k):
+            params, opt_state = carry
+            perm = jax.random.permutation(k, batch_size)
+
+            def mb_step(carry2, i):
+                params, opt_state = carry2
+                sel = jax.lax.dynamic_slice_in_dim(perm, i * mb_size, mb_size)
+                mb = {k2: v[sel] for k2, v in data.items()}
+                params, opt_state, metrics = self._update_minibatch(
+                    params, opt_state, mb, demo_n[i % cfg.num_minibatches], k)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                mb_step, (params, opt_state),
+                jnp.arange(cfg.num_minibatches))
+            return (params, opt_state), metrics
+
+        keys = jax.random.split(k_perm, cfg.mini_epochs)
+        (params, opt_state), metrics = jax.lax.scan(
+            mini_epoch, (ts.params, ts.opt_state), keys)
+        ts = ts.replace(params=params, opt_state=opt_state,
+                        epoch=ts.epoch + 1)
+
+        metrics = jax.tree.map(lambda x: x.mean(), metrics)
+        metrics.update(
+            task_reward=batch["reward"].mean(),
+            disc_reward=disc_r.mean(),
+            combined_reward=comb_reward.mean(),
+            episode_done_frac=batch["done"].mean(),
+            loc_reward=batch["reward_raw"][..., 0].mean(),
+            power_reward=batch["reward_raw"][..., 1].mean(),
+        )
+        return ts, metrics

@@ -1,0 +1,199 @@
+"""Policy / critic / discriminator / value networks (flax.linen).
+
+Architectural parity with the reference rl_games builders:
+  * AMPSeptValueNet ↔ AMPSeptValueBuilder network
+    (amp_network_sept_builder.py:14-181 + amp_network_sept_value_builder.py:
+    10-89): separate task MLP [512,256] embedding of [traj, heightmap] task
+    obs, concatenated with self obs into actor [2048,1024]→μ (fixed σ,
+    init −2.9, amp_humanoid_smpl_sept_task.yaml:20-26) and critic
+    [2048,1024]→V; AMP discriminator [1024,512]→logit over the flattened
+    AMP-obs window; task-value head [15,6]→1 over the traj obs (no sigmoid).
+  * ValuePoseNet ↔ the LocoVal function (value_pose_net.py:10-159):
+    heading rotation-normalization so the first segment points +x, optional
+    pose/velocity inputs (toe/spine joints hidden), MLP in→in/2−1→in/4→1 with
+    sigmoid; calc_embodied_motion_loss = MSE(pred, 1).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _symmetric_uniform(scale: float):
+    """torch-style uniform_(-scale, scale) — flax's `uniform` is [0, scale)."""
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -scale, scale)
+    return init
+
+
+def _make_mlp(units: Sequence[int], name: str):
+    return [nn.Dense(u, name=f"{name}_{i}") for i, u in enumerate(units)]
+
+
+def _run_mlp(layers, x):
+    for layer in layers:
+        x = nn.relu(layer(x))
+    return x
+
+
+class AMPSeptValueNet(nn.Module):
+    """All heads in one module; parameters partition cleanly for freezing."""
+
+    num_actions: int
+    self_obs_dim: int
+    traj_obs_dim: int            # location obs (numTrajSamples·2)
+    task_obs_dim: int            # traj + heightmap
+    mlp_units: Tuple[int, ...] = (2048, 1024)
+    task_units: Tuple[int, ...] = (512, 256)
+    value_units: Tuple[int, ...] = (15, 6)
+    disc_units: Tuple[int, ...] = (1024, 512)
+    sigma_init: float = -2.9
+
+    def setup(self):
+        self.log_sigma = self.param(
+            "log_sigma", lambda k, s: jnp.full(s, self.sigma_init),
+            (self.num_actions,))
+        self.task_mlp = _make_mlp(self.task_units, "task_mlp")
+        self.actor_mlp = _make_mlp(self.mlp_units, "actor_mlp")
+        self.critic_mlp = _make_mlp(self.mlp_units, "critic_mlp")
+        self.disc_mlp = _make_mlp(self.disc_units, "disc_mlp")
+        self.task_value_mlp = _make_mlp(self.value_units, "task_value_mlp")
+        self.mu = nn.Dense(self.num_actions, name="mu",
+                           kernel_init=nn.initializers.variance_scaling(
+                               0.01, "fan_in", "truncated_normal"))
+        self.value = nn.Dense(1, name="value")
+        # DISC_LOGIT_INIT_SCALE=1.0 (amp_network_builder.py:11) — symmetric,
+        # scaled by 1/sqrt(fan_in) so the initial logits don't saturate σ
+        self.disc_logits = nn.Dense(
+            1, name="disc_logits",
+            kernel_init=_symmetric_uniform(1.0 / self.disc_units[-1] ** 0.5))
+        self.value_logits = nn.Dense(
+            1, name="value_logits",
+            kernel_init=_symmetric_uniform(1.0 / self.value_units[-1] ** 0.5))
+
+    def _split(self, obs):
+        self_obs = obs[..., :self.self_obs_dim]
+        task_obs = obs[..., self.self_obs_dim:
+                       self.self_obs_dim + self.task_obs_dim]
+        return self_obs, task_obs
+
+    def task_embed(self, task_obs):
+        return _run_mlp(self.task_mlp, task_obs)
+
+    def actor(self, obs):
+        self_obs, task_obs = self._split(obs)
+        emb = self.task_embed(task_obs)
+        h = _run_mlp(self.actor_mlp, jnp.concatenate([self_obs, emb], -1))
+        mu = self.mu(h)
+        sigma = jnp.exp(self.log_sigma) * jnp.ones_like(mu)
+        return mu, sigma
+
+    def critic(self, obs):
+        self_obs, task_obs = self._split(obs)
+        emb = self.task_embed(task_obs)
+        h = _run_mlp(self.critic_mlp, jnp.concatenate([self_obs, emb], -1))
+        return self.value(h)[..., 0]
+
+    def disc(self, amp_obs):
+        h = _run_mlp(self.disc_mlp, amp_obs)
+        return self.disc_logits(h)[..., 0]
+
+    def task_value(self, obs):
+        """LocoVal head over the traj part of the task obs
+        (amp_network_sept_value_builder.py:32-46)."""
+        _, task_obs = self._split(obs)
+        traj_obs = task_obs[..., :self.traj_obs_dim]
+        h = _run_mlp(self.task_value_mlp, traj_obs)
+        return self.value_logits(h)[..., 0]
+
+    def __call__(self, obs, amp_obs):
+        mu, sigma = self.actor(obs)
+        v = self.critic(obs)
+        d = self.disc(amp_obs)
+        tv = self.task_value(obs)
+        return mu, sigma, v, d, tv
+
+
+class ValuePoseNet(nn.Module):
+    """The LocoVal function (reference value_pose_net.py:10-159)."""
+
+    use_pose: bool = True
+    use_vel: bool = True
+    hide_toe: bool = True
+    hide_spine: bool = True
+    normalize: bool = True
+    num_waypoints: int = 13      # 5 for VRU
+
+    @property
+    def traj_size(self):
+        return self.num_waypoints * 2
+
+    @nn.compact
+    def __call__(self, waypoint_traj, init_pose=None, init_vel=None):
+        """waypoint_traj (B, W, 2); init_pose (B, 24, 3); init_vel (B, 2).
+        Returns (B,) plausibility value in [0, 1]."""
+        if self.normalize:
+            waypoint_traj, init_pose, init_vel = rotate_normalization(
+                waypoint_traj, init_pose, init_vel)
+
+        parts = [waypoint_traj.reshape(waypoint_traj.shape[0], -1)]
+        in_dim = self.traj_size
+        if self.use_pose:
+            assert init_pose is not None
+            pose = init_pose
+            # hide toe joints 4/8 and spine chain 9/10/11
+            # (reference forward_pose/forward_full zeroing, :120-150)
+            if self.hide_toe:
+                pose = pose.at[:, 4].set(0.0).at[:, 8].set(0.0)
+            if self.hide_spine:
+                pose = pose.at[:, 9].set(0.0).at[:, 10].set(0.0) \
+                           .at[:, 11].set(0.0)
+            parts.append(pose.reshape(pose.shape[0], -1))
+            in_dim += 72
+        if self.use_vel:
+            assert init_vel is not None
+            parts.append(init_vel)
+            in_dim += 2
+        x = jnp.concatenate(parts, -1)
+        fc1 = in_dim // 2 - 1
+        fc2 = fc1 // 2
+        x = nn.relu(nn.Dense(fc1, name="fc1",
+                             kernel_init=nn.initializers.xavier_uniform())(x))
+        x = nn.relu(nn.Dense(fc2, name="fc2",
+                             kernel_init=nn.initializers.xavier_uniform())(x))
+        x = nn.Dense(1, name="fc3",
+                     kernel_init=nn.initializers.xavier_uniform())(x)
+        return nn.sigmoid(x)[..., 0]
+
+
+def rotate_normalization(waypoint_traj, init_pose=None, init_vel=None):
+    """Rotate so the first trajectory segment points along +x
+    (reference _rotate_normalization, value_pose_net.py:73-103; the reference
+    multiplies row-vectors by R(angle) on the right, i.e. rotates by −angle)."""
+    eps = 1e-10
+    x1 = waypoint_traj[:, 1, 0]
+    y1 = waypoint_traj[:, 1, 1]
+    near_zero = jnp.abs(x1) < eps
+    x1 = jnp.where(near_zero, eps, x1)
+    ang = jnp.arctan2(y1, x1)
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    # row-vector × [[c,−s],[s,c]] == rotation by −ang of column vectors
+    rot = jnp.stack([jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2)
+    traj = jnp.einsum("bwj,bji->bwi", waypoint_traj[..., :2], rot)
+    if init_pose is not None:
+        xy = jnp.einsum("bkj,bji->bki", init_pose[..., :2], rot)
+        init_pose = jnp.concatenate([xy, init_pose[..., 2:]], -1)
+    if init_vel is not None:
+        init_vel = jnp.einsum("bj,bji->bi", init_vel[..., :2], rot)
+    return traj, init_pose, init_vel
+
+
+def embodied_motion_loss(value_fn_apply, params, pred_traj, init_pose=None,
+                         init_vel=None):
+    """The EmLoco loss: push predicted-trajectory plausibility toward 1
+    (reference calc_embodied_motion_loss, value_pose_net.py:151-159)."""
+    v = value_fn_apply(params, pred_traj, init_pose, init_vel)
+    return jnp.mean((v - 1.0) ** 2)

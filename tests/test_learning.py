@@ -1,0 +1,84 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emloco_tpu.envs import EnvConfig, PedestrianTerrainEnv
+from emloco_tpu.kinematics import motion_lib as ml
+from emloco_tpu.learning.amp_agent import AMPAgent, AMPConfig
+from emloco_tpu.learning.networks import ValuePoseNet, rotate_normalization
+from emloco_tpu.learning.running_norm import RunningNorm
+from emloco_tpu.physics import flat_terrain
+
+
+def tiny_agent():
+    cfg = EnvConfig(num_envs=4, sensor_res=8, episode_length=24,
+                    num_amp_obs_steps=3)
+    terrain = flat_terrain(extent=20.0, cell=0.1)
+    lib = ml.synthetic_walk_motions(speeds=(1.0,), duration=2.0)
+    env = PedestrianTerrainEnv(cfg, terrain, lib)
+    acfg = AMPConfig(horizon=4, num_minibatches=2, mini_epochs=2,
+                     amp_batch_size=8, amp_replay_size=64)
+    return AMPAgent(env, acfg)
+
+
+def test_running_norm():
+    rn = RunningNorm.create(3)
+    key = jax.random.PRNGKey(0)
+    data = jax.random.normal(key, (1000, 3)) * 2.0 + 5.0
+    rn = rn.update(data)
+    np.testing.assert_allclose(np.asarray(rn.mean), 5.0, atol=0.3)
+    np.testing.assert_allclose(np.asarray(jnp.sqrt(rn.var)), 2.0, atol=0.3)
+    z = rn.normalize(data)
+    assert abs(float(z.mean())) < 0.1
+
+
+def test_value_pose_net_shapes_and_normalization():
+    net = ValuePoseNet(use_pose=True, use_vel=True)
+    key = jax.random.PRNGKey(0)
+    traj = jax.random.normal(key, (6, 13, 2))
+    pose = jax.random.normal(key, (6, 24, 3))
+    vel = jax.random.normal(key, (6, 2))
+    params = net.init(key, traj, pose, vel)
+    v = net.apply(params, traj, pose, vel)
+    assert v.shape == (6,)
+    assert np.all((np.asarray(v) >= 0) & (np.asarray(v) <= 1))
+    # rotation invariance: rotating all inputs about z leaves value unchanged
+    ang = 1.1
+    c, s = np.cos(ang), np.sin(ang)
+    R = jnp.asarray(np.array([[c, -s], [s, c]], np.float32))
+    traj_r = jnp.einsum("ij,bwj->bwi", R, traj)
+    pose_r = jnp.concatenate(
+        [jnp.einsum("ij,bkj->bki", R, pose[..., :2]), pose[..., 2:]], -1)
+    vel_r = jnp.einsum("ij,bj->bi", R, vel)
+    v_r = net.apply(params, traj_r, pose_r, vel_r)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_r), atol=1e-4)
+
+
+def test_rotate_normalization_first_segment():
+    key = jax.random.PRNGKey(1)
+    traj = jax.random.normal(key, (8, 13, 2))
+    out, _, _ = rotate_normalization(traj)
+    # after normalization the second waypoint lies on the +x axis
+    np.testing.assert_allclose(np.asarray(out[:, 1, 1]), 0.0, atol=1e-5)
+    assert np.all(np.asarray(out[:, 1, 0]) >= -1e-5)
+
+
+def test_train_epoch_runs():
+    agent = tiny_agent()
+    ts = agent.init(jax.random.PRNGKey(0))
+    ts, metrics = agent.train_epoch(ts)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert int(ts.epoch) == 1
+    # a second epoch reuses the compiled function
+    ts, metrics = agent.train_epoch(ts)
+    assert int(ts.epoch) == 2
+
+
+def test_train_epoch_updates_params():
+    agent = tiny_agent()
+    ts = agent.init(jax.random.PRNGKey(0))
+    before = ts.params["params"]["mu"]["kernel"]
+    ts, _ = agent.train_epoch(ts)
+    after = ts.params["params"]["mu"]["kernel"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
