@@ -82,3 +82,24 @@ def test_train_epoch_updates_params():
     ts, _ = agent.train_epoch(ts)
     after = ts.params["params"]["mu"]["kernel"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_locoval_training():
+    from emloco_tpu.learning.value_train import LocoValTrainer, ValueTrainConfig
+
+    agent = tiny_agent()
+    ts = agent.init(jax.random.PRNGKey(0))
+    vnet = ValuePoseNet(use_pose=True, use_vel=True)
+    trainer = LocoValTrainer(agent, vnet,
+                             ValueTrainConfig(horizon=8, step_to_pred=6))
+    vts = trainer.init(ts, jax.random.PRNGKey(1))
+    before = vts.vnet_params["params"]["fc1"]["kernel"]
+    vts, metrics = trainer.train_epoch(vts)
+    assert np.isfinite(float(metrics["vnet_loss"]))
+    # step_to_pred=6 < horizon → samples latched
+    assert float(metrics["num_latched"]) > 0
+    after = vts.vnet_params["params"]["fc1"]["kernel"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    # second epoch runs from carried state
+    vts, metrics = trainer.train_epoch(vts)
+    assert np.isfinite(float(metrics["vnet_loss"]))
