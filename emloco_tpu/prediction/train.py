@@ -1,0 +1,184 @@
+"""Predictor training with the EmLoco loss.
+
+Semantics of the reference train_jta.py (:192-418) / train_jrdb.py:
+  * WTA multi-head loss (MSE_LOSS_MULTI) or single-head MSE_LOSS
+  * + Σ_heads valuenet.calc_embodied_motion_loss(origin ++ pred_traj,
+    init_pose, init_vel) · valueloss_weight, with the LocoVal net FROZEN
+    (train_jta.py:197-206, 288-308)
+  * optional --valueloss_only mode (:282-283, 351-357)
+  * Adam + step lr decay (:129-141), grad clip 1.0, best-ADE checkpointing
+
+One jitted train step; the epoch loop is host-side over data batches (data
+loading is the host's job; everything else stays on device).
+"""
+from __future__ import annotations
+
+import functools
+import pickle
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from . import data as data_mod
+from . import metrics as M
+from .model import TransMotion, TransMotionConfig
+from ..learning.networks import ValuePoseNet
+
+
+class PredictTrainConfig(struct.PyTreeNode):
+    lr: float = struct.field(pytree_node=False, default=1e-4)
+    lr_decay: float = struct.field(pytree_node=False, default=0.1)
+    lr_decay_epochs: int = struct.field(pytree_node=False, default=20)
+    grad_clip: float = struct.field(pytree_node=False, default=1.0)
+    valueloss_weight: float = struct.field(pytree_node=False, default=0.3)
+    valueloss_only: bool = struct.field(pytree_node=False, default=False)
+    use_value_loss: bool = struct.field(pytree_node=False, default=False)
+
+
+class PredictTrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    vnet_params: Any       # frozen LocoVal net (None if unused)
+    key: jnp.ndarray
+    step: jnp.ndarray
+
+
+class PredictorTrainer:
+    def __init__(self, model_cfg: TransMotionConfig = TransMotionConfig(),
+                 cfg: PredictTrainConfig = PredictTrainConfig(),
+                 vnet: Optional[ValuePoseNet] = None):
+        self.model = TransMotion(model_cfg)
+        self.mcfg = model_cfg
+        self.cfg = cfg
+        self.vnet = vnet
+        schedule = optax.exponential_decay(
+            cfg.lr, cfg.lr_decay_epochs, cfg.lr_decay, staircase=True)
+        self.tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
+                              optax.adam(schedule))
+
+    def init(self, key, example_batch, vnet_params=None) -> PredictTrainState:
+        obs, mask, _ = example_batch
+        k1, k2 = jax.random.split(key)
+        params = self.model.init({"params": k1, "mask": k1, "dropout": k1},
+                                 obs, mask)
+        return PredictTrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            vnet_params=vnet_params,
+            key=k2,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def _value_loss(self, vnet_params, pred_modes, init_pose, init_vel):
+        """EmLoco loss, averaged over heads (train_jta.py:288-308)."""
+        B, Fp, Mm, _ = pred_modes.shape
+        losses = []
+        for m in range(Mm):
+            traj = data_mod.prepend_origin(pred_modes[:, :, m])  # (B,Fp+1,2)
+            v = self.vnet.apply(vnet_params, traj, init_pose, init_vel)
+            losses.append(jnp.mean((v - 1.0) ** 2))
+        return jnp.stack(losses).mean()
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def train_step(self, ts: PredictTrainState, obs, mask, gt_future):
+        cfg = self.cfg
+        key, k_mask, k_drop = jax.random.split(ts.key, 3)
+
+        init_pose, init_vel = None, None
+        if self.vnet is not None and (cfg.use_value_loss or cfg.valueloss_only):
+            # extract on-device from the normalized obs tokens
+            pose = obs[:, data_mod.OBS_FRAMES - 1, 0, 3:3 + 24, :3]
+            init_pose = pose * jnp.array([1.0, 1.0, -1.0])
+            x8 = obs[:, data_mod.OBS_FRAMES - 1, 0, 0, :2]
+            x7 = obs[:, data_mod.OBS_FRAMES - 2, 0, 0, :2]
+            init_vel = (x8 - x7) * data_mod.FPS
+
+        def loss_fn(p):
+            out = self.model.apply(
+                p, obs, mask, train=True,
+                rngs={"mask": k_mask, "dropout": k_drop})   # (B,F,M,2)
+            pred = out[:, data_mod.OBS_FRAMES:]             # (B,Fp,M,2)
+            if self.mcfg.multi_modal:
+                traj_loss = M.mse_loss_multi(pred, gt_future)
+            else:
+                traj_loss = M.mse_loss(pred[:, :, 0], gt_future)
+            total = 0.0 if cfg.valueloss_only else traj_loss
+            vloss = 0.0
+            if self.vnet is not None and (cfg.use_value_loss
+                                          or cfg.valueloss_only):
+                vloss = self._value_loss(ts.vnet_params, pred, init_pose,
+                                         init_vel)
+                total = total + cfg.valueloss_weight * vloss
+            return total, dict(traj_loss=traj_loss, value_loss=vloss)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ts.params)
+        updates, opt_state = self.tx.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        ts = ts.replace(params=params, opt_state=opt_state, key=key,
+                        step=ts.step + 1)
+        aux["total"] = loss
+        return ts, aux
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def predict(self, params, obs, mask, limit_obs: int = 0):
+        out = self.model.apply(params, obs, mask, train=False,
+                               limit_obs=limit_obs)
+        return out[:, data_mod.OBS_FRAMES:]                 # (B,Fp,M,2)
+
+    # ------------------------------------------------------------------
+
+    def fit(self, ts, dataset, epochs: int, batches_per_epoch: int,
+            batch_size: int, log_every: int = 10, eval_dataset=None):
+        """Host-side epoch loop (reference train_jta.py main loop :224-384)."""
+        history = []
+        best_ade = float("inf")
+        best_params = ts.params
+        for ep in range(epochs):
+            losses = []
+            for obs, mask, gt in dataset.batches(batch_size,
+                                                 batches_per_epoch):
+                ts, aux = self.train_step(ts, obs, mask, gt)
+                losses.append(float(aux["traj_loss"]))
+            entry = dict(epoch=ep, traj_loss=float(np.mean(losses)))
+            if eval_dataset is not None:
+                evals = self.evaluate(ts.params, eval_dataset, batch_size,
+                                      max(1, batches_per_epoch // 4))
+                entry.update(evals)
+                if evals["ade_min"] < best_ade:
+                    best_ade = evals["ade_min"]
+                    best_params = ts.params
+            history.append(entry)
+        return ts, history, best_params
+
+    def evaluate(self, params, dataset, batch_size, num_batches):
+        accs = []
+        for obs, mask, gt in dataset.batches(batch_size, num_batches):
+            pred = self.predict(params, obs, mask)
+            r = M.ade_fde(pred, gt)
+            accs.append({k: float(v) for k, v in r.items()
+                         if not k.endswith("per_mode")})
+        return {k: float(np.mean([a[k] for a in accs])) for k in accs[0]}
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def save_checkpoint(path, ts: PredictTrainState, cfg_dict=None):
+        """Checkpoint dict {model, optimizer, step, config} (reference
+        train_jta.py:167-175)."""
+        with open(path, "wb") as f:
+            pickle.dump({
+                "params": jax.tree.map(np.asarray, ts.params),
+                "opt_state": jax.tree.map(np.asarray, ts.opt_state),
+                "step": int(ts.step),
+                "config": cfg_dict or {},
+            }, f)
+
+    @staticmethod
+    def load_checkpoint(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)

@@ -1,0 +1,118 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emloco_tpu.learning.networks import ValuePoseNet
+from emloco_tpu.prediction import TransMotion, TransMotionConfig
+from emloco_tpu.prediction import data as data_mod
+from emloco_tpu.prediction import metrics as M
+from emloco_tpu.prediction.evaluate import evaluate_with_filter
+from emloco_tpu.prediction.train import (
+    PredictTrainConfig,
+    PredictorTrainer,
+)
+
+TINY = TransMotionConfig(nhid=32, dim_ff=64, nlayers_local=1,
+                         nlayers_global=1, nmode=3)
+
+
+def test_synthetic_scenes_shapes():
+    ds = data_mod.SyntheticScenes(num_people=3, seed=0)
+    obs, mask, gt = ds.batch(2)
+    assert obs.shape == (2, 9, 3, 49, 4)
+    assert mask.shape == (2, 3)
+    assert gt.shape == (2, 12, 2)
+    # normalization: primary agent's last obs position is the origin
+    np.testing.assert_allclose(np.asarray(obs[:, 8, 0, 0, :2]), 0.0,
+                               atol=1e-5)
+    # poses are kinematically sane: root-relative z spans roughly a body
+    z = np.asarray(obs[..., 3:27, 2])
+    assert z.max() < 1.5 and z.min() > -1.5
+
+
+def test_model_forward_shapes():
+    ds = data_mod.SyntheticScenes(num_people=2, seed=0)
+    obs, mask, gt = ds.batch(2)
+    model = TransMotion(TINY)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "mask": key, "dropout": key},
+                        obs, mask)
+    out = model.apply(params, obs, mask, train=False)
+    assert out.shape == (2, 21, 3, 2)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # train mode with rngs
+    out_t = model.apply(params, obs, mask, train=True,
+                        rngs={"mask": key, "dropout": key})
+    assert out_t.shape == (2, 21, 3, 2)
+
+
+def test_metrics():
+    B, Fp, Mm = 4, 12, 3
+    key = jax.random.PRNGKey(0)
+    gt = jax.random.normal(key, (B, Fp, 2))
+    pred = jnp.tile(gt[:, :, None], (1, 1, Mm, 1))
+    # perfect prediction in one mode → min metrics 0
+    r = M.ade_fde(pred, gt)
+    assert float(r["ade_min"]) < 1e-6
+    assert float(M.mse_loss_multi(pred, gt)) < 1e-4
+    # WTA: corrupt all but one mode; min stays 0
+    pred2 = pred.at[:, :, 1:].add(10.0)
+    assert float(M.mse_loss_multi(pred2, gt)) < 1e-4
+    r2 = M.ade_fde(pred2, gt)
+    assert float(r2["ade_min"]) < 1e-6
+    assert float(r2["ade_worst"]) > 5.0
+
+
+def test_locoval_filter():
+    vals = jnp.array([[0.9, 0.1, 0.8], [0.1, 0.2, 0.3]])
+    pred = jnp.zeros((2, 12, 3, 2))
+    keep = M.locoval_filter(pred, vals, 0.7)
+    np.testing.assert_array_equal(np.asarray(keep),
+                                  [[True, False, True],
+                                   [False, False, True]])  # argmax fallback
+
+
+def test_train_step_reduces_loss():
+    ds = data_mod.SyntheticScenes(num_people=2, seed=0)
+    trainer = PredictorTrainer(TINY, PredictTrainConfig(lr=1e-3))
+    batch = ds.batch(4)
+    ts = trainer.init(jax.random.PRNGKey(0), batch)
+    obs, mask, gt = batch
+    losses = []
+    for _ in range(12):
+        ts, aux = trainer.train_step(ts, obs, mask, gt)
+        losses.append(float(aux["traj_loss"]))
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+
+def test_train_with_emloco_loss():
+    ds = data_mod.SyntheticScenes(num_people=2, seed=0)
+    vnet = ValuePoseNet(use_pose=True, use_vel=True)
+    key = jax.random.PRNGKey(0)
+    vp = vnet.init(key, jnp.zeros((1, 13, 2)), jnp.zeros((1, 24, 3)),
+                   jnp.zeros((1, 2)))
+    trainer = PredictorTrainer(
+        TINY, PredictTrainConfig(lr=1e-3, use_value_loss=True,
+                                 valueloss_weight=0.5), vnet=vnet)
+    batch = ds.batch(2)
+    ts = trainer.init(key, batch, vnet_params=vp)
+    obs, mask, gt = batch
+    ts, aux = trainer.train_step(ts, obs, mask, gt)
+    assert np.isfinite(float(aux["value_loss"]))
+    assert float(aux["value_loss"]) > 0
+
+
+def test_evaluate_with_filter():
+    ds = data_mod.SyntheticScenes(num_people=2, seed=1)
+    vnet = ValuePoseNet(use_pose=True, use_vel=True)
+    key = jax.random.PRNGKey(0)
+    vp = vnet.init(key, jnp.zeros((1, 13, 2)), jnp.zeros((1, 24, 3)),
+                   jnp.zeros((1, 2)))
+    trainer = PredictorTrainer(TINY)
+    batch = ds.batch(2)
+    ts = trainer.init(key, batch)
+    out = evaluate_with_filter(trainer, ts.params, ds, 2, 2,
+                               vnet=vnet, vnet_params=vp)
+    for k in ("ade_min", "fde_min", "ade_filtered_min", "ade_value_pick",
+              "ade_random_pick", "gt_value_mean", "chi2_speed"):
+        assert k in out and np.isfinite(out[k]), k
