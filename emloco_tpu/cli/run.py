@@ -1,0 +1,249 @@
+"""CLI entry point — the reference's run.py / train_jta.py / evaluate_jta.py
+surface collapsed into subcommands:
+
+    python -m emloco_tpu.cli.run train-policy   [--config c.yaml] [k=v ...]
+    python -m emloco_tpu.cli.run train-valuenet --policy ckpt [...]
+    python -m emloco_tpu.cli.run eval-policy    --policy ckpt [...]
+    python -m emloco_tpu.cli.run train-predictor [--valuenet ckpt] [...]
+    python -m emloco_tpu.cli.run eval-predictor --predictor ckpt [...]
+    python -m emloco_tpu.cli.run optimize-traj  --valuenet ckpt [...]
+
+(reference entry points: pacer/pacer/run.py:251-395, social-transmotion/
+train_jta.py:446-507, evaluate_jta.py:509-625, plausibl/test_value_mlp.py.)
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def _build_world(cfg):
+    import jax.numpy as jnp
+
+    from ..envs import PedestrianTerrainEnv
+    from ..envs import traj_gen
+    from ..kinematics import motion_lib as ml
+    from ..physics import generate_mixed_terrain, flat_terrain
+
+    tcfg = dict(cfg.terrain)
+    ttype = tcfg.pop("type", "mixed")
+    if ttype == "flat":
+        terrain = flat_terrain(**tcfg)
+    else:
+        terrain = generate_mixed_terrain(**tcfg)
+    if cfg.motions:
+        lib = ml.load_reference_pkl(cfg.motions)
+    else:
+        lib = ml.synthetic_walk_motions()
+    if cfg.real_traj_pkl:
+        import joblib
+        bank = jnp.asarray(np.stack(list(
+            joblib.load(cfg.real_traj_pkl).values()))[..., :2])
+    else:
+        bank = traj_gen.synthetic_real_bank()
+    key = jax.random.PRNGKey(cfg.seed)
+    betas = jax.random.normal(key, (cfg.env.num_envs, 16)) * 0.3
+    env = PedestrianTerrainEnv(cfg.env, terrain, lib, betas=betas,
+                               real_traj_bank=bank)
+    return env
+
+
+def cmd_train_policy(cfg, args):
+    from ..learning.amp_agent import AMPAgent
+    from ..utils.checkpoint import save_pytree
+    from ..utils.logging import MetricsLogger
+
+    env = _build_world(cfg)
+    agent = AMPAgent(env, cfg.amp)
+    ts = agent.init(jax.random.PRNGKey(cfg.seed))
+    if args.resume:
+        from ..utils.checkpoint import load_pytree
+        tree, _ = load_pytree(args.resume)
+        ts = ts.replace(params=tree["params"], obs_norm=tree["obs_norm"],
+                        amp_norm=tree["amp_norm"])
+    logger = MetricsLogger(cfg.out_dir, "policy")
+    t0 = time.perf_counter()
+    steps_per_epoch = cfg.amp.horizon * cfg.env.num_envs
+    for ep in range(cfg.epochs):
+        ts, metrics = agent.train_epoch(ts)
+        if ep % 10 == 0:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics["step_fps"] = steps_per_epoch * (ep + 1) / (
+                time.perf_counter() - t0)
+            logger.log(ep, metrics)
+        if ep and ep % cfg.save_every == 0 or ep == cfg.epochs - 1:
+            save_pytree(os.path.join(cfg.out_dir, f"policy_{ep:08d}.ckpt"),
+                        dict(params=ts.params, obs_norm=ts.obs_norm,
+                             amp_norm=ts.amp_norm, value_norm=ts.value_norm))
+    logger.close()
+
+
+def cmd_train_valuenet(cfg, args):
+    from ..learning.amp_agent import AMPAgent
+    from ..learning.networks import ValuePoseNet
+    from ..learning.value_train import LocoValTrainer
+    from ..utils.checkpoint import load_pytree, save_valuenet
+    from ..utils.logging import MetricsLogger
+
+    env = _build_world(cfg)
+    agent = AMPAgent(env, cfg.amp)
+    ts = agent.init(jax.random.PRNGKey(cfg.seed))
+    if args.policy:
+        tree, _ = load_pytree(args.policy)
+        ts = ts.replace(params=tree["params"], obs_norm=tree["obs_norm"],
+                        amp_norm=tree["amp_norm"])
+    vnet = ValuePoseNet(use_pose=not args.nopose, use_vel=not args.novel,
+                        num_waypoints=5 if args.vru else 13)
+    trainer = LocoValTrainer(agent, vnet, cfg.value)
+    vts = trainer.init(ts, jax.random.PRNGKey(cfg.seed + 1))
+    logger = MetricsLogger(cfg.out_dir, "valuenet")
+    for ep in range(cfg.epochs):
+        vts, metrics = trainer.train_epoch(vts)
+        if ep % 10 == 0:
+            logger.log(ep, {k: float(v) for k, v in metrics.items()})
+        if ep and ep % cfg.save_every == 0 or ep == cfg.epochs - 1:
+            save_valuenet(
+                os.path.join(cfg.out_dir, f"valuenet_{ep:08d}.ckpt"),
+                vts.vnet_params,
+                dict(use_pose=not args.nopose, use_vel=not args.novel))
+    logger.close()
+
+
+def cmd_eval_policy(cfg, args):
+    """4-condition eval grid (reference eval_policy*.sh): real/random traj ×
+    heading alignment, reporting value-prediction MSE/correlation."""
+    from ..learning.amp_agent import AMPAgent
+    from ..learning.networks import ValuePoseNet
+    from ..learning.value_train import LocoValTrainer
+    from ..utils.checkpoint import load_pytree
+
+    env = _build_world(cfg)
+    agent = AMPAgent(env, cfg.amp)
+    ts = agent.init(jax.random.PRNGKey(cfg.seed))
+    if args.policy:
+        tree, _ = load_pytree(args.policy)
+        ts = ts.replace(params=tree["params"], obs_norm=tree["obs_norm"],
+                        amp_norm=tree["amp_norm"])
+    vnet = ValuePoseNet(use_pose=not args.nopose, use_vel=not args.novel)
+    trainer = LocoValTrainer(agent, vnet, cfg.value)
+    vts = trainer.init(ts, jax.random.PRNGKey(cfg.seed + 1))
+    if args.valuenet:
+        vp, _ = load_pytree(args.valuenet)
+        vts = vts.replace(vnet_params=vp)
+    vts, mse, corr = trainer.evaluate(vts, num_epochs=args.games)
+    print(f"value prediction: mse={mse:.4f} corr={corr:.3f}")
+
+
+def cmd_train_predictor(cfg, args):
+    from ..learning.networks import ValuePoseNet
+    from ..prediction.data import SyntheticScenes
+    from ..prediction.train import PredictorTrainer
+    from ..utils.checkpoint import load_pytree
+    from ..utils.logging import MetricsLogger
+
+    vnet = None
+    vp = None
+    if args.valuenet:
+        vnet = ValuePoseNet(use_pose=True, use_vel=True)
+        vp, _ = load_pytree(args.valuenet)
+    trainer = PredictorTrainer(cfg.model, cfg.predict, vnet=vnet)
+    ds = SyntheticScenes(num_people=4, seed=cfg.seed)
+    eval_ds = SyntheticScenes(num_people=4, seed=cfg.seed + 1)
+    batch = ds.batch(args.batch_size)
+    ts = trainer.init(jax.random.PRNGKey(cfg.seed), batch, vnet_params=vp)
+    logger = MetricsLogger(cfg.out_dir, "predictor")
+    ts, history, best = trainer.fit(
+        ts, ds, epochs=cfg.epochs, batches_per_epoch=args.batches,
+        batch_size=args.batch_size, eval_dataset=eval_ds)
+    for h in history:
+        logger.log(h.pop("epoch"), h)
+    trainer.save_checkpoint(
+        os.path.join(cfg.out_dir, "predictor_best.ckpt"),
+        ts.replace(params=best))
+    logger.close()
+
+
+def cmd_eval_predictor(cfg, args):
+    from ..learning.networks import ValuePoseNet
+    from ..prediction.data import SyntheticScenes
+    from ..prediction.evaluate import evaluate_with_filter
+    from ..prediction.train import PredictorTrainer
+    from ..utils.checkpoint import load_pytree
+
+    trainer = PredictorTrainer(cfg.model, cfg.predict)
+    ds = SyntheticScenes(num_people=4, seed=cfg.seed + 2)
+    blob = trainer.load_checkpoint(args.predictor)
+    vnet, vp = None, None
+    if args.valuenet:
+        vnet = ValuePoseNet(use_pose=True, use_vel=True)
+        vp, _ = load_pytree(args.valuenet)
+    out = evaluate_with_filter(trainer, blob["params"], ds, args.batch_size,
+                               args.batches, vnet=vnet, vnet_params=vp)
+    for k, v in sorted(out.items()):
+        print(f"{k}: {v:.4f}")
+
+
+def cmd_optimize_traj(cfg, args):
+    from ..analysis import optimize_trajectory, sample_candidate_trajs
+    from ..learning.networks import ValuePoseNet
+    from ..utils.checkpoint import load_pytree
+
+    vp, meta = load_pytree(args.valuenet)
+    vcfg = (meta or {}).get("config") or {}
+    use_pose = bool(vcfg.get("use_pose", False))
+    use_vel = bool(vcfg.get("use_vel", False))
+    vnet = ValuePoseNet(use_pose=use_pose, use_vel=use_vel)
+    key = jax.random.PRNGKey(cfg.seed)
+    trajs = sample_candidate_trajs(key, args.batch_size)
+    init_pose = np.zeros((args.batch_size, 24, 3), np.float32) \
+        if use_pose else None
+    init_vel = np.asarray(trajs[:, 1] - trajs[:, 0]) / 0.4 \
+        if use_vel else None
+    out, hist = optimize_trajectory(vnet, vp, trajs, init_pose=init_pose,
+                                    init_vel=init_vel, steps=args.steps)
+    print(f"value before: {float(np.asarray(hist[0]).mean()):.4f} "
+          f"after: {float(np.asarray(hist[-1]).mean()):.4f}")
+
+
+def main(argv=None):
+    from ..utils.config import load_config
+
+    p = argparse.ArgumentParser(prog="emloco_tpu")
+    p.add_argument("command", choices=[
+        "train-policy", "train-valuenet", "eval-policy", "train-predictor",
+        "eval-predictor", "optimize-traj"])
+    p.add_argument("--config", default=None)
+    p.add_argument("--policy", default=None)
+    p.add_argument("--valuenet", default=None)
+    p.add_argument("--predictor", default=None)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--nopose", action="store_true")
+    p.add_argument("--novel", action="store_true")
+    p.add_argument("--vru", action="store_true")
+    p.add_argument("--games", type=int, default=4)
+    p.add_argument("--batch-size", type=int, default=10)
+    p.add_argument("--batches", type=int, default=20)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("overrides", nargs="*",
+                   help="dotted config overrides, e.g. env.num_envs=1024")
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.config, args.overrides)
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    {
+        "train-policy": cmd_train_policy,
+        "train-valuenet": cmd_train_valuenet,
+        "eval-policy": cmd_eval_policy,
+        "train-predictor": cmd_train_predictor,
+        "eval-predictor": cmd_eval_predictor,
+        "optimize-traj": cmd_optimize_traj,
+    }[args.command](cfg, args)
+
+
+if __name__ == "__main__":
+    main()

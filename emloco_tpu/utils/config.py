@@ -1,0 +1,100 @@
+"""Run configuration: YAML + dotted CLI overrides over the typed configs.
+
+Replaces the reference's three-tier flag system (argparse with isaacgym's
+custom-parameter schema + two YAML files + a mutable global `flags` singleton;
+utils/config.py:24-529, flags.py:1-11, run.py:263-315) with ONE composition:
+frozen config pytrees constructed from a YAML dict with `key.subkey=value`
+overrides. No mutable global state — everything threads explicitly.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import yaml
+
+from ..envs.pedestrian_terrain import EnvConfig
+from ..envs.traj_gen import TrajConfig
+from ..learning.amp_agent import AMPConfig
+from ..learning.value_train import ValueTrainConfig
+from ..physics.types import EngineConfig
+from ..prediction.model import TransMotionConfig
+from ..prediction.train import PredictTrainConfig
+
+
+_SECTIONS = {
+    "env": EnvConfig,
+    "traj": TrajConfig,
+    "engine": EngineConfig,
+    "amp": AMPConfig,
+    "value": ValueTrainConfig,
+    "model": TransMotionConfig,
+    "predict": PredictTrainConfig,
+}
+
+
+@dataclasses.dataclass
+class RunConfig:
+    env: EnvConfig
+    amp: AMPConfig
+    value: ValueTrainConfig
+    model: TransMotionConfig
+    predict: PredictTrainConfig
+    # run-level knobs
+    seed: int = 0
+    out_dir: str = "output/run"
+    epochs: int = 1000
+    save_every: int = 200
+    terrain: dict = dataclasses.field(default_factory=dict)
+    motions: Optional[str] = None        # motion pkl path (None → synthetic)
+    real_traj_pkl: Optional[str] = None  # real-path bank (None → synthetic)
+
+
+def _apply(cls, base, overrides: dict):
+    if not overrides:
+        return base
+    known = {f.name for f in dataclasses.fields(cls)}
+    bad = set(overrides) - known
+    if bad:
+        raise KeyError(f"unknown {cls.__name__} keys: {sorted(bad)}")
+    return base.replace(**overrides) if hasattr(base, "replace") \
+        else dataclasses.replace(base, **overrides)
+
+
+def load_config(yaml_path: Optional[str] = None,
+                overrides: Optional[list] = None) -> RunConfig:
+    """Build a RunConfig from an optional YAML file plus dotted overrides
+    like ["env.num_envs=1024", "amp.lr=1e-5"]."""
+    raw: dict = {}
+    if yaml_path:
+        with open(yaml_path) as f:
+            raw = yaml.safe_load(f) or {}
+    for ov in overrides or []:
+        key, val = ov.split("=", 1)
+        parts = key.split(".")
+        d = raw
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = yaml.safe_load(val)
+
+    engine = _apply(EngineConfig, EngineConfig(), raw.get("engine", {}))
+    traj = _apply(TrajConfig, TrajConfig(), raw.get("traj", {}))
+    env_over = dict(raw.get("env", {}))
+    env = _apply(EnvConfig, EnvConfig(engine=engine, traj=traj), env_over)
+    return RunConfig(
+        env=env,
+        amp=_apply(AMPConfig, AMPConfig(), raw.get("amp", {})),
+        value=_apply(ValueTrainConfig, ValueTrainConfig(),
+                     raw.get("value", {})),
+        model=_apply(TransMotionConfig, TransMotionConfig(),
+                     raw.get("model", {})),
+        predict=_apply(PredictTrainConfig, PredictTrainConfig(),
+                       raw.get("predict", {})),
+        seed=int(raw.get("seed", 0)),
+        out_dir=str(raw.get("out_dir", "output/run")),
+        epochs=int(raw.get("epochs", 1000)),
+        save_every=int(raw.get("save_every", 200)),
+        terrain=raw.get("terrain", {}),
+        motions=raw.get("motions"),
+        real_traj_pkl=raw.get("real_traj_pkl"),
+    )
