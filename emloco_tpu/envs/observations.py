@@ -19,7 +19,7 @@ import numpy as np
 
 from ..kinematics import body_model as bm
 from ..ops import quat
-from ..physics.terrain import Heightfield, height_at_min2
+from ..physics.terrain import Heightfield, height_at_min2, height_at_min2_xy
 
 # dof subset: drop hands and toes from disc features (reference
 # humanoid.py:294-330, remove_names = [L_Hand, R_Hand, L_Toe, R_Toe])
@@ -143,6 +143,18 @@ def make_sensor_grid(extent: float = 2.0, res: int = 32) -> np.ndarray:
     return np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)
 
 
+def _rotate_grid_xy(heading, grid, origin_xy):
+    """Rotate a static (P,2) grid by per-env heading and translate — pure
+    component math on (N,P) arrays (a quaternion rotate of (N,P,3) tensors
+    pays ~40× TPU lane padding on the trailing dim of 3)."""
+    c = jnp.cos(heading)[:, None]
+    s = jnp.sin(heading)[:, None]
+    gx, gy = grid[:, 0][None], grid[:, 1][None]
+    px = c * gx - s * gy + origin_xy[:, 0:1]
+    py = s * gx + c * gy + origin_xy[:, 1:2]
+    return px, py
+
+
 def heightmap_obs(terrain: Heightfield, sensor_pos, sensor_rot, center_xy,
                   grid_local, meas_scale: float = 5.0) -> jnp.ndarray:
     """Heading-rotated height grid around the sensor root (the head,
@@ -150,18 +162,14 @@ def heightmap_obs(terrain: Heightfield, sensor_pos, sensor_rot, center_xy,
     under the root (use_center_height) and scaled
     (humanoid_pedestrain_terrain.py:404-441). Heights use the conservative
     2-point min gather like the reference's get_heights (:1282-1297)."""
-    N = sensor_pos.shape[0]
-    heading = quat.heading_quat(sensor_rot)                # (N,4)
-    g = jnp.asarray(grid_local)                            # (P,2)
-    g3 = jnp.concatenate([g, jnp.zeros((g.shape[0], 1))], -1)
-    pts = quat.rotate(heading[:, None], g3[None]) + sensor_pos[:, None]
-    h = height_at_min2(terrain, pts[..., :2])              # (N,P)
+    heading = quat.calc_heading(sensor_rot)                # (N,)
+    px, py = _rotate_grid_xy(heading, jnp.asarray(grid_local),
+                             sensor_pos[:, :2])
+    h = height_at_min2_xy(terrain, px, py)                 # (N,P)
     # center height: mean ground height under the root (3×3 patch)
     cg = jnp.asarray(make_sensor_grid(0.15, 3))
-    cg3 = jnp.concatenate([cg, jnp.zeros((9, 1))], -1)
-    cpts = quat.rotate(heading[:, None], cg3[None]) + \
-        jnp.concatenate([center_xy, jnp.zeros((N, 1))], -1)[:, None]
-    ch = height_at_min2(terrain, cpts[..., :2]).mean(-1, keepdims=True)
+    cpx, cpy = _rotate_grid_xy(heading, cg, center_xy)
+    ch = height_at_min2_xy(terrain, cpx, cpy).mean(-1, keepdims=True)
     return jnp.clip(ch - h, -3.0, 3.0) * meas_scale
 
 

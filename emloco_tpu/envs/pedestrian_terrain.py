@@ -194,6 +194,18 @@ class PedestrianTerrainEnv:
     # resets
     # ------------------------------------------------------------------
 
+    @property
+    def _task_extra_dim(self):
+        return 0
+
+    @property
+    def task_obs_dim(self):
+        return self.cfg.task_obs_dim + self._task_extra_dim
+
+    @property
+    def obs_dim(self):
+        return self.cfg.self_obs_dim + self.task_obs_dim
+
     def _sample_spawn(self, key, n):
         table = self.terrain.spawnable_xy
         idx = jax.random.randint(key, (n,), 0, table.shape[0])
@@ -374,21 +386,10 @@ class PedestrianTerrainEnv:
                                pd_target, cfg.engine, self.tree)
         progress = state.progress + 1
 
-        # reward (reference _compute_reward,
-        # humanoid_pedestrain_terrain.py:907-930)
+        reward, reward_raw = self._reward(state, physics, progress, pd_target)
         times = progress.astype(jnp.float32) * cfg.dt
         tar = traj_gen.calc_pos(state.traj_verts, times, cfg.traj.episode_dur)
         root_xy = physics.body_x[:, 0, :2]
-        err = jnp.sum((tar[:, :2] - root_xy) ** 2, -1)
-        loc_reward = cfg.location_coefficient * jnp.exp(-2.0 * err)
-
-        dof_pos, dof_vel = joint_state(self.model, physics)
-        tau = (self.params.kp[..., None] * (pd_target - dof_pos)
-               - self.params.kd[..., None] * dof_vel)
-        power = jnp.abs(tau * dof_vel).sum((-2, -1))
-        pow_reward = -cfg.power_coefficient * power
-        reward = loc_reward + (pow_reward if cfg.power_reward else 0.0)
-        reward_raw = jnp.stack([loc_reward, pow_reward], -1)
 
         # resets (reference compute_humanoid_reset,
         # humanoid_pedestrain_terrain.py:1468-1530)
@@ -409,6 +410,7 @@ class PedestrianTerrainEnv:
         tar_fail = tar_dist > cfg.fail_dist ** 2
         terminated = (has_fallen | tar_fail) if cfg.enable_early_termination \
             else jnp.zeros_like(has_fallen)
+        terminated = terminated & self._termination_allowed(state)
         truncated = progress >= cfg.episode_length - 1
         done = terminated | truncated
 
@@ -434,6 +436,28 @@ class PedestrianTerrainEnv:
             reward_raw=reward_raw,
         )
         return new_state, out
+
+    def _termination_allowed(self, state: EnvState):
+        """Hook for variants that gate early termination (getup recovery)."""
+        return jnp.ones((self.cfg.num_envs,), bool)
+
+    def _reward(self, state: EnvState, physics, progress, pd_target):
+        """Reward hook (reference _compute_reward,
+        humanoid_pedestrain_terrain.py:907-930): location + power penalty."""
+        cfg = self.cfg
+        times = progress.astype(jnp.float32) * cfg.dt
+        tar = traj_gen.calc_pos(state.traj_verts, times, cfg.traj.episode_dur)
+        root_xy = physics.body_x[:, 0, :2]
+        err = jnp.sum((tar[:, :2] - root_xy) ** 2, -1)
+        loc_reward = cfg.location_coefficient * jnp.exp(-2.0 * err)
+
+        dof_pos, dof_vel = joint_state(self.model, physics)
+        tau = (self.params.kp[..., None] * (pd_target - dof_pos)
+               - self.params.kd[..., None] * dof_vel)
+        power = jnp.abs(tau * dof_vel).sum((-2, -1))
+        pow_reward = -cfg.power_coefficient * power
+        reward = loc_reward + (pow_reward if cfg.power_reward else 0.0)
+        return reward, jnp.stack([loc_reward, pow_reward], -1)
 
     def _auto_reset(self, state: EnvState, done):
         cfg = self.cfg

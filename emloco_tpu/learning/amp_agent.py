@@ -94,7 +94,7 @@ class AMPAgent:
             num_actions=ecfg.num_actions,
             self_obs_dim=ecfg.self_obs_dim,
             traj_obs_dim=ecfg.num_traj_samples * 2,
-            task_obs_dim=ecfg.task_obs_dim,
+            task_obs_dim=env.task_obs_dim,
         )
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_norm),
@@ -106,14 +106,14 @@ class AMPAgent:
     def init(self, key) -> TrainState:
         k1, k2, k3 = jax.random.split(key, 3)
         ecfg = self.env.cfg
-        obs0 = jnp.zeros((1, ecfg.obs_dim))
+        obs0 = jnp.zeros((1, self.env.obs_dim))
         amp0 = jnp.zeros((1, self.amp_dim))
         params = self.net.init(k1, obs0, amp0)
         env_state = self.env.reset(k2)
         return TrainState(
             params=params,
             opt_state=self.tx.init(params),
-            obs_norm=RunningNorm.create(ecfg.obs_dim),
+            obs_norm=RunningNorm.create(self.env.obs_dim),
             amp_norm=RunningNorm.create(self.amp_dim),
             value_norm=RunningNorm.create(1),
             env_state=env_state,

@@ -68,21 +68,24 @@ _SUB = _subtree_masks(PARENTS)                    # (23, 24)
 # all bodies); 1..23 = real joints. Used for uniform mass-matrix assembly.
 _SUBX = np.concatenate([np.ones((1, B), np.float32), _SUB], 0)   # (24, 24)
 
-# NESTX[a, b] = index of the deeper of two nested extended-joints (their
-# subtree intersection equals that joint's subtree), or -1 if disjoint.
-_NESTX = np.full((NJ + 1, NJ + 1), -1, np.int64)
+# Static Jacobian scaffolding (TPU layout note: all hot tensors fold the
+# (body, 3) axes into rows of 72 and keep NU=75 as the trailing dim — small
+# trailing dims of 3 pad to 128 lanes on TPU and cost ~40-100× memory traffic).
+#
+# JW_EXT[k, j, c] = 1 where generalized velocity column c (among the 72
+# angular columns: root-ang at a=0, joints a=1..23) contributes ω_j to body k:
+# c = 3·a + j for every extended joint a that is an ancestor of k.
+_JW_EXT = np.zeros((B, 3, 3 * (NJ + 1)), np.float32)
+for k in range(B):
+    for a in range(NJ + 1):
+        if _SUBX[a, k] > 0:
+            for j in range(3):
+                _JW_EXT[k, j, 3 * a + j] = 1.0
+# COL_EXT[a, j, c] = 1 at c = 3·a + j (per-extended-joint column selector)
+_COL_EXT = np.zeros((NJ + 1, 3, 3 * (NJ + 1)), np.float32)
 for a in range(NJ + 1):
-    for b_ in range(NJ + 1):
-        if a == 0:
-            _NESTX[a, b_] = b_
-        elif b_ == 0:
-            _NESTX[a, b_] = a
-        elif _SUB[b_ - 1, a] > 0:     # child body of joint a inside subtree b
-            _NESTX[a, b_] = a
-        elif _SUB[a - 1, b_] > 0:
-            _NESTX[a, b_] = b_
-_NEST_VALID = (_NESTX >= 0).astype(np.float32)
-_NESTX_SAFE = np.maximum(_NESTX, 0)
+    for j in range(3):
+        _COL_EXT[a, j, 3 * a + j] = 1.0
 
 
 class PhysicsState(struct.PyTreeNode):
@@ -146,21 +149,23 @@ def root_pos_pivot_from_com(model: Model, root_com, root_rot):
 
 
 def _body_velocities(model: Model, x, grot, gpos_pivot, u):
-    """u → per-body COM velocity and angular velocity."""
+    """u → per-body COM velocity and angular velocity.
+
+    The cross products are distributed — Σ_j S qd_j×(x_b − piv_j) =
+    (Σ_j S qd_j)×x_b − Σ_j S (qd_j×piv_j) — so no (N, J, B, 3) intermediate
+    is ever materialized (TPU layout, see module scaffolding note)."""
     v_root = u[:, 0:3]
     w_root = u[:, 3:6]
     qd = u[:, 6:].reshape(-1, NJ, 3)
     sub = jnp.asarray(_SUB)
     # ω_b = ω_root + Σ_j SUB[j,b]·qd_j
-    w_b = w_root[:, None] + jnp.einsum("jb,nji->nbi", sub, qd)
-    # v_b = v_root + ω_root×(x_b − x_root) + Σ_j qd_j×(x_b − piv_j)
+    w_sum = jnp.einsum("jb,nji->nbi", sub, qd)
+    w_b = w_root[:, None] + w_sum
     x0 = x[:, 0:1]
     piv = gpos_pivot[:, 1:]                               # (N,23,3)
-    r0 = x - x0
-    v_b = v_root[:, None] + jnp.cross(w_root[:, None], r0)
-    rj = x[:, None] - piv[:, :, None]                     # (N,23,B,3)
-    v_b = v_b + jnp.einsum("jb,njbi->nbi", sub,
-                           jnp.cross(qd[:, :, None], rj))
+    v_b = v_root[:, None] + jnp.cross(w_root[:, None], x - x0)
+    qdxp = jnp.cross(qd, piv)                             # (N,23,3)
+    v_b = v_b + jnp.cross(w_sum, x) - jnp.einsum("jb,nji->nbi", sub, qdxp)
     return v_b, w_b
 
 
@@ -249,146 +254,111 @@ def _skew(r):
     ], -2)
 
 
-def _mass_matrix(model: Model, x, q, pivots_x):
-    """M (N,75,75) via per-(extended-)subtree moments.
+def _build_jacobians(model: Model, x, q, pivots_x):
+    """Body Jacobians folded for the MXU: Jv (N, B·3, 75) and the per-body
+    world inertias (N, B, 3, 3).
 
-    For extended joints a,b with pivots p_a, p_b and intersection subtree s
-    (tree ⇒ the deeper joint's subtree):
-      M_vv[a,b] = Σ_{k∈s} m_k [r_ka]×ᵀ[r_kb]×,  r_ka = x_k − p_a
-                = (tr(P) E − Pᵀ),  P = Σ m_k r_ka r_kbᵀ  (from moments)
-      M_ωω[a,b] += Σ_{k∈s} I_k (world)
-    Root-linear rows close the 75×75: M[lin,lin] = M_tot E,
-    M[lin, a] = −[s_a]×, s_a = Σ_{k∈sub(a)} m_k (x_k − p_a).
+    Column layout: [root-lin (3) | 72 angular columns (root-ang a=0, joints
+    a=1..23)]. For body k and extended joint a (ancestor):
+        Jv[k, :, ang-col a] = −[x_k − p_a]× = −[x_k]× + [p_a]×
+    distributed into two matmuls against static selector tensors so no
+    (N, A, B, 3, 3) block tensor is materialized.
     """
     p = model.params
-    m = p.mass                                           # (N,B)
+    N = x.shape[0]
     R = quat.to_matrix(q)
     I_world = jnp.einsum("nbik,nbk,nbjk->nbij", R, p.inertia, R)
 
-    subx = jnp.asarray(_SUBX)                            # (24ext,24)
-    M0 = jnp.einsum("ab,nb->na", subx, m)                # (N,24ext)
-    M1 = jnp.einsum("ab,nb,nbi->nai", subx, m, x)        # (N,24ext,3)
-    M2 = jnp.einsum("ab,nb,nbi,nbj->naij", subx, m, x, x)
-    Isum = jnp.einsum("ab,nbij->naij", subx, I_world)
+    jw = jnp.asarray(_JW_EXT)                            # (B,3,72)
+    col = jnp.asarray(_COL_EXT)                          # (24ext,3,72)
+    subx = jnp.asarray(_SUBX)                            # (24ext,B)
 
-    piv = pivots_x                                       # (N,24ext,3)
+    skew_x = _skew(x)                                    # (N,B,3,3)
+    skew_p = _skew(pivots_x)                             # (N,24ext,3,3)
 
-    nest = jnp.asarray(_NESTX_SAFE)
-    valid = jnp.asarray(_NEST_VALID)
+    term1 = jnp.einsum("nkij,kjc->nkic", -skew_x, jw)    # (N,B,3,72)
+    t2 = jnp.einsum("naij,ajc->naic", skew_p, col)       # (N,24ext,3,72)
+    term2 = jnp.einsum("naic,ak->nkic", t2, subx)        # (N,B,3,72)
+    eye = jnp.broadcast_to(jnp.eye(3), (N, B, 3, 3))
+    Jv = jnp.concatenate([eye, term1 + term2], axis=-1)  # (N,B,3,75)
+    return Jv.reshape(N, B * 3, NU), I_world
 
-    # gather intersection moments for every (a,b) pair
-    M0s = M0[:, nest]                                    # (N,24,24)
-    M1s = M1[:, nest]                                    # (N,24,24,3)
-    M2s = M2[:, nest]                                    # (N,24,24,3,3)
-    Iss = Isum[:, nest]
 
-    pa = piv[:, :, None]                                 # (N,24,1,3)
-    pb = piv[:, None, :]                                 # (N,1,24,3)
-    # P = Σ m r_ka r_kbᵀ = M2 − M1 pbᵀ − pa M1ᵀ + M0 pa pbᵀ
-    P = (M2s
-         - M1s[..., :, None] * pb[..., None, :]
-         - pa[..., :, None] * M1s[..., None, :]
-         + M0s[..., None, None] * pa[..., :, None] * pb[..., None, :])
-    trP = P[..., 0, 0] + P[..., 1, 1] + P[..., 2, 2]
-    eye = jnp.eye(3)
-    Mvv = trP[..., None, None] * eye - jnp.swapaxes(P, -1, -2)
-    blocks = (Mvv + Iss) * valid[None, :, :, None, None]  # (N,24,24,3,3)
-
-    # root-linear couplings
-    s_a = M1 - M0[..., None] * piv                       # (N,24ext,3)
-    lin_a = -_skew(s_a)                                  # (N,24ext,3,3) = −[s_a]×
-
-    N = x.shape[0]
-    # assemble (N,75,75): [lin(3) | ang+joints(72)]
-    A = jnp.zeros((N, NU, NU))
-    Mtot = M0[:, 0]
-    A = A.at[:, 0:3, 0:3].set(Mtot[:, None, None] * eye)
-    # lin-ext blocks
-    linext = jnp.swapaxes(lin_a, 1, 2).reshape(N, 3, -1)  # (N,3,24*3)
-    A = A.at[:, 0:3, 3:].set(linext)
-    A = A.at[:, 3:, 0:3].set(jnp.swapaxes(linext, -1, -2))
-    big = jnp.swapaxes(blocks, 2, 3).reshape(N, (NJ + 1) * 3, (NJ + 1) * 3)
-    A = A.at[:, 3:, 3:].set(big)
-    return A
+def _mass_matrix_from_jac(model: Model, Jv72, I_world):
+    """M = Jvᵀ diag(m) Jv + Jwᵀ I_blkdiag Jw — two batched matmuls."""
+    p = model.params
+    N = Jv72.shape[0]
+    m_rep = jnp.repeat(p.mass, 3, axis=-1)               # (N,72)
+    Mv = jnp.einsum("nrc,nr,nrd->ncd", Jv72, m_rep, Jv72)
+    jw = jnp.asarray(_JW_EXT)                            # (B,3,72)
+    IJw = jnp.einsum("nkij,kjc->nkic", I_world, jw)      # (N,B,3,72)
+    Mw = jnp.einsum("kic,nkid->ncd", jw, IJw)            # (N,72,72)
+    return Mv.at[:, 3:, 3:].add(Mw)
 
 
 # ---------------------------------------------------------------------------
 # Generalized forces
 # ---------------------------------------------------------------------------
 
-def _point_jacobian_rows(x0, pivots_x, points, body_idx_mask):
-    """Jacobian of world point velocities wrt u.
-
-    points (N,C,3); body_idx_mask (C, 24) one-hot body of each point (static).
-    Returns Jc (N,C,3,75).
-    """
+def _contact_jacobians(model: Model, x, q, pivots_x, points):
+    """Contact-point velocity Jacobians (N, C·3, 75) via the same static
+    selector matmuls as the body Jacobians (one per contact sample)."""
     N, C = points.shape[0], points.shape[1]
-    eye = jnp.eye(3)
-    Jc = jnp.zeros((N, C, 3, NU))
-    Jc = Jc.at[..., 0:3].set(jnp.broadcast_to(eye, (N, C, 3, 3)))
-    r0 = points - x0[:, None]                            # (N,C,3)
-    Jc = Jc.at[..., 3:6].set(-_skew(r0))
-    # joints: −[p − piv_j]× if joint j is an ancestor of the point's body
-    anc = body_idx_mask @ _SUB.T                         # (C, 23) static
-    rj = points[:, :, None] - pivots_x[:, None, 1:]      # (N,C,23,3)
-    sk = -_skew(rj) * jnp.asarray(anc)[None, :, :, None, None]
-    Jc = Jc.at[..., 6:].set(
-        jnp.swapaxes(sk, 2, 3).reshape(N, C, 3, NJ * 3))
+    jwc = jnp.asarray(_JW_EXT[_CONTACT_BODY])            # (C,3,72) static
+    col = jnp.asarray(_COL_EXT)
+    subx = jnp.asarray(_SUBX)
+    skew_pt = _skew(points)                              # (N,C,3,3)
+    skew_p = _skew(pivots_x)
+    term1 = jnp.einsum("ncij,cjd->ncid", -skew_pt, jwc)
+    t2 = jnp.einsum("naij,ajc->naic", skew_p, col)       # (N,24ext,3,72)
+    term2 = jnp.einsum("naic,ak->nkic", t2, subx)        # (N,B,3,72)
+    term2c = term2[:, _CONTACT_BODY]                     # (N,C,3,72)
+    eye = jnp.broadcast_to(jnp.eye(3), (N, C, 3, 3))
+    Jc = jnp.concatenate([eye, term1 + term2c], axis=-1)  # (N,C,3,75)
     return Jc
 
 
-def _gravity_bias_spring(model, x, q, v_b, w_b, u, pivots_x, target_q, dt,
-                         gvec):
-    """Q_gravity + Q_bias + explicit spring RHS; also returns (K, D) diags."""
+def _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv72, I_world, target_q,
+                         dt, gvec):
+    """Q_gravity + Q_bias + explicit spring RHS, all through Jᵀ matvecs.
+
+    Cross products are distributed (see _body_velocities) so the bias needs
+    no (N, J, B, 3) intermediates; generalized forces are two batched
+    matvecs against the folded Jacobian.
+    """
     p = model.params
     m = p.mass
-    subx = jnp.asarray(_SUBX)
-
-    # gravity: Q_lin = M_tot g;  Q_a = Σ_{k∈sub(a)} m_k (x_k − p_a) × g
-    s_a = (jnp.einsum("ab,nb,nbi->nai", subx, m, x)
-           - jnp.einsum("ab,nb->na", subx, m)[..., None] * pivots_x)
-    Qg_ext = jnp.cross(s_a, gvec)                        # (N,24ext,3)
-    Qg_lin = jnp.einsum("nb,i->ni", m.sum(-1, keepdims=True), gvec)
-
-    # velocity-product (bias): a_k^vp and gyroscopic
+    N = x.shape[0]
     parent = np.maximum(PARENTS, 0)
     qd = u[:, 6:].reshape(-1, NJ, 3)
     w_root = u[:, 3:6]
-    v_root_pt = v_b[:, 0]
-    # pivot point velocities (attached to parent body)
-    piv_j = pivots_x[:, 1:]
+
+    # velocity-product accelerations: a_b = ω_root×(v_b − v_root)
+    #   + (Σ_j S qd_j)×v_b − Σ_j S (qd_j×v_piv_j)
+    piv_j = x[:, 1:] + quat.rotate(q[:, 1:], model.anchor_c[:, 1:])
     v_piv = (v_b[:, parent][:, 1:]
              + jnp.cross(w_b[:, parent][:, 1:],
                          piv_j - x[:, parent][:, 1:]))
     sub = jnp.asarray(_SUB)
-    a_vp = jnp.cross(w_root[:, None], v_b - v_root_pt[:, None])
-    a_vp = a_vp + jnp.einsum(
-        "jb,njbi->nbi", sub,
-        jnp.cross(qd[:, :, None], v_b[:, None] - v_piv[:, :, None]))
-    R = quat.to_matrix(q)
-    I_world = jnp.einsum("nbik,nbk,nbjk->nbij", R, p.inertia, R)
+    w_sum = jnp.einsum("jb,nji->nbi", sub, qd)
+    a_vp = (jnp.cross(w_root[:, None], v_b - v_b[:, 0:1])
+            + jnp.cross(w_sum, v_b)
+            - jnp.einsum("jb,nji->nbi", sub, jnp.cross(qd, v_piv)))
     gyro = jnp.cross(w_b, jnp.einsum("nbij,nbj->nbi", I_world, w_b))
 
-    f_in = m[..., None] * a_vp                           # inertial force
-    Qb_lin = -jnp.einsum("nbi->ni", f_in)
-    r_ext = x[:, None] - pivots_x[:, :, None]            # (N,24ext,B,3)
-    Qb_ext = -(jnp.einsum("ab,nabi->nai", subx,
-                          jnp.cross(r_ext, f_in[:, None]))
-               + jnp.einsum("ab,nbi->nai", subx, gyro))
+    # generalized forces: Q = Jvᵀ f_lin + Jwᵀ τ_ang
+    f_lin = m[..., None] * (gvec[None, None] - a_vp)     # gravity − inertial
+    Q = jnp.einsum("nrc,nr->nc", Jv72, f_lin.reshape(N, -1))
+    jw = jnp.asarray(_JW_EXT)                            # (B,3,72)
+    tau_ang = -gyro                                      # (N,B,3)
+    Q = Q.at[:, 3:].add(jnp.einsum("kic,nki->nc", jw, tau_ang))
 
     # Stable-PD spring: θ in world frame; RHS gets −kp·θ (implicit terms → LHS)
     qp = q[:, parent][:, 1:]
     q_rel = quat.mul(quat.conjugate(qp), q[:, 1:])
     q_err = quat.mul(q_rel, quat.conjugate(target_q))
     theta = quat.rotate(qp, quat.to_exp_map(q_err))      # (N,23,3)
-    Q_spring = -p.kp[..., None] * theta
-
-    Q = jnp.concatenate([
-        Qg_lin + Qb_lin,
-        (Qg_ext + Qb_ext)[:, 0],
-        (Qg_ext + Qb_ext)[:, 1:].reshape(x.shape[0], -1)
-        + Q_spring.reshape(x.shape[0], -1),
-    ], axis=-1)
+    Q = Q.at[:, 6:].add((-p.kp[..., None] * theta).reshape(N, -1))
     return Q
 
 
@@ -460,11 +430,12 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     piv_j = x[:, 1:] + quat.rotate(q[:, 1:], model.anchor_c[:, 1:])
     pivots_x = jnp.concatenate([x[:, 0:1], piv_j], axis=1)   # (N,24ext,3)
 
-    M = _mass_matrix(model, x, q, pivots_x)
+    Jv72, I_world = _build_jacobians(model, x, q, pivots_x)
+    M = _mass_matrix_from_jac(model, Jv72, I_world)
 
     gvec = jnp.array([0.0, 0.0, cfg.gravity])
-    Q = _gravity_bias_spring(model, x, q, v_b, w_b, u, pivots_x, target_q,
-                             dt, gvec)
+    Q = _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv72, I_world,
+                             target_q, dt, gvec)
 
     # ---- LHS: M + dt·D + dt²·K (+ small root damping) ----
     kp = p.kp                                            # (N,23)
@@ -486,7 +457,7 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     pen = (h + radius - pts[..., 2]) * nrm[..., 2]
     active = (pen > 0.0).astype(x.dtype)
 
-    Jc = _point_jacobian_rows(x[:, 0], pivots_x, pts, _CONTACT_ONEHOT)
+    Jc = _contact_jacobians(model, x, q, pivots_x, pts)   # (N,C,3,75)
     # point velocities
     vpt = jnp.einsum("ncij,nj->nci", Jc, u)
     vn = jnp.sum(vpt * nrm, axis=-1)

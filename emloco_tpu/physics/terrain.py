@@ -43,14 +43,28 @@ def flat_terrain(extent: float = 40.0, cell: float = 0.1) -> Heightfield:
     )
 
 
-def _grid_coords(hf: Heightfield, xy: jnp.ndarray):
-    """World xy → fractional grid coords, clamped inside the grid."""
-    gx = (xy[..., 0] - hf.origin[0]) / hf.cell
-    gy = (xy[..., 1] - hf.origin[1]) / hf.cell
+def _grid_coords_xy(hf: Heightfield, x, y):
+    """World x/y component arrays → fractional grid coords, clamped."""
+    gx = (x - hf.origin[0]) / hf.cell
+    gy = (y - hf.origin[1]) / hf.cell
     H, W = hf.heights.shape
     gx = jnp.clip(gx, 0.0, H - 1.001)
     gy = jnp.clip(gy, 0.0, W - 1.001)
     return gx, gy
+
+
+def _grid_coords(hf: Heightfield, xy: jnp.ndarray):
+    """World xy → fractional grid coords, clamped inside the grid."""
+    return _grid_coords_xy(hf, xy[..., 0], xy[..., 1])
+
+
+def height_at_min2_xy(hf: Heightfield, x, y) -> jnp.ndarray:
+    """Component-array variant of height_at_min2 (avoids trailing-2 stacks —
+    TPU lane-padding; see envs/observations.py heightmap_obs)."""
+    gx, gy = _grid_coords_xy(hf, x, y)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    return jnp.minimum(hf.heights[x0, y0], hf.heights[x0 + 1, y0 + 1])
 
 
 def height_at(hf: Heightfield, xy: jnp.ndarray) -> jnp.ndarray:

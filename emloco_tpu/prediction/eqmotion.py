@@ -1,0 +1,216 @@
+"""EqMotion-style equivariant trajectory predictor (second HTP baseline).
+
+Semantic rebuild of the reference's EqMotion ETH-UCY variant
+(/root/reference/EqMotion/h36m/model_t.py:8-170 + gcl_t.py feature-learning
+layers; wired to the LocoVal loss in main_eth_diverse.py:172-177, 295-316):
+
+  * geometric channels: the centered past trajectory (C=past_length coordinate
+    channels per agent) mixed by learned channel matrices WITHOUT bias —
+    linear maps on coordinate channels are rotation/translation equivariant
+  * invariant node features from velocity magnitudes and turn angles
+  * interaction reasoning: per-edge soft categories from invariant features,
+    aggregating relative-coordinate messages weighted per category
+  * multi-head (nmode) equivariant decoders → (B, agents, M, T_future, 2)
+  * WTA (min-over-modes) training loss; EmLoco/LocoVal loss per mode with
+    ValuePoseNet(use_pose=False, use_vel=True)
+
+The whole model is einsums over (B, A, C, 2) tensors — MXU-friendly.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from . import metrics as M
+
+
+@dataclasses.dataclass(frozen=True)
+class EqMotionConfig:
+    past_length: int = 8
+    future_length: int = 12
+    hidden_nf: int = 64
+    hid_channel: int = 32
+    n_layers: int = 4
+    nmode: int = 20
+    category_num: int = 4
+
+
+class EqLayer(nn.Module):
+    """One feature-learning layer: invariant update + equivariant coordinate
+    channel update with reasoning-weighted neighbor aggregation."""
+
+    hidden_nf: int
+    hid_channel: int
+    category_num: int
+
+    @nn.compact
+    def __call__(self, h, z):
+        # h (B,A,H) invariant; z (B,A,C,2) equivariant channels
+        B, A, C, _ = z.shape
+        # invariant pairwise features: channel distances
+        zd = z[:, :, None] - z[:, None]                   # (B,A,A,C,2)
+        dist = jnp.sqrt(jnp.sum(zd ** 2, -1) + 1e-8)      # (B,A,A,C)
+        h1 = jnp.repeat(h[:, :, None], A, 2)
+        h2 = jnp.repeat(h[:, None], A, 1)
+        e_in = jnp.concatenate([h1, h2, dist], -1)
+        e = nn.Dense(self.hidden_nf)(e_in)
+        e = nn.silu(e)
+        e = nn.Dense(self.hidden_nf)(e)
+        e = nn.silu(e)                                    # (B,A,A,H)
+
+        # reasoning: soft interaction categories (model_t.py calc_category)
+        cat = nn.Dense(self.category_num)(e)
+        cat = jax.nn.softmax(cat, -1)                     # (B,A,A,K)
+
+        mask = 1.0 - jnp.eye(A)[None, :, :, None]
+        # equivariant message: per-category scalar gates on channel diffs
+        gate = nn.Dense(self.category_num * C)(e).reshape(
+            B, A, A, self.category_num, C)
+        w = jnp.einsum("bijk,bijkc->bijc", cat, gate) * mask
+        dz = jnp.einsum("bijc,bijcd->bicd", w, zd) / (A - 1 + 1e-6)
+
+        # channel mixing (equivariant linear, no bias)
+        z_new = z + dz + nn.Dense(C, use_bias=False)(
+            jnp.swapaxes(z, -1, -2)).swapaxes(-1, -2)
+
+        # invariant node update
+        agg = jnp.sum(e * mask[..., :1], 2)
+        h_new = h + nn.silu(nn.Dense(self.hidden_nf)(
+            jnp.concatenate([h, agg], -1)))
+        return h_new, z_new
+
+
+class EqMotion(nn.Module):
+    cfg: EqMotionConfig
+
+    @nn.compact
+    def __call__(self, past):
+        """past (B, A, T_past, 2) absolute trajectories →
+        (B, A, nmode, T_future, 2) absolute predictions."""
+        c = self.cfg
+        B, A, T, _ = past.shape
+        center = past[:, :, -1:]                          # last observed
+        z = past - center                                 # translation-equiv
+
+        vel = jnp.diff(past, axis=2, prepend=past[:, :, :1])
+        speed = jnp.linalg.norm(vel, axis=-1)             # (B,A,T)
+        vp = jnp.concatenate([vel[:, :, :1], vel[:, :, :-1]], 2)
+        cos = jnp.sum(vp * vel, -1) / (
+            jnp.linalg.norm(vp, axis=-1) * speed + 1e-6)
+        angle = jnp.arccos(jnp.clip(cos, -1, 1))
+        h = nn.Dense(c.hidden_nf // 2)(speed)
+        h = jnp.concatenate([h, nn.Dense(c.hidden_nf // 2)(angle)], -1)
+
+        # lift T coordinate channels → hid_channel (equivariant, no bias)
+        zc = nn.Dense(c.hid_channel, use_bias=False,
+                      name="coord_trans")(jnp.swapaxes(z, -1, -2))
+        zc = jnp.swapaxes(zc, -1, -2)                     # (B,A,C,2)
+
+        for i in range(c.n_layers):
+            h, zc = EqLayer(c.hidden_nf, c.hid_channel, c.category_num,
+                            name=f"gcl_{i}")(h, zc)
+
+        # multi-head equivariant decoders (no bias → equivariance preserved)
+        outs = []
+        for m in range(c.nmode):
+            o = nn.Dense(c.future_length, use_bias=False,
+                         name=f"head_{m}")(jnp.swapaxes(zc, -1, -2))
+            outs.append(jnp.swapaxes(o, -1, -2))          # (B,A,Tf,2)
+        out = jnp.stack(outs, 2)                          # (B,A,M,Tf,2)
+        return out + center[:, :, None]
+
+
+class EqMotionTrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    key: jnp.ndarray
+    step: jnp.ndarray
+
+
+class EqMotionTrainer:
+    """ETH-UCY-style training with WTA loss + optional LocoVal loss
+    (reference main_eth_diverse.py:295-316: per-mode
+    calc_embodied_motion_loss with init_vel only, averaged, ×valueloss_w)."""
+
+    def __init__(self, cfg: EqMotionConfig = EqMotionConfig(), lr=5e-4,
+                 vnet=None, valueloss_w: float = 0.0):
+        self.cfg = cfg
+        self.model = EqMotion(cfg)
+        self.tx = optax.adam(lr)
+        self.vnet = vnet
+        self.valueloss_w = valueloss_w
+
+    def init(self, key, example_past, vnet_params=None):
+        params = self.model.init(key, example_past)
+        return EqMotionTrainState(
+            params=params, opt_state=self.tx.init(params),
+            key=key, step=jnp.zeros((), jnp.int32)), vnet_params
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def train_step(self, ts, vnet_params, past, future):
+        """past (B,A,Tp,2); future (B,A,Tf,2). Primary agent = index 0."""
+
+        def loss_fn(p):
+            pred = self.model.apply(p, past)              # (B,A,M,Tf,2)
+            err = jnp.linalg.norm(pred[:, 0] - future[:, 0:1], axis=-1)
+            wta = err.mean(-1).min(-1).mean()             # ego-agent WTA
+            total = wta
+            vloss = 0.0
+            if self.vnet is not None and self.valueloss_w > 0:
+                # per-mode LocoVal loss with velocity only
+                cur = past[:, 0, -1:]
+                init_vel = (past[:, 0, -1] - past[:, 0, -2]) * 2.5
+                rel = pred[:, 0] - cur[:, None]           # (B,M,Tf,2)
+                origin = jnp.zeros_like(rel[:, :, :1])
+                trajs = jnp.concatenate([origin, rel], 2)  # (B,M,Tf+1,2)
+                Mm = trajs.shape[1]
+                for m in range(Mm):
+                    v = self.vnet.apply(vnet_params, trajs[:, m], None,
+                                        init_vel)
+                    vloss = vloss + jnp.mean((v - 1.0) ** 2)
+                vloss = vloss / Mm
+                total = total + self.valueloss_w * vloss
+            return total, dict(wta=wta, value_loss=vloss)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ts.params)
+        updates, opt_state = self.tx.update(grads, ts.opt_state)
+        params = optax.apply_updates(ts.params, updates)
+        return ts.replace(params=params, opt_state=opt_state,
+                          step=ts.step + 1), aux
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def predict(self, params, past):
+        return self.model.apply(params, past)
+
+    def evaluate(self, params, past, future):
+        pred = self.predict(params, past)[:, 0]          # (B,M,Tf,2)
+        pred = jnp.moveaxis(pred, 1, 2)                  # (B,Tf,M,2)
+        return {k: float(v) for k, v in
+                M.ade_fde(pred, future[:, 0]).items()
+                if not k.endswith("per_mode")}
+
+
+def synthetic_eth_batch(key, batch=8, agents=4, past=8, future=12):
+    """ETH-UCY-like random pedestrian scenes (2.5 Hz world coordinates)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    T = past + future
+    speed = jax.random.uniform(k1, (batch, agents, 1), minval=0.3, maxval=1.8)
+    heading0 = jax.random.uniform(k2, (batch, agents, 1), minval=-np.pi,
+                                  maxval=np.pi)
+    curv = jax.random.normal(k3, (batch, agents, 1)) * 0.1
+    t = jnp.arange(T)[None, None]
+    heading = heading0 + curv * t
+    v = jnp.stack([speed * jnp.cos(heading), speed * jnp.sin(heading)], -1)
+    xy = jnp.cumsum(v, 2) / 2.5
+    xy = xy + jax.random.uniform(k4, (batch, agents, 1, 2), minval=-5,
+                                 maxval=5)
+    return xy[:, :, :past], xy[:, :, past:]

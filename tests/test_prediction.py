@@ -116,3 +116,53 @@ def test_evaluate_with_filter():
     for k in ("ade_min", "fde_min", "ade_filtered_min", "ade_value_pick",
               "ade_random_pick", "gt_value_mean", "chi2_speed"):
         assert k in out and np.isfinite(out[k]), k
+
+
+def test_eqmotion_equivariance_and_training():
+    from emloco_tpu.prediction.eqmotion import (
+        EqMotionConfig, EqMotionTrainer, synthetic_eth_batch)
+
+    cfg = EqMotionConfig(hidden_nf=16, hid_channel=8, n_layers=2, nmode=3)
+    trainer = EqMotionTrainer(cfg, lr=1e-3)
+    key = jax.random.PRNGKey(0)
+    past, future = synthetic_eth_batch(key, batch=4, agents=3)
+    ts, _ = trainer.init(key, past)
+    pred = trainer.predict(ts.params, past)
+    assert pred.shape == (4, 3, 3, 12, 2)
+
+    # rotation equivariance: R·f(x) == f(R·x)
+    ang = 0.7
+    c, s = np.cos(ang), np.sin(ang)
+    R = jnp.asarray(np.array([[c, -s], [s, c]], np.float32))
+    pred_rot = trainer.predict(ts.params, jnp.einsum("ij,batj->bati", R, past))
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("ij,bamtj->bamti", R, pred)),
+        np.asarray(pred_rot), atol=2e-3)
+    # translation equivariance
+    shift = jnp.array([3.0, -2.0])
+    pred_sh = trainer.predict(ts.params, past + shift)
+    np.testing.assert_allclose(np.asarray(pred + shift), np.asarray(pred_sh),
+                               atol=2e-3)
+
+    # training reduces WTA loss
+    losses = []
+    for i in range(10):
+        ts, aux = trainer.train_step(ts, None, past, future)
+        losses.append(float(aux["wta"]))
+    assert losses[-1] < losses[0]
+
+
+def test_eqmotion_with_locoval():
+    from emloco_tpu.prediction.eqmotion import (
+        EqMotionConfig, EqMotionTrainer, synthetic_eth_batch)
+
+    cfg = EqMotionConfig(hidden_nf=16, hid_channel=8, n_layers=1, nmode=2)
+    vnet = ValuePoseNet(use_pose=False, use_vel=True)
+    key = jax.random.PRNGKey(0)
+    vp = vnet.init(key, jnp.zeros((1, 13, 2)), None, jnp.zeros((1, 2)))
+    trainer = EqMotionTrainer(cfg, lr=1e-3, vnet=vnet, valueloss_w=0.5)
+    past, future = synthetic_eth_batch(key, batch=2, agents=2)
+    ts, vp = trainer.init(key, past, vnet_params=vp)
+    ts, aux = trainer.train_step(ts, vp, past, future)
+    assert np.isfinite(float(aux["value_loss"]))
+    assert float(aux["value_loss"]) > 0
