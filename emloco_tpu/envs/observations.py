@@ -14,6 +14,7 @@ discriminators and the LocoVal function see the same features:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -171,6 +172,63 @@ def heightmap_obs(terrain: Heightfield, sensor_pos, sensor_rot, center_xy,
     cpx, cpy = _rotate_grid_xy(heading, cg, center_xy)
     ch = height_at_min2_xy(terrain, cpx, cpy).mean(-1, keepdims=True)
     return jnp.clip(ch - h, -3.0, 3.0) * meas_scale
+
+
+GROUP_JOINTS = np.array([0, 1, 5, 9, 3, 7, 16, 21, 18, 23])  # reference :1626
+
+
+def group_obs(body_pos, body_vel, root_rot, group_size: int, top_k: int = 5,
+              max_dist: float = 10.0) -> jnp.ndarray:
+    """Crowd observation: heading-local positions of 10 selected joints of the
+    top-k nearest people in the env's group, plus their root velocities;
+    neighbors beyond max_dist are zeroed (reference compute_group_observation,
+    humanoid_pedestrain_terrain.py:1613-1666). Output (N, k·(10+1)·3)."""
+    N, J, _ = body_pos.shape
+    G = N // group_size
+    root_pos = body_pos[:, 0]
+    heading_inv = quat.heading_quat_inv(root_rot)
+
+    k_req = top_k
+    top_k = min(top_k, group_size - 1)
+    gp = root_pos.reshape(G, group_size, 3)
+    dist = jnp.linalg.norm(gp[:, :, None] - gp[:, None], axis=-1)
+    # exclude self via +inf on the diagonal
+    dist = dist + jnp.eye(group_size)[None] * 1e9
+    _, idx = jax.lax.top_k(-dist, top_k)                  # (G,P,k) nearest
+    topk_dist = jnp.take_along_axis(dist, idx, -1)        # (G,P,k)
+    flat_idx = (idx + jnp.arange(G)[:, None, None] * group_size).reshape(-1)
+
+    sel_pos = body_pos[flat_idx][:, jnp.asarray(GROUP_JOINTS)]  # (N·k,10,3)
+    sel_vel = body_vel[flat_idx][:, 0:1]                        # (N·k,1,3)
+    k = top_k
+    rep = lambda a: jnp.repeat(a, k, axis=0)
+    local_pos = quat.rotate(rep(heading_inv)[:, None],
+                            sel_pos - rep(root_pos)[:, None])
+    local_vel = quat.rotate(rep(heading_inv)[:, None], sel_vel)
+    mask = (topk_dist.reshape(-1) <= max_dist)[:, None, None]
+    local_pos = local_pos * mask
+    local_vel = local_vel * mask
+    feat = jnp.concatenate([local_pos, local_vel], axis=1)      # (N·k,11,3)
+    out = feat.reshape(N, top_k, -1)
+    if k_req > top_k:   # small groups: pad missing neighbors with zeros
+        pad = jnp.zeros((N, k_req - top_k, out.shape[-1]))
+        out = jnp.concatenate([out, pad], axis=1)
+    return out.reshape(N, -1)
+
+
+def velocity_map_obs(terrain, sensor_pos, sensor_rot, center_xy, grid_local,
+                     root_vel, meas_scale: float = 5.0) -> jnp.ndarray:
+    """3-channel sensor variant (reference velocity_map flag,
+    humanoid_pedestrain_terrain.py:420-434): [relative height, heading-local
+    root velocity xy broadcast over the grid] → (N, P·3)."""
+    h = heightmap_obs(terrain, sensor_pos, sensor_rot, center_xy, grid_local,
+                      meas_scale)                         # (N,P)
+    heading_inv = quat.heading_quat_inv(sensor_rot)
+    v_local = quat.rotate(heading_inv, root_vel)          # (N,3)
+    P = h.shape[-1]
+    vx = jnp.repeat(v_local[:, 0:1], P, -1)
+    vy = jnp.repeat(v_local[:, 1:2], P, -1)
+    return jnp.stack([h, vx, vy], -1).reshape(h.shape[0], -1)
 
 
 def flip_body_state(body_pos, body_rot, body_vel, body_ang_vel):

@@ -75,6 +75,11 @@ class EnvConfig(struct.PyTreeNode):
     # ref-state init: probability of motion-library state vs default pose
     # (reference StateInit Random / hybridInitProb semantics)
     ref_state_init_prob: float = struct.field(pytree_node=False, default=0.9)
+    # crowd observation (reference divide_group/group_obs, humanoid.py:222-226)
+    group_obs: bool = struct.field(pytree_node=False, default=False)
+    group_size: int = struct.field(pytree_node=False, default=128)
+    # 3-channel velocity-map sensor variant (reference velocity_map flag)
+    velocity_map: bool = struct.field(pytree_node=False, default=False)
     traj: traj_gen.TrajConfig = struct.field(
         pytree_node=False,
         default=traj_gen.TrajConfig(episode_dur=2 * 168 / 30.0))
@@ -93,7 +98,9 @@ class EnvConfig(struct.PyTreeNode):
     def task_obs_dim(self):
         d = self.num_traj_samples * 2
         if self.terrain_obs:
-            d += self.sensor_res ** 2
+            d += self.sensor_res ** 2 * (3 if self.velocity_map else 1)
+        if self.group_obs:
+            d += 5 * 11 * 3
         return d
 
     @property
@@ -338,13 +345,22 @@ class PedestrianTerrainEnv:
             state.traj_verts, times, cfg.traj.episode_dur,
             cfg.num_traj_samples, cfg.traj_sample_timestep)
         loc = obs.location_obs(root_pos, root_rot, samples)
-        if not cfg.terrain_obs:
-            return loc
-        head = pos[:, self.tree.index("Head")]
-        hm = obs.heightmap_obs(self.terrain, head, root_rot,
-                               root_pos[:, :2], self.sensor_grid,
-                               cfg.height_meas_scale)
-        return jnp.concatenate([loc, hm], -1)
+        parts = [loc]
+        if cfg.terrain_obs:
+            head = pos[:, self.tree.index("Head")]
+            if cfg.velocity_map:
+                vel = physics.body_v[:, 0]
+                parts.append(obs.velocity_map_obs(
+                    self.terrain, head, root_rot, root_pos[:, :2],
+                    self.sensor_grid, vel, cfg.height_meas_scale))
+            else:
+                parts.append(obs.heightmap_obs(
+                    self.terrain, head, root_rot, root_pos[:, :2],
+                    self.sensor_grid, cfg.height_meas_scale))
+        if cfg.group_obs:
+            gsz = min(cfg.group_size, cfg.num_envs)
+            parts.append(obs.group_obs(pos, physics.body_v, root_rot, gsz))
+        return jnp.concatenate(parts, -1) if len(parts) > 1 else loc
 
     def observe(self, state: EnvState):
         return jnp.concatenate(

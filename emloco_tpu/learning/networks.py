@@ -117,6 +117,39 @@ class AMPSeptValueNet(nn.Module):
         return mu, sigma, v, d, tv
 
 
+class AMPSeptCNNNet(AMPSeptValueNet):
+    """Heightmap variant: conv encoder over the (res×res×C) sensor image
+    instead of flattening it into the task MLP (reference AMPSeptCNNBuilder,
+    amp_network_sept_cnn_builder.py:17-164)."""
+
+    sensor_res: int = 32
+    sensor_channels: int = 1
+    cnn_features: Tuple[int, ...] = (16, 32, 32)
+
+    def setup(self):
+        super().setup()
+        self.convs = [nn.Conv(f, (3, 3), strides=(2, 2), name=f"cnn_{i}")
+                      for i, f in enumerate(self.cnn_features)]
+        self.cnn_proj = nn.Dense(self.task_units[-1], name="cnn_proj")
+
+    def task_embed(self, task_obs):
+        traj = task_obs[..., :self.traj_obs_dim]
+        hm = task_obs[..., self.traj_obs_dim:
+                      self.traj_obs_dim
+                      + self.sensor_res ** 2 * self.sensor_channels]
+        rest = task_obs[..., self.traj_obs_dim
+                        + self.sensor_res ** 2 * self.sensor_channels:]
+        img = hm.reshape(hm.shape[:-1] + (self.sensor_res, self.sensor_res,
+                                          self.sensor_channels))
+        h = img
+        for conv in self.convs:
+            h = nn.relu(conv(h))
+        h = h.reshape(h.shape[:-3] + (-1,))
+        cnn_feat = nn.relu(self.cnn_proj(h))
+        mlp_feat = _run_mlp(self.task_mlp, jnp.concatenate([traj, rest], -1))
+        return jnp.concatenate([mlp_feat, cnn_feat], -1)
+
+
 class ValuePoseNet(nn.Module):
     """The LocoVal function (reference value_pose_net.py:10-159)."""
 

@@ -103,3 +103,35 @@ def test_locoval_training():
     # second epoch runs from carried state
     vts, metrics = trainer.train_epoch(vts)
     assert np.isfinite(float(metrics["vnet_loss"]))
+
+
+def test_cnn_network_variant():
+    from emloco_tpu.learning.networks import AMPSeptCNNNet
+
+    net = AMPSeptCNNNet(num_actions=69, self_obs_dim=379, traj_obs_dim=30,
+                        task_obs_dim=30 + 16 * 16, sensor_res=16,
+                        mlp_units=(64,), task_units=(32,), disc_units=(32,))
+    key = jax.random.PRNGKey(0)
+    obs = jax.random.normal(key, (3, 379 + 30 + 256))
+    amp = jax.random.normal(key, (3, 100))
+    params = net.init(key, obs, amp)
+    mu, sigma, v, d, tv = net.apply(params, obs, amp)
+    assert mu.shape == (3, 69) and v.shape == (3,)
+    assert np.all(np.isfinite(np.asarray(mu)))
+
+
+def test_group_obs_and_velocity_map_env():
+    from emloco_tpu.envs import EnvConfig, PedestrianTerrainEnv
+    from emloco_tpu.kinematics import motion_lib as ml
+    from emloco_tpu.physics import flat_terrain
+
+    cfg = EnvConfig(num_envs=4, sensor_res=8, num_amp_obs_steps=3,
+                    group_obs=True, group_size=4, velocity_map=True)
+    env = PedestrianTerrainEnv(cfg, flat_terrain(20.0),
+                               ml.synthetic_walk_motions(speeds=(1.0,),
+                                                         duration=2.0))
+    st = env.reset(jax.random.PRNGKey(0))
+    o = env.observe(st)
+    assert o.shape == (4, env.obs_dim)
+    assert env.task_obs_dim == 30 + 8 * 8 * 3 + 165
+    assert np.all(np.isfinite(np.asarray(o)))
