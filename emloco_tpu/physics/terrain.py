@@ -225,16 +225,17 @@ def walkable_mask(heights: np.ndarray, cell: float, max_slope: float = 0.5,
     (reference: walkable_field_raw + binary dilation,
     humanoid_pedestrain_terrain.py:1196-1210)."""
     gx, gy = np.gradient(heights, cell)
-    ok = (np.abs(gx) < max_slope) & (np.abs(gy) < max_slope)
-    # erosion by max-pool of the bad mask
-    bad = ~ok
+    bad = (np.abs(gx) >= max_slope) | (np.abs(gy) >= max_slope)
+    # separable box dilation of the bad mask by margin (borders count as bad)
     k = margin_cells
     H, W = heights.shape
     padded = np.pad(bad, k, constant_values=True)
-    out = np.zeros_like(bad)
+    rows = np.zeros((H, W + 2 * k), bool)
     for dx in range(-k, k + 1):
-        out |= padded[k + dx:k + dx + H, k:k + W]
-        out |= padded[k:k + H, k + dx:k + dx + W]
+        rows |= padded[k + dx:k + dx + H, :]
+    out = np.zeros((H, W), bool)
+    for dy in range(-k, k + 1):
+        out |= rows[:, k + dy:k + dy + W]
     return ~out
 
 
