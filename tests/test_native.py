@@ -24,10 +24,12 @@ def test_walkable_mask_matches_numpy():
     h[20:30, 20:30] = 2.0  # steep obstacle
     m_native = fast_walkable_mask(h, cell=0.1, max_slope=0.5, margin_cells=3)
     m_numpy = walkable_mask(h, cell=0.1, max_slope=0.5, margin_cells=3)
-    # obstacle + margin is excluded in both; interiors agree
-    assert not m_native[18:32, 18:32].any()
+    # the obstacle's steep edges (+margin) are excluded; the flat plateau on
+    # top stays walkable
+    assert not m_native[17:22, 17:32].any()   # leading edge + margin
+    assert not m_native[28:33, 17:32].any()   # trailing edge + margin
     agreement = (m_native == m_numpy).mean()
-    assert agreement > 0.95, f"agreement {agreement:.3f}"
+    assert agreement == 1.0, f"agreement {agreement:.3f}"
 
 
 def test_spawn_table():
