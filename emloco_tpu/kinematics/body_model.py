@@ -327,6 +327,64 @@ def build_body_params(
     )
 
 
+def to_mjcf(params: BodyParams, env_idx: int = 0,
+            model_name: str = "emloco_humanoid") -> str:
+    """Export one env's body parameters as a MuJoCo MJCF XML string.
+
+    Interop counterpart of the reference's Robot.write_xml
+    (smpl_local_robot.py:1235-1447): capsule geoms per body, spherical joints
+    as 3 hinge-equivalent ball joints with per-axis ranges, actuator gears
+    from the torque limits — so a humanoid built here can be loaded into
+    MuJoCo (or compared against the reference's assets).
+    """
+    import xml.etree.ElementTree as ET
+
+    i = env_idx
+    off = np.asarray(params.local_offsets[i])
+    start = np.asarray(params.capsule_start[i])
+    axis = np.asarray(params.capsule_axis[i])
+    half = np.asarray(params.capsule_half[i])
+    radius = np.asarray(params.capsule_radius[i])
+    lim = np.asarray(params.joint_limit[i])
+    kp = np.asarray(params.kp[i])
+    kd = np.asarray(params.kd[i])
+    tl = np.asarray(params.torque_limit[i])
+
+    root = ET.Element("mujoco", model=model_name)
+    ET.SubElement(root, "option", timestep="0.016667", gravity="0 0 -9.81")
+    worldbody = ET.SubElement(root, "worldbody")
+    actuators = ET.SubElement(root, "actuator")
+
+    nodes = {}
+    h0 = float(params.height_offset[i])
+    for b, name in enumerate(BODY_NAMES):
+        parent_el = worldbody if PARENTS[b] < 0 else nodes[PARENTS[b]]
+        pos = off[b] if b > 0 else np.array([0.0, 0.0, h0])
+        body = ET.SubElement(parent_el, "body", name=name,
+                             pos=" ".join(f"{v:.5f}" for v in pos))
+        nodes[b] = body
+        if b == 0:
+            ET.SubElement(body, "freejoint", name="root")
+        else:
+            j = b - 1
+            for ax_i, ax_v in enumerate(("1 0 0", "0 1 0", "0 0 1")):
+                ET.SubElement(
+                    body, "joint", name=f"{name}_{'xyz'[ax_i]}",
+                    type="hinge", axis=ax_v, damping=f"{kd[j]:.3f}",
+                    stiffness="0",
+                    range=f"{-lim[j, ax_i]:.4f} {lim[j, ax_i]:.4f}")
+                ET.SubElement(
+                    actuators, "motor", name=f"{name}_{'xyz'[ax_i]}",
+                    joint=f"{name}_{'xyz'[ax_i]}", gear=f"{tl[j]:.1f}")
+        p0 = start[b]
+        p1 = start[b] + 2 * half[b] * axis[b]
+        ET.SubElement(
+            body, "geom", type="capsule", size=f"{radius[b]:.5f}",
+            fromto=" ".join(f"{v:.5f}" for v in np.concatenate([p0, p1])))
+    ET.indent(root)
+    return ET.tostring(root, encoding="unicode")
+
+
 def from_smpl_npz(path: str, betas: jnp.ndarray, **kw) -> BodyParams:
     """Build BodyParams from a real SMPL model file (J_regressor/shapedirs).
 

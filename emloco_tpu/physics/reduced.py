@@ -87,6 +87,29 @@ for a in range(NJ + 1):
     for j in range(3):
         _COL_EXT[a, j, 3 * a + j] = 1.0
 
+# ε-contracted static tensors: fold the cross-product (skew) structure into
+# the column selectors so Jacobian assembly is a single batched matmul per
+# term and NO (N, ·, 3, 3) skew tensor is materialized (TPU: a (3,3) trailing
+# tile pads to (8,128) ≈ 113× memory traffic).
+#   skew(r)[i,l] = Σ_j ε_ijl·... concretely: (−[r]× @ S)[i,c] = Σ_j r_j·E[j,i,c]
+#   with E[j,i,c] = −Σ_l eps[i,j→]  — we build E by direct construction.
+def _eps_fold(sel):
+    """sel (K, 3, C) one-hot column selector → E (K, 3, 3, C) such that
+    Σ_j r_j·E[k, j, i, c] == (−[r]× @ sel[k])[i, c]."""
+    K, _, C = sel.shape
+    out = np.zeros((K, 3, 3, C), np.float32)
+    # −[r]×[i, l]: [[0, r2, −r1], [−r2, 0, r0], [r1, −r0, 0]]
+    terms = {(0, 1): (2, 1.0), (0, 2): (1, -1.0),
+             (1, 0): (2, -1.0), (1, 2): (0, 1.0),
+             (2, 0): (1, 1.0), (2, 1): (0, -1.0)}
+    for (i, l), (j, sgn) in terms.items():
+        out[:, j, i, :] += sgn * sel[:, l, :]
+    return out
+
+
+_EPS_JW = _eps_fold(_JW_EXT)                      # (B,3,3,72): Σ_j x_j·E → −[x]×·JW
+_EPS_COL = _eps_fold(_COL_EXT)                    # (24ext,3,3,72) for +[p]× use −E
+
 
 class PhysicsState(struct.PyTreeNode):
     """Reduced-coordinate state + maximal-coordinate body cache.
@@ -269,15 +292,14 @@ def _build_jacobians(model: Model, x, q, pivots_x):
     R = quat.to_matrix(q)
     I_world = jnp.einsum("nbik,nbk,nbjk->nbij", R, p.inertia, R)
 
-    jw = jnp.asarray(_JW_EXT)                            # (B,3,72)
-    col = jnp.asarray(_COL_EXT)                          # (24ext,3,72)
     subx = jnp.asarray(_SUBX)                            # (24ext,B)
+    eps_jw = jnp.asarray(_EPS_JW)                        # (B,3,3,72)
+    eps_col = jnp.asarray(_EPS_COL)                      # (24ext,3,3,72)
 
-    skew_x = _skew(x)                                    # (N,B,3,3)
-    skew_p = _skew(pivots_x)                             # (N,24ext,3,3)
-
-    term1 = jnp.einsum("nkij,kjc->nkic", -skew_x, jw)    # (N,B,3,72)
-    t2 = jnp.einsum("naij,ajc->naic", skew_p, col)       # (N,24ext,3,72)
+    # term1 = −[x_k]×·JW, term2 = +[p_a]×·COL masked by ancestry — both as
+    # single contractions against ε-folded static tensors (no skew tensors)
+    term1 = jnp.einsum("nkj,kjic->nkic", x, eps_jw)      # (N,B,3,72)
+    t2 = jnp.einsum("naj,ajic->naic", pivots_x, -eps_col)
     term2 = jnp.einsum("naic,ak->nkic", t2, subx)        # (N,B,3,72)
     eye = jnp.broadcast_to(jnp.eye(3), (N, B, 3, 3))
     Jv = jnp.concatenate([eye, term1 + term2], axis=-1)  # (N,B,3,75)
@@ -304,13 +326,11 @@ def _contact_jacobians(model: Model, x, q, pivots_x, points):
     """Contact-point velocity Jacobians (N, C·3, 75) via the same static
     selector matmuls as the body Jacobians (one per contact sample)."""
     N, C = points.shape[0], points.shape[1]
-    jwc = jnp.asarray(_JW_EXT[_CONTACT_BODY])            # (C,3,72) static
-    col = jnp.asarray(_COL_EXT)
     subx = jnp.asarray(_SUBX)
-    skew_pt = _skew(points)                              # (N,C,3,3)
-    skew_p = _skew(pivots_x)
-    term1 = jnp.einsum("ncij,cjd->ncid", -skew_pt, jwc)
-    t2 = jnp.einsum("naij,ajc->naic", skew_p, col)       # (N,24ext,3,72)
+    eps_jwc = jnp.asarray(_EPS_JW[_CONTACT_BODY])        # (C,3,3,72) static
+    eps_col = jnp.asarray(_EPS_COL)
+    term1 = jnp.einsum("ncj,cjid->ncid", points, eps_jwc)
+    t2 = jnp.einsum("naj,ajic->naic", pivots_x, -eps_col)
     term2 = jnp.einsum("naic,ak->nkic", t2, subx)        # (N,B,3,72)
     term2c = term2[:, _CONTACT_BODY]                     # (N,C,3,72)
     eye = jnp.broadcast_to(jnp.eye(3), (N, C, 3, 3))

@@ -12,7 +12,11 @@ class EngineConfig(struct.PyTreeNode):
     """
 
     control_dt: float = struct.field(pytree_node=False, default=1.0 / 30.0)
-    n_substeps: int = struct.field(pytree_node=False, default=4)   # per control step
+    # 2 implicit substeps per control step (dt = 1/60). The reference's PhysX
+    # budget is dt=1/60 × 2 TGS substeps; our fully-implicit solve is
+    # unconditionally stable and holds the same standing/tracking quality at
+    # 1/60 as at 1/120 (see tests), so 2 is the default.
+    n_substeps: int = struct.field(pytree_node=False, default=2)
     gravity: float = struct.field(pytree_node=False, default=-9.81)
     static_friction: float = struct.field(pytree_node=False, default=1.0)
     dynamic_friction: float = struct.field(pytree_node=False, default=1.0)

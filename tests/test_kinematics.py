@@ -108,3 +108,56 @@ def test_body_params_jit():
     f = jax.jit(body_model.build_body_params)
     bp = f(jnp.zeros((2, 16)))
     assert bp.local_offsets.shape == (2, 24, 3)
+
+
+def test_mjcf_export():
+    bp = body_model.build_body_params(jnp.zeros((1, 16)))
+    xml = body_model.to_mjcf(bp)
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(xml)
+    assert root.tag == "mujoco"
+    bodies = root.findall(".//body")
+    assert len(bodies) == 24
+    joints = root.findall(".//joint")
+    assert len(joints) == 69  # 23 spherical joints × 3 hinges
+    motors = root.findall(".//motor")
+    assert len(motors) == 69
+
+
+def test_retarget_identity():
+    """Retargeting a motion onto the same skeleton reproduces it."""
+    from emloco_tpu.kinematics import motion_lib as ml
+    from emloco_tpu.kinematics.retarget import retarget_motion
+    from emloco_tpu.ops import quat as quat_ops
+
+    tree = body_model.canonical_skeleton()
+    lib = ml.synthetic_walk_motions(tree=tree, speeds=(1.0,), duration=1.0)
+    ids = jnp.zeros((5,), jnp.int32)
+    times = jnp.linspace(0.0, 0.9, 5)
+    ms = ml.get_motion_state(lib, ids, times)
+    jmap = {n: n for n in tree.names}
+    out_rot, out_pos = retarget_motion(tree, tree, jmap,
+                                       ms["local_rot"], ms["root_pos"])
+    dots = jnp.abs(jnp.sum(quat_ops.normalize(out_rot)
+                           * ms["local_rot"], axis=-1))
+    np.testing.assert_allclose(np.asarray(dots), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_pos), np.asarray(ms["root_pos"]),
+                               atol=1e-4)
+
+
+def test_visualization_smoke(tmp_path):
+    from emloco_tpu.kinematics.skeleton import forward_kinematics
+    from emloco_tpu.kinematics.visualization import (animate_rollout,
+                                                     plot_heightmap)
+    from emloco_tpu.ops import quat as quat_ops
+
+    tree = body_model.canonical_skeleton()
+    lr = quat_ops.identity_like((3, 24))
+    _, pos = forward_kinematics(tree, lr, jnp.tile(jnp.array([[0., 0., 0.9]]),
+                                                   (3, 1)))
+    p = animate_rollout(np.asarray(pos), str(tmp_path / "r.gif"),
+                        rewards=np.zeros(3), fps=2)
+    import os
+    assert os.path.exists(p)
+    hp = plot_heightmap(np.random.rand(16, 16), str(tmp_path / "h.png"))
+    assert os.path.exists(hp)
