@@ -133,18 +133,27 @@ def sample_traj(key, cfg: TrajConfig, init_pos, root_vel=None,
     return verts, inverted
 
 
-def calc_pos(verts, times, episode_dur):
-    """Linear interpolation along the vertex chain (reference calc_pos,
-    :278-296). verts (n,V,3), times (n,) seconds → (n,3)."""
+def _interp(verts, times, episode_dur):
+    """Vertex-chain lerp for times (n, ...) → (n, ..., 3); pure gathers on the
+    (n, V, 3) buffer (no env-repeat — TPU memory traffic)."""
     V = verts.shape[1]
     phase = jnp.clip(times / episode_dur, 0.0, 1.0)
     seg = phase * (V - 1)
     i0 = jnp.clip(jnp.floor(seg).astype(jnp.int32), 0, V - 2)
     lerp = (seg - i0)[..., None]
-    p0 = jnp.take_along_axis(verts, i0[:, None, None].repeat(3, -1), 1)[:, 0]
-    p1 = jnp.take_along_axis(verts, (i0 + 1)[:, None, None].repeat(3, -1),
-                             1)[:, 0]
+    extra = times.ndim - 1
+    idx = i0.reshape(times.shape[0], -1)                  # (n, K)
+    p0 = jnp.take_along_axis(verts, idx[..., None].repeat(3, -1), 1)
+    p1 = jnp.take_along_axis(verts, (idx + 1)[..., None].repeat(3, -1), 1)
+    p0 = p0.reshape(times.shape + (3,))
+    p1 = p1.reshape(times.shape + (3,))
     return (1 - lerp) * p0 + lerp * p1
+
+
+def calc_pos(verts, times, episode_dur):
+    """Linear interpolation along the vertex chain (reference calc_pos,
+    :278-296). verts (n,V,3), times (n,) seconds → (n,3)."""
+    return _interp(verts, times, episode_dur)
 
 
 def fetch_samples(verts, times, episode_dur, num_samples, sample_dt):
@@ -152,13 +161,7 @@ def fetch_samples(verts, times, episode_dur, num_samples, sample_dt):
     humanoid_traj.py:208-224). Returns (n, S, 3)."""
     offsets = jnp.arange(num_samples) * sample_dt
     ts = times[:, None] + offsets[None]                   # (n,S)
-    n, S = ts.shape
-    flat = calc_pos(
-        jnp.repeat(verts, S, axis=0),
-        ts.reshape(-1),
-        episode_dur,
-    )
-    return flat.reshape(n, S, 3)
+    return _interp(verts, ts, episode_dur)
 
 
 def synthetic_real_bank(num_paths=256, num_verts=101, seed=0):

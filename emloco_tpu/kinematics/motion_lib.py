@@ -205,6 +205,22 @@ def sample_motions(lib: MotionLib, key, n: int) -> jnp.ndarray:
     return jax.random.choice(key, lib.num_motions, (n,), p=lib.weights)
 
 
+def update_hard_negative_weights(lib: MotionLib, motion_ids, successes,
+                                 smoothing: float = 0.95,
+                                 temp: float = 1.0) -> MotionLib:
+    """Hard-negative sampling: upweight motions the policy fails on
+    (reference update_sampling_prob / success-rate tracking,
+    motion_lib_smpl.py:366-387). successes (n,) in {0,1} per sampled id."""
+    fail = 1.0 - successes.astype(jnp.float32)
+    per_motion_fail = jnp.zeros((lib.num_motions,)).at[motion_ids].add(fail)
+    per_motion_cnt = jnp.zeros((lib.num_motions,)).at[motion_ids].add(1.0)
+    rate = per_motion_fail / jnp.maximum(per_motion_cnt, 1.0)
+    new_w = smoothing * lib.weights + (1 - smoothing) * \
+        jax.nn.softmax(rate / temp)
+    new_w = new_w / new_w.sum()
+    return lib.replace(weights=new_w)
+
+
 def sample_time(lib: MotionLib, key, motion_ids, truncate_time=0.0):
     """Uniform phase sampling (reference sample_time, :429-443)."""
     dur = lib.durations[motion_ids] - truncate_time

@@ -386,10 +386,21 @@ def _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv72, I_world, target_q,
 # The step
 # ---------------------------------------------------------------------------
 
-# contact sample table: every body contributes its two capsule-end spheres
-_CONTACT_BODY = np.repeat(np.arange(B), 2)               # (48,)
-_CONTACT_END = np.tile(np.array([0, 1]), B)              # (48,)
-_CONTACT_ONEHOT = np.eye(B, dtype=np.float32)[_CONTACT_BODY]  # (48,24)
+# contact sample table: capsule-end spheres of the bodies that can plausibly
+# touch the ground (feet for locomotion; knees/pelvis/torso/head/arms for
+# falls and getup). Inner-chain bodies (hips, spine, neck, thorax, shoulders,
+# hands) are geometrically shadowed by these and excluded to cut the contact
+# Jacobian pipeline ~40% (TPU memory traffic). Illegal-contact *detection*
+# for terminations still covers every body (geometric penetration in the env).
+_CONTACT_BODY_NAMES = (
+    "Pelvis", "Torso", "Chest", "Head",
+    "L_Knee", "R_Knee", "L_Ankle", "R_Ankle", "L_Toe", "R_Toe",
+    "L_Elbow", "R_Elbow", "L_Wrist", "R_Wrist",
+)
+_CONTACT_BODY = np.repeat(
+    np.array([bm.BODY_NAMES.index(n) for n in _CONTACT_BODY_NAMES]), 2)
+_CONTACT_END = np.tile(np.array([0, 1]), len(_CONTACT_BODY_NAMES))
+_CONTACT_ONEHOT = np.eye(B, dtype=np.float32)[_CONTACT_BODY]
 NC = len(_CONTACT_BODY)
 
 
