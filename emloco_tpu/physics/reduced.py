@@ -515,8 +515,14 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     rhs = jnp.einsum("nij,nj->ni", M, u) + dt * Q
 
     # ---- solve ----
-    L = jnp.linalg.cholesky(A + 1e-8 * jnp.eye(NU))
-    u_new = jax.scipy.linalg.cho_solve((L, True), rhs)
+    from .pallas_linalg import backend_supports_pallas, cholesky_solve_soa
+    A = A + 1e-8 * jnp.eye(NU)
+    if backend_supports_pallas():
+        # SoA Pallas kernel: one HBM read of A, factorization stays in VMEM
+        u_new = cholesky_solve_soa(A, rhs)
+    else:
+        L = jnp.linalg.cholesky(A)
+        u_new = jax.scipy.linalg.cho_solve((L, True), rhs)
 
     # ---- contact force readback (for resets/diagnostics) ----
     vpt_new = jnp.einsum("ncij,nj->nci", Jc, u_new)

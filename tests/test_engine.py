@@ -181,3 +181,17 @@ def test_scan_rollout():
     final, heights = jax.jit(rollout)(st)
     assert heights.shape == (10, 2)
     assert np.all(np.isfinite(np.asarray(heights)))
+
+
+def test_pallas_cholesky_solve_interpret():
+    """SoA Pallas Cholesky solve matches XLA (interpret mode on CPU)."""
+    from emloco_tpu.physics.pallas_linalg import cholesky_solve_soa
+
+    key = jax.random.PRNGKey(3)
+    N, M = 130, 75  # deliberately not a multiple of 128 (padding path)
+    X = jax.random.normal(key, (N, M, M))
+    A = jnp.einsum("nij,nkj->nik", X, X) + 10 * jnp.eye(M)
+    b = jax.random.normal(key, (N, M))
+    x = cholesky_solve_soa(A, b, interpret=True)
+    x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-4)
