@@ -80,6 +80,13 @@ class EnvConfig(struct.PyTreeNode):
     group_size: int = struct.field(pytree_node=False, default=128)
     # 3-channel velocity-map sensor variant (reference velocity_map flag)
     velocity_map: bool = struct.field(pytree_node=False, default=False)
+    # domain randomization / in-task fault injection (reference
+    # apply_randomizations base_task.py:547-787, obs noise config.py:492-495,
+    # projectile perturbations humanoid.py:95-133)
+    obs_noise_std: float = struct.field(pytree_node=False, default=0.0)
+    action_noise_std: float = struct.field(pytree_node=False, default=0.0)
+    push_interval: int = struct.field(pytree_node=False, default=0)  # 0 = off
+    push_vel: float = struct.field(pytree_node=False, default=1.0)
     traj: traj_gen.TrajConfig = struct.field(
         pytree_node=False,
         default=traj_gen.TrajConfig(episode_dur=2 * 168 / 30.0))
@@ -395,11 +402,28 @@ class PedestrianTerrainEnv:
         """actions (N, 69) in [-1,1] exp-map scale → PD targets
         (reference pre_physics_step, humanoid.py:1184-1209)."""
         cfg = self.cfg
+        rng = state.rng
+        if cfg.action_noise_std > 0:
+            rng, k_an = jax.random.split(rng)
+            actions = actions + cfg.action_noise_std * jax.random.normal(
+                k_an, actions.shape)
         a = actions.reshape(-1, bm.NUM_JOINTS, 3)
         pd_target = a * self.pd_action_scale[None] * self.action_mask[None]
 
         physics = physics_step(self.model, self.terrain, state.physics,
                                pd_target, cfg.engine, self.tree)
+        # random root pushes (perturbation fault injection)
+        if cfg.push_interval > 0:
+            rng, k_push = jax.random.split(rng)
+            do_push = (state.progress % cfg.push_interval
+                       == cfg.push_interval - 1)
+            dv = cfg.push_vel * jax.random.normal(k_push,
+                                                  (cfg.num_envs, 3))
+            dv = dv.at[:, 2].multiply(0.2)
+            u = physics.u.at[:, 0:3].add(
+                jnp.where(do_push[:, None], dv, 0.0))
+            physics = physics.replace(u=u)
+        state = state.replace(rng=rng)
         progress = state.progress + 1
 
         reward, reward_raw = self._reward(state, physics, progress, pd_target)
@@ -443,8 +467,12 @@ class PedestrianTerrainEnv:
         # masked auto-reset (per-env where-select of fresh states)
         new_state = self._auto_reset(new_state, done)
 
+        obs_out = self.observe(new_state)
+        if cfg.obs_noise_std > 0:
+            obs_out = obs_out + cfg.obs_noise_std * jax.random.normal(
+                jax.random.fold_in(new_state.rng, 3), obs_out.shape)
         out = StepOutput(
-            obs=self.observe(new_state),
+            obs=obs_out,
             reward=reward,
             done=done,
             terminated=terminated,

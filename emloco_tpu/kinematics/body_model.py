@@ -179,6 +179,7 @@ class BodyParams(struct.PyTreeNode):
     joint_limit: jnp.ndarray      # (N, 23, 3) symmetric per-axis limits (rad)
     betas: jnp.ndarray            # (N, 16) the generating shape params
     height_offset: jnp.ndarray    # (N,) rest pelvis height above ground
+    friction_scale: jnp.ndarray   # (N,) per-env friction multiplier (DR)
 
     @property
     def num_envs(self) -> int:
@@ -324,6 +325,7 @@ def build_body_params(
         joint_limit=jl,
         betas=betas,
         height_offset=height_offset,
+        friction_scale=jnp.ones((N,)),
     )
 
 

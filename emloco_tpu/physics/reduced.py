@@ -498,8 +498,11 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     k_n = cfg.contact_stiffness
     d_n = cfg.contact_damping
     f_n_est = k_n * pen                                  # spring part estimate
-    # Coulomb-limited viscous friction coefficient (implicit)
-    d_t = cfg.dynamic_friction * f_n_est / (vt_mag + cfg.friction_vel_ref)
+    # Coulomb-limited viscous friction coefficient (implicit); per-env
+    # friction_scale supports domain randomization (reference
+    # apply_randomizations friction DR, base_task.py:547-787)
+    mu = cfg.dynamic_friction * p.friction_scale[:, None]
+    d_t = mu * f_n_est / (vt_mag + cfg.friction_vel_ref)
     d_t = jnp.minimum(d_t, cfg.max_friction_damping)
 
     Jn = jnp.einsum("nci,ncij->ncj", nrm, Jc)            # (N,48,75)

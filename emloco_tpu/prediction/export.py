@@ -1,0 +1,92 @@
+"""Cross-stack export: prediction-side trajectories → sim-side banks.
+
+The reference couples its two stacks through files on disk:
+  * load_jta_traj.py:66-119 exports dataset trajectories as pkl — each
+    13-waypoint (0.4 s) trajectory cubic-splined to 101 vertices at the sim's
+    traj_phase — consumed by TrajGenerator (traj_generator.py:40-54) for
+    "real-path" policy/LocoVal training;
+  * load_jta_3dpose.py / load_jrdb_3dpose.py export matching initial poses.
+
+Same capability here: spline scene trajectories to the (P, V, 2) bank layout
+`envs.traj_gen.sample_traj(real_bank=…)` consumes, plus the initial pose/vel
+side channel.
+"""
+from __future__ import annotations
+
+import pickle
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def spline_to_vertices(waypoints: np.ndarray, num_verts: int = 101,
+                       waypoint_dt: float = 0.4) -> np.ndarray:
+    """(W, 2) waypoints at waypoint_dt spacing → (num_verts, 2) cubic-spline
+    resample over the same duration (reference load_jta_traj.py:72,92-98)."""
+    from scipy.interpolate import CubicSpline
+
+    W = len(waypoints)
+    t = np.arange(W) * waypoint_dt
+    ts = np.linspace(0.0, t[-1], num_verts)
+    cs_x = CubicSpline(t, waypoints[:, 0])
+    cs_y = CubicSpline(t, waypoints[:, 1])
+    return np.stack([cs_x(ts), cs_y(ts)], -1).astype(np.float32)
+
+
+def export_traj_bank(
+    trajectories: Sequence[np.ndarray],   # list of (W, 2) waypoint tracks
+    path: str,
+    num_verts: int = 101,
+    waypoint_dt: float = 0.4,
+    init_poses: Optional[Sequence[np.ndarray]] = None,   # (24, 3) each
+    init_vels: Optional[Sequence[np.ndarray]] = None,    # (2,) each
+):
+    """Write a sim-consumable bank pkl: dict with 'trajs' (P, V, 2) plus
+    optional 'init_pose' (P, 24, 3) and 'init_vel' (P, 2)."""
+    bank = np.stack([spline_to_vertices(np.asarray(t), num_verts, waypoint_dt)
+                     for t in trajectories])
+    blob = {"trajs": bank}
+    if init_poses is not None:
+        blob["init_pose"] = np.stack([np.asarray(p) for p in init_poses])
+    if init_vels is not None:
+        blob["init_vel"] = np.stack([np.asarray(v) for v in init_vels])
+    with open(path, "wb") as f:
+        pickle.dump(blob, f)
+    return bank
+
+
+def load_traj_bank(path: str):
+    """Load a bank pkl → (trajs (P,V,2) np, init_pose or None, init_vel or
+    None). Also accepts the reference's format (dict of per-scene arrays or a
+    raw array)."""
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    if isinstance(blob, dict) and "trajs" in blob:
+        return (blob["trajs"], blob.get("init_pose"), blob.get("init_vel"))
+    if isinstance(blob, dict):
+        arrs = [np.asarray(v)[..., :2] for v in blob.values()]
+        return np.stack(arrs), None, None
+    return np.asarray(blob)[..., :2], None, None
+
+
+def export_scene_dataset(dataset, path: str, num_scenes: int = 256,
+                         batch_size: int = 16):
+    """Convenience: pull scenes from a prediction dataset (SyntheticScenes or
+    a real loader) and export primary-agent tracks as a sim bank."""
+    from . import data as data_mod
+
+    trajs, poses, vels = [], [], []
+    for obs, mask, gt in dataset.batches(batch_size,
+                                         max(1, num_scenes // batch_size)):
+        obs = np.asarray(obs)
+        gt = np.asarray(gt)
+        full = np.concatenate([obs[:, :, 0, 0, :2],
+                               gt], axis=1)               # (B, 21, 2)
+        pose, vel = data_mod.extract_locoval_inputs(obs, gt)
+        for b in range(full.shape[0]):
+            # 13 waypoints: last obs + 12 predictions (reference exports the
+            # 13-waypoint window fed to the valuenet)
+            trajs.append(full[b, data_mod.OBS_FRAMES - 1:])
+            poses.append(pose[b])
+            vels.append(vel[b])
+    return export_traj_bank(trajs, path, init_poses=poses, init_vels=vels)

@@ -117,3 +117,36 @@ def test_traj_calc_pos_endpoints():
                              cfg.episode_dur)
     np.testing.assert_allclose(np.asarray(pend), np.asarray(verts[:, -1]),
                                atol=1e-4)
+
+
+def test_domain_randomization_hooks():
+    cfg = EnvConfig(num_envs=2, terrain_obs=False, num_amp_obs_steps=3,
+                    obs_noise_std=0.01, action_noise_std=0.01,
+                    push_interval=2, push_vel=0.5)
+    terrain = flat_terrain(extent=20.0, cell=0.1)
+    lib = ml.synthetic_walk_motions(speeds=(1.0,), duration=2.0)
+    env = PedestrianTerrainEnv(cfg, terrain, lib)
+    st = env.reset(jax.random.PRNGKey(0))
+    st, out1 = env.step(st, jnp.zeros((2, env.cfg.num_actions)))
+    st, out2 = env.step(st, jnp.zeros((2, env.cfg.num_actions)))
+    assert np.all(np.isfinite(np.asarray(out2.obs)))
+    # obs noise: two observe calls through step differ from clean observe
+    clean = env.observe(st)
+    assert not np.allclose(np.asarray(out2.obs), np.asarray(clean))
+
+
+def test_traj_bank_export_roundtrip(tmp_path):
+    from emloco_tpu.prediction.data import SyntheticScenes
+    from emloco_tpu.prediction.export import (export_scene_dataset,
+                                              load_traj_bank)
+
+    ds = SyntheticScenes(num_people=2, seed=0)
+    path = str(tmp_path / "bank.pkl")
+    bank = export_scene_dataset(ds, path, num_scenes=8, batch_size=4)
+    assert bank.shape[1] == 101 and bank.shape[2] == 2
+    trajs, poses, vels = load_traj_bank(path)
+    assert trajs.shape == bank.shape
+    assert poses.shape[1:] == (24, 3)
+    assert vels.shape[1:] == (2,)
+    # spline endpoints interpolate the waypoints
+    np.testing.assert_allclose(trajs[:, 0], 0.0, atol=1e-4)
