@@ -161,3 +161,51 @@ def test_visualization_smoke(tmp_path):
     assert os.path.exists(p)
     hp = plot_heightmap(np.random.rand(16, 16), str(tmp_path / "h.png"))
     assert os.path.exists(hp)
+
+
+def test_smpl_lbs_synthetic():
+    """LBS with a synthetic SMPL model: rest pose reproduces the template."""
+    from emloco_tpu.kinematics.smpl import SMPLModel, get_joints_verts
+
+    rng = np.random.RandomState(0)
+    V = 64
+    tree = body_model.canonical_skeleton()
+    # synthetic template: vertices scattered around rest-pose joints
+    lr = quat.identity_like((1, 24))
+    _, gpos = forward_kinematics(tree, lr, jnp.zeros((1, 3)))
+    gpos = np.asarray(gpos[0])
+    owner = rng.randint(0, 24, V)
+    v_template = gpos[owner] + rng.randn(V, 3).astype(np.float32) * 0.05
+    w = np.zeros((V, 24), np.float32)
+    w[np.arange(V), owner] = 1.0
+    jreg = np.zeros((24, V), np.float32)
+    for j in range(24):
+        idx = np.where(owner == j)[0]
+        if len(idx):
+            jreg[j, idx] = 1.0 / len(idx)
+    model = SMPLModel(v_template=v_template,
+                      shapedirs=np.zeros((V, 3, 16), np.float32),
+                      posedirs=None, j_regressor=jreg, lbs_weights=w,
+                      parents=body_model.PARENTS)
+    pose0 = jnp.zeros((2, 72))
+    verts, joints = get_joints_verts(model, pose0, jnp.zeros((2, 16)))
+    assert verts.shape == (2, V, 3) and joints.shape == (2, 24, 3)
+    # skinned rest pose must land near the template (regressor joints differ
+    # slightly from FK joints; loose tolerance)
+    err = np.abs(np.asarray(verts[0]) - v_template).max()
+    assert err < 0.2, err
+    # posing the body moves vertices
+    pose1 = jnp.zeros((2, 72)).at[:, 3:6].set(0.7)
+    verts1, _ = get_joints_verts(model, pose1, jnp.zeros((2, 16)))
+    assert not np.allclose(np.asarray(verts1), np.asarray(verts), atol=1e-3)
+
+
+def test_capsule_surface_points():
+    from emloco_tpu.kinematics.smpl import capsule_surface
+
+    bp = body_model.build_body_params(jnp.zeros((2, 16)))
+    pos = jnp.zeros((2, 24, 3))
+    rot = quat.identity_like((2, 24))
+    pts = capsule_surface(bp, pos, rot)
+    assert pts.shape == (2, 24 * 8, 3)
+    assert np.all(np.isfinite(np.asarray(pts)))
