@@ -115,28 +115,47 @@ def cmd_train_valuenet(cfg, args):
 
 
 def cmd_eval_policy(cfg, args):
-    """4-condition eval grid (reference eval_policy*.sh): real/random traj ×
-    heading alignment, reporting value-prediction MSE/correlation."""
+    """Policy/value evaluation; with --grid runs the reference's 4-condition
+    ablation (eval_policy.sh / _nopose / _trajonly / _novel: real vs random
+    trajectories × with/without initial-heading alignment)."""
+    import dataclasses as _dc
+
     from ..learning.amp_agent import AMPAgent
     from ..learning.networks import ValuePoseNet
     from ..learning.value_train import LocoValTrainer
     from ..utils.checkpoint import load_pytree
 
-    env = _build_world(cfg)
-    agent = AMPAgent(env, cfg.amp)
-    ts = agent.init(jax.random.PRNGKey(cfg.seed))
-    if args.policy:
-        tree, _ = load_pytree(args.policy)
-        ts = ts.replace(params=tree["params"], obs_norm=tree["obs_norm"],
-                        amp_norm=tree["amp_norm"])
-    vnet = ValuePoseNet(use_pose=not args.nopose, use_vel=not args.novel)
-    trainer = LocoValTrainer(agent, vnet, cfg.value)
-    vts = trainer.init(ts, jax.random.PRNGKey(cfg.seed + 1))
-    if args.valuenet:
-        vp, _ = load_pytree(args.valuenet)
-        vts = vts.replace(vnet_params=vp)
-    vts, mse, corr = trainer.evaluate(vts, num_epochs=args.games)
-    print(f"value prediction: mse={mse:.4f} corr={corr:.3f}")
+    conditions = [("default", {})]
+    if args.grid:
+        conditions = [
+            ("real+heading", dict(hybrid_init_prob=0.0, init_heading=True)),
+            ("real-noheading", dict(hybrid_init_prob=0.0,
+                                    init_heading=False)),
+            ("random+heading", dict(hybrid_init_prob=1.0, init_heading=True)),
+            ("random-noheading", dict(hybrid_init_prob=1.0,
+                                      init_heading=False)),
+        ]
+
+    for name, overrides in conditions:
+        c = cfg
+        if overrides:
+            traj = cfg.env.traj.replace(**overrides)
+            c = _dc.replace(cfg, env=cfg.env.replace(traj=traj))
+        env = _build_world(c)
+        agent = AMPAgent(env, c.amp)
+        ts = agent.init(jax.random.PRNGKey(c.seed))
+        if args.policy:
+            tree, _ = load_pytree(args.policy)
+            ts = ts.replace(params=tree["params"], obs_norm=tree["obs_norm"],
+                            amp_norm=tree["amp_norm"])
+        vnet = ValuePoseNet(use_pose=not args.nopose, use_vel=not args.novel)
+        trainer = LocoValTrainer(agent, vnet, c.value)
+        vts = trainer.init(ts, jax.random.PRNGKey(c.seed + 1))
+        if args.valuenet:
+            vp, _ = load_pytree(args.valuenet)
+            vts = vts.replace(vnet_params=vp)
+        vts, mse, corr = trainer.evaluate(vts, num_epochs=args.games)
+        print(f"[{name}] value prediction: mse={mse:.4f} corr={corr:.3f}")
 
 
 def cmd_train_predictor(cfg, args):
@@ -229,6 +248,7 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=10)
     p.add_argument("--batches", type=int, default=20)
     p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--grid", action="store_true")
     p.add_argument("overrides", nargs="*",
                    help="dotted config overrides, e.g. env.num_envs=1024")
     args = p.parse_args(argv)
