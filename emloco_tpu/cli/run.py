@@ -28,12 +28,16 @@ def _build_world(cfg):
     from ..envs import PedestrianTerrainEnv
     from ..envs import traj_gen
     from ..kinematics import motion_lib as ml
-    from ..physics import generate_mixed_terrain, flat_terrain
+    from ..physics import (flat_terrain, generate_mixed_terrain,
+                           mesh_terrain_from_file)
 
     tcfg = dict(cfg.terrain)
     ttype = tcfg.pop("type", "mixed")
     if ttype == "flat":
         terrain = flat_terrain(**tcfg)
+    elif ttype == "mesh":
+        # real-scan ground (reference MeshTerrain / HumanoidPedestrian task)
+        terrain = mesh_terrain_from_file(tcfg.pop("mesh_path"), **tcfg)
     else:
         terrain = generate_mixed_terrain(**tcfg)
     if cfg.motions:

@@ -52,3 +52,27 @@ def fast_spawn_table(mask: np.ndarray, cell: float, origin,
         rng = np.random.RandomState(seed)
         xy = xy[rng.choice(len(xy), max_pts, replace=False)]
     return xy
+
+
+def fast_rasterize_trimesh(verts: np.ndarray, faces: np.ndarray, H: int,
+                           W: int, cell: float, origin):
+    """Native triangle-mesh top-surface rasterization; numpy fallback.
+    Returns (heights (H,W) float32 with -inf where uncovered, cover bool)."""
+    lib = load_native("terrain_native")
+    if lib is not None:
+        v = np.ascontiguousarray(verts, np.float32)
+        f = np.ascontiguousarray(faces, np.int32)
+        out_h = np.zeros((H, W), np.float32)
+        cover = np.zeros((H, W), np.uint8)
+        lib.rasterize_trimesh(
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int(len(v)),
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int(len(f)),
+            ctypes.c_int(H), ctypes.c_int(W), ctypes.c_float(cell),
+            ctypes.c_float(origin[0]), ctypes.c_float(origin[1]),
+            out_h.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cover.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out_h, cover.astype(bool)
+    from ..physics.mesh_terrain import rasterize_trimesh_np
+    return rasterize_trimesh_np(verts, faces, H, W, cell, origin)

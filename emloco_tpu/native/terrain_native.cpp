@@ -152,4 +152,56 @@ void stamp_tile(float* map, int H, int W, int x0, int y0, int h, int w,
     }
 }
 
+// Rasterize a triangle mesh onto a heightfield grid: for every cell center
+// covered by a triangle, keep the maximum surface z (top surface of the
+// scan). cover[i*W+j]=1 marks cells hit by at least one triangle.
+// (TPU-native counterpart of the reference MeshTerrain real-scan ground,
+//  humanoid_pedestrain_terrain.py:996-1133 — heights are pre-sampled on the
+//  host instead of ray-cast against the mesh inside PhysX.)
+void rasterize_trimesh(const float* verts, int n_verts,
+                       const int32_t* faces, int n_faces,
+                       int H, int W, float cell, float origin_x,
+                       float origin_y, float* out_h, uint8_t* cover) {
+    (void)n_verts;
+    for (int64_t k = 0; k < static_cast<int64_t>(H) * W; ++k) {
+        out_h[k] = -1e30f;
+        cover[k] = 0;
+    }
+    for (int f = 0; f < n_faces; ++f) {
+        const float* a = verts + 3 * faces[3 * f];
+        const float* b = verts + 3 * faces[3 * f + 1];
+        const float* c = verts + 3 * faces[3 * f + 2];
+        float minx = std::fmin(a[0], std::fmin(b[0], c[0]));
+        float maxx = std::fmax(a[0], std::fmax(b[0], c[0]));
+        float miny = std::fmin(a[1], std::fmin(b[1], c[1]));
+        float maxy = std::fmax(a[1], std::fmax(b[1], c[1]));
+        int i0 = static_cast<int>(std::floor((minx - origin_x) / cell));
+        int i1 = static_cast<int>(std::ceil((maxx - origin_x) / cell));
+        int j0 = static_cast<int>(std::floor((miny - origin_y) / cell));
+        int j1 = static_cast<int>(std::ceil((maxy - origin_y) / cell));
+        i0 = i0 < 0 ? 0 : i0; j0 = j0 < 0 ? 0 : j0;
+        i1 = i1 >= H ? H - 1 : i1; j1 = j1 >= W ? W - 1 : j1;
+        float d = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1]);
+        if (std::fabs(d) < 1e-12f) continue;  // degenerate in plan view
+        float inv_d = 1.0f / d;
+        for (int i = i0; i <= i1; ++i) {
+            float px = origin_x + i * cell;
+            for (int j = j0; j <= j1; ++j) {
+                float py = origin_y + j * cell;
+                float w0 = ((b[1] - c[1]) * (px - c[0]) +
+                            (c[0] - b[0]) * (py - c[1])) * inv_d;
+                float w1 = ((c[1] - a[1]) * (px - c[0]) +
+                            (a[0] - c[0]) * (py - c[1])) * inv_d;
+                float w2 = 1.0f - w0 - w1;
+                const float eps = -1e-5f;
+                if (w0 < eps || w1 < eps || w2 < eps) continue;
+                float z = w0 * a[2] + w1 * b[2] + w2 * c[2];
+                int64_t k = static_cast<int64_t>(i) * W + j;
+                if (z > out_h[k]) out_h[k] = z;
+                cover[k] = 1;
+            }
+        }
+    }
+}
+
 }  // extern "C"
