@@ -134,20 +134,23 @@ def sample_traj(key, cfg: TrajConfig, init_pos, root_vel=None,
 
 
 def _interp(verts, times, episode_dur):
-    """Vertex-chain lerp for times (n, ...) → (n, ..., 3); pure gathers on the
-    (n, V, 3) buffer (no env-repeat — TPU memory traffic)."""
+    """Vertex-chain lerp for times (n, ...) → (n, ..., 3) as ONE interpolation
+    matmul: per-env gathers lower to TPU's serial scalar path (~2 ms for a
+    (4096,13) lookup), while w·verts with a fused one-hot weight matrix rides
+    the MXU in ~40 µs. w[k, v] = (1−f)·[v=i0] + f·[v=i0+1]."""
     V = verts.shape[1]
     phase = jnp.clip(times / episode_dur, 0.0, 1.0)
     seg = phase * (V - 1)
     i0 = jnp.clip(jnp.floor(seg).astype(jnp.int32), 0, V - 2)
-    lerp = (seg - i0)[..., None]
-    extra = times.ndim - 1
+    lerp = seg - i0
     idx = i0.reshape(times.shape[0], -1)                  # (n, K)
-    p0 = jnp.take_along_axis(verts, idx[..., None].repeat(3, -1), 1)
-    p1 = jnp.take_along_axis(verts, (idx + 1)[..., None].repeat(3, -1), 1)
-    p0 = p0.reshape(times.shape + (3,))
-    p1 = p1.reshape(times.shape + (3,))
-    return (1 - lerp) * p0 + lerp * p1
+    f = lerp.reshape(times.shape[0], -1)                  # (n, K)
+    vr = jnp.arange(V, dtype=jnp.int32)
+    w = (jnp.where(idx[..., None] == vr, 1.0 - f[..., None], 0.0)
+         + jnp.where(idx[..., None] + 1 == vr, f[..., None], 0.0))
+    out = jnp.einsum("nkv,nvd->nkd", w.astype(verts.dtype), verts,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(times.shape + (3,))
 
 
 def calc_pos(verts, times, episode_dur):

@@ -75,17 +75,28 @@ def forward_kinematics(
         )
 
     parents = tree.parents
-    # Per-level processing: gather all parents of a level at once.
-    rots = [None] * J
-    poss = [None] * J
-    rots[0] = quat.mul(quat.identity_like(local_rot.shape[:-2]), local_rot[..., 0, :])
-    poss[0] = root_pos
+    # Level-parallel rotations: the dependency chain is the tree DEPTH (~9 for
+    # the humanoid), not the joint count (24) — each level is ONE batched quat
+    # mul + gather instead of 23 tiny sequential kernels (TPU latency).
+    global_rot = jnp.zeros(local_rot.shape, local_rot.dtype)
+    global_rot = global_rot.at[..., 0, :].set(local_rot[..., 0, :])
+    for idx in tree.levels[1:]:
+        p = parents[idx]
+        gr = quat.mul(global_rot[..., p, :], local_rot[..., idx, :])
+        global_rot = global_rot.at[..., idx, :].set(gr)
+
+    # Positions close-form once rotations are known:
+    #   pos[j] = root + Σ_{a on root→j path, a≠root} R_global[parent(a)]·t_a
+    # — a single (J,J) ancestor-mask contraction, fully parallel.
+    pa = np.maximum(parents, 0)
+    contrib = quat.rotate(global_rot[..., pa, :], local_translation)
+    anc = np.zeros((J, J), local_rot.dtype)          # anc[a,j]: a on path to j
     for j in range(1, J):
-        p = int(parents[j])
-        rots[j] = quat.mul(rots[p], local_rot[..., j, :])
-        poss[j] = poss[p] + quat.rotate(rots[p], local_translation[..., j, :])
-    global_rot = jnp.stack(rots, axis=-2)
-    global_pos = jnp.stack(poss, axis=-2)
+        anc[j, j] = 1.0
+        anc[:, j] += anc[:, parents[j]]
+    anc[0, :] = 0.0
+    global_pos = (root_pos[..., None, :]
+                  + jnp.einsum("...ad,aj->...jd", contrib, jnp.asarray(anc)))
     return global_rot, global_pos
 
 

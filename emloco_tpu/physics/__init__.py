@@ -2,8 +2,10 @@ from .terrain import (  # noqa: F401
     Heightfield,
     flat_terrain,
     generate_mixed_terrain,
+    height_and_normal_at,
     height_at,
     height_at_min2,
+    make_heightfield,
     normal_at,
 )
 from .mesh_terrain import (  # noqa: F401

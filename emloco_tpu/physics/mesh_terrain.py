@@ -17,7 +17,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .terrain import Heightfield, walkable_mask
+from .terrain import Heightfield, make_heightfield, walkable_mask
 
 
 def load_mesh(path: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -132,8 +132,8 @@ def mesh_heightfield(verts: np.ndarray, faces: np.ndarray,
     if len(xy) > max_spawn:
         rng = np.random.RandomState(seed)
         xy = xy[rng.choice(len(xy), max_spawn, replace=False)]
-    return Heightfield(heights=jnp.asarray(heights), cell=cell,
-                       origin=(ox, oy), spawnable_xy=jnp.asarray(xy))
+    return make_heightfield(heights=heights, cell=cell, origin=(ox, oy),
+                            spawnable_xy=xy)
 
 
 def mesh_terrain_from_file(path: str, **kw) -> Heightfield:

@@ -42,7 +42,7 @@ from flax import struct
 from ..kinematics import body_model as bm
 from ..kinematics.skeleton import forward_kinematics
 from ..ops import quat
-from .terrain import Heightfield, height_at, normal_at
+from .terrain import Heightfield, height_and_normal_at, height_at, normal_at
 from .types import EngineConfig
 
 B = bm.NUM_BODIES            # 24
@@ -307,15 +307,62 @@ def _build_jacobians(model: Model, x, q, pivots_x):
 
 
 def _mass_matrix_from_jac(model: Model, Jv72, I_world):
-    """M = Jvᵀ diag(m) Jv + Jwᵀ I_blkdiag Jw — two batched matmuls."""
+    """M = Jvᵀ diag(m) Jv + Jwᵀ I_blkdiag Jw — two batched matmuls.
+
+    (Diagnostics/tests path; the hot substep assembles M fused into the full
+    LHS via _assemble_lhs_rhs and never materializes it.)"""
     p = model.params
-    N = Jv72.shape[0]
     m_rep = jnp.repeat(p.mass, 3, axis=-1)               # (N,72)
-    Mv = jnp.einsum("nrc,nr,nrd->ncd", Jv72, m_rep, Jv72)
+    Mv = jnp.matmul(jnp.swapaxes(Jv72 * m_rep[..., None], 1, 2), Jv72)
     jw = jnp.asarray(_JW_EXT)                            # (B,3,72)
     IJw = jnp.einsum("nkij,kjc->nkic", I_world, jw)      # (N,B,3,72)
     Mw = jnp.einsum("kic,nkid->ncd", jw, IJw)            # (N,72,72)
     return Mv.at[:, 3:, 3:].add(Mw)
+
+
+def _assemble_lhs_rhs(model: Model, Jv72, I_world, u, diag, wn, wt, Jn, Jc,
+                      dt_Q):
+    """Fused LHS/RHS assembly as ONE batched MXU matmul + three matvecs.
+
+    A = Jvᵀm Jv + JwᵀI Jw + wt·JcᵀJc + (wn−wt)·JnᵀJn + diag
+      = Lᵀ R with L/R row-stacks (N, 72+72+144+48, 75); symmetric because
+      every block is. rhs = M·u + dt·Q without materializing M:
+      M·u = Jvᵀ(m⊙(Jv u)) + Jwᵀ(IJw·u). Replaces the reference's PhysX-side
+      TGS assembly (closed .so); one matmul keeps the MXU busy instead of
+      five (N,75,75) einsum-reductions bound on HBM.
+    """
+    p = model.params
+    N = Jv72.shape[0]
+    m_rep = jnp.repeat(p.mass, 3, axis=-1)               # (N,72)
+    jw = jnp.asarray(_JW_EXT)                            # (B,3,72)
+    IJw = jnp.einsum("nkij,kjc->nkic", I_world, jw)      # (N,B,3,72)
+    IJw_flat = IJw.reshape(N, B * 3, 72)
+    pad = jnp.zeros((N, B * 3, 3), Jv72.dtype)
+    IJw_pad = jnp.concatenate([pad, IJw_flat], axis=-1)  # (N,72,75)
+    jw_pad = jnp.concatenate([jnp.zeros((B * 3, 3), Jv72.dtype),
+                              jw.reshape(B * 3, 72)], axis=-1)  # (72,75)
+    jw_pad_b = jnp.broadcast_to(jw_pad, (N,) + jw_pad.shape)
+
+    C = Jn.shape[1]
+    Jc_flat = Jc.reshape(N, C * 3, NU)
+    wt3 = jnp.repeat(wt, 3, axis=-1)                     # (N,3C)
+
+    L = jnp.concatenate([
+        Jv72 * m_rep[..., None],
+        IJw_pad,
+        Jc_flat * wt3[..., None],
+        Jn * (wn - wt)[..., None],
+    ], axis=1)
+    Rm = jnp.concatenate([Jv72, jw_pad_b, Jc_flat, Jn], axis=1)
+    A = jnp.matmul(jnp.swapaxes(L, 1, 2), Rm)            # (N,75,75)
+    A = A + jax.vmap(jnp.diag)(diag)
+
+    # rhs = M·u + dt·Q via matvecs (no dense M)
+    v1 = jnp.einsum("nrc,nc->nr", Jv72, u)
+    Mu = jnp.einsum("nrc,nr->nc", Jv72, m_rep * v1)
+    v2 = jnp.einsum("nrc,nc->nr", IJw_pad, u)
+    Mu = Mu + jnp.einsum("rc,nr->nc", jw_pad, v2)
+    return A, Mu + dt_Q
 
 
 # ---------------------------------------------------------------------------
@@ -462,13 +509,12 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     pivots_x = jnp.concatenate([x[:, 0:1], piv_j], axis=1)   # (N,24ext,3)
 
     Jv72, I_world = _build_jacobians(model, x, q, pivots_x)
-    M = _mass_matrix_from_jac(model, Jv72, I_world)
 
     gvec = jnp.array([0.0, 0.0, cfg.gravity])
     Q = _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv72, I_world,
                              target_q, dt, gvec)
 
-    # ---- LHS: M + dt·D + dt²·K (+ small root damping) ----
+    # ---- implicit diagonal: dt·D + dt²·K (+ small root damping) ----
     kp = p.kp                                            # (N,23)
     kd = p.kd
     diag_joint = (dt * kd + dt * dt * kp)                # (N,23)
@@ -477,14 +523,12 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
         jnp.full((N, 3), dt * cfg.angular_damping),
         jnp.repeat(diag_joint, 3, axis=-1),
     ], axis=-1)
-    A = M + jax.vmap(jnp.diag)(diag)
 
     # ---- contacts: implicit spring-damper normal + Coulomb-capped viscous
     # friction, active-set masked ----
     pts = _contact_points(model, x, q)                   # (N,48,3)
     radius = p.capsule_radius[:, _CONTACT_BODY]          # (N,48)
-    h = height_at(terrain, pts[..., :2])
-    nrm = normal_at(terrain, pts[..., :2])               # (N,48,3)
+    h, nrm = height_and_normal_at(terrain, pts[..., :2])  # one packed gather
     pen = (h + radius - pts[..., 2]) * nrm[..., 2]
     active = (pen > 0.0).astype(x.dtype)
 
@@ -507,15 +551,13 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
 
     Jn = jnp.einsum("nci,ncij->ncj", nrm, Jc)            # (N,48,75)
     wn = active * dt * (dt * k_n + d_n)
-    A = A + jnp.einsum("nc,nci,ncj->nij", wn, Jn, Jn)
-    # tangential projector T = E − nnᵀ: JcᵀT Jc = JcᵀJc − JnᵀJn
+    # tangential projector T = E − nnᵀ folds as wt·JcᵀJc + (wn−wt)·JnᵀJn
     wt = active * dt * d_t
-    A = A + (jnp.einsum("nc,ncdi,ncdj->nij", wt, Jc, Jc)
-             - jnp.einsum("nc,nci,ncj->nij", wt, Jn, Jn))
     # RHS contact: normal spring force at current penetration
     Q = Q + jnp.einsum("nc,ncj->nj", active * k_n * pen, Jn)
 
-    rhs = jnp.einsum("nij,nj->ni", M, u) + dt * Q
+    A, rhs = _assemble_lhs_rhs(model, Jv72, I_world, u, diag, wn, wt,
+                               Jn, Jc, dt * Q)
 
     # ---- solve ----
     from .pallas_linalg import backend_supports_pallas, cholesky_solve_soa

@@ -27,15 +27,34 @@ class Heightfield(struct.PyTreeNode):
     # (reference: walkable_field + coord sampling, terrain.sample_valid_locations,
     # humanoid_pedestrain_terrain.py:1196-1210)
     spawnable_xy: jnp.ndarray | None = None  # (S, 2) float32
+    # Packed cell-corner textures (built by make_heightfield). TPU gathers pay
+    # per-row, not per-byte: one (H-1,W-1,4) corner fetch replaces four scalar
+    # gathers in the contact path (~4x fewer gather rows), and the min2 texture
+    # halves the sensor's lookups. Optional — queries fall back to raw gathers.
+    corner_tex: jnp.ndarray | None = None    # (H-1, W-1, 4): h00,h10,h01,h11
+    min2_tex: jnp.ndarray | None = None      # (H-1, W-1): min(h00, h11)
 
     @property
     def shape(self):
         return self.heights.shape
 
 
+def make_heightfield(heights, cell, origin, spawnable_xy) -> Heightfield:
+    """Build a Heightfield with packed corner textures from an (H, W) grid."""
+    h = jnp.asarray(heights, jnp.float32)
+    h00, h10 = h[:-1, :-1], h[1:, :-1]
+    h01, h11 = h[:-1, 1:], h[1:, 1:]
+    return Heightfield(
+        heights=h, cell=cell, origin=tuple(origin),
+        spawnable_xy=jnp.asarray(spawnable_xy),
+        corner_tex=jnp.stack([h00, h10, h01, h11], axis=-1),
+        min2_tex=jnp.minimum(h00, h11),
+    )
+
+
 def flat_terrain(extent: float = 40.0, cell: float = 0.1) -> Heightfield:
     n = int(extent / cell)
-    return Heightfield(
+    return make_heightfield(
         heights=jnp.zeros((n, n), jnp.float32),
         cell=cell,
         origin=(-extent / 2, -extent / 2),
@@ -58,27 +77,40 @@ def _grid_coords(hf: Heightfield, xy: jnp.ndarray):
     return _grid_coords_xy(hf, xy[..., 0], xy[..., 1])
 
 
+def _corners(hf: Heightfield, x0, y0):
+    """Cell corner heights (h00, h10, h01, h11) — ONE packed gather when the
+    corner texture exists, else four raw gathers."""
+    if hf.corner_tex is not None:
+        t = hf.corner_tex[x0, y0]                        # (..., 4)
+        return t[..., 0], t[..., 1], t[..., 2], t[..., 3]
+    h = hf.heights
+    return h[x0, y0], h[x0 + 1, y0], h[x0, y0 + 1], h[x0 + 1, y0 + 1]
+
+
+def _bilinear_parts(hf: Heightfield, xy: jnp.ndarray):
+    gx, gy = _grid_coords(hf, xy)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    fx = gx - x0
+    fy = gy - y0
+    return x0, y0, fx, fy
+
+
 def height_at_min2_xy(hf: Heightfield, x, y) -> jnp.ndarray:
     """Component-array variant of height_at_min2 (avoids trailing-2 stacks —
     TPU lane-padding; see envs/observations.py heightmap_obs)."""
     gx, gy = _grid_coords_xy(hf, x, y)
     x0 = jnp.floor(gx).astype(jnp.int32)
     y0 = jnp.floor(gy).astype(jnp.int32)
+    if hf.min2_tex is not None:
+        return hf.min2_tex[x0, y0]
     return jnp.minimum(hf.heights[x0, y0], hf.heights[x0 + 1, y0 + 1])
 
 
 def height_at(hf: Heightfield, xy: jnp.ndarray) -> jnp.ndarray:
     """Bilinear height at world xy (...,2) → (...). Smooth, differentiable."""
-    gx, gy = _grid_coords(hf, xy)
-    x0 = jnp.floor(gx).astype(jnp.int32)
-    y0 = jnp.floor(gy).astype(jnp.int32)
-    fx = gx - x0
-    fy = gy - y0
-    h = hf.heights
-    h00 = h[x0, y0]
-    h10 = h[x0 + 1, y0]
-    h01 = h[x0, y0 + 1]
-    h11 = h[x0 + 1, y0 + 1]
+    x0, y0, fx, fy = _bilinear_parts(hf, xy)
+    h00, h10, h01, h11 = _corners(hf, x0, y0)
     return (
         h00 * (1 - fx) * (1 - fy)
         + h10 * fx * (1 - fy)
@@ -93,25 +125,35 @@ def height_at_min2(hf: Heightfield, xy: jnp.ndarray) -> jnp.ndarray:
     gx, gy = _grid_coords(hf, xy)
     x0 = jnp.floor(gx).astype(jnp.int32)
     y0 = jnp.floor(gy).astype(jnp.int32)
+    if hf.min2_tex is not None:
+        return hf.min2_tex[x0, y0]
     return jnp.minimum(hf.heights[x0, y0], hf.heights[x0 + 1, y0 + 1])
+
+
+def _normal_from_corners(hf, h00, h10, h01, h11, fx, fy):
+    dhdx = ((h10 - h00) * (1 - fy) + (h11 - h01) * fy) / hf.cell
+    dhdy = ((h01 - h00) * (1 - fx) + (h11 - h10) * fx) / hf.cell
+    n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
+    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
 
 def normal_at(hf: Heightfield, xy: jnp.ndarray) -> jnp.ndarray:
     """Outward unit surface normal from central differences of the bilinear
     surface — used as the contact frame."""
-    gx, gy = _grid_coords(hf, xy)
-    x0 = jnp.floor(gx).astype(jnp.int32)
-    y0 = jnp.floor(gy).astype(jnp.int32)
-    h = hf.heights
-    # slope of the bilinear cell (constant per cell is fine for contact)
-    fy = gy - y0
-    fx = gx - x0
-    dhdx = ((h[x0 + 1, y0] - h[x0, y0]) * (1 - fy)
-            + (h[x0 + 1, y0 + 1] - h[x0, y0 + 1]) * fy) / hf.cell
-    dhdy = ((h[x0, y0 + 1] - h[x0, y0]) * (1 - fx)
-            + (h[x0 + 1, y0 + 1] - h[x0 + 1, y0]) * fx) / hf.cell
-    n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
-    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    x0, y0, fx, fy = _bilinear_parts(hf, xy)
+    h00, h10, h01, h11 = _corners(hf, x0, y0)
+    return _normal_from_corners(hf, h00, h10, h01, h11, fx, fy)
+
+
+def height_and_normal_at(hf: Heightfield, xy: jnp.ndarray):
+    """Fused bilinear height + surface normal for the contact path — a single
+    corner-texture gather serves both (the gather, not the math, is the TPU
+    cost; see Heightfield.corner_tex)."""
+    x0, y0, fx, fy = _bilinear_parts(hf, xy)
+    h00, h10, h01, h11 = _corners(hf, x0, y0)
+    h = (h00 * (1 - fx) * (1 - fy) + h10 * fx * (1 - fy)
+         + h01 * (1 - fx) * fy + h11 * fx * fy)
+    return h, _normal_from_corners(hf, h00, h10, h01, h11, fx, fy)
 
 
 # ---------------------------------------------------------------------------
@@ -292,9 +334,5 @@ def generate_mixed_terrain(
     # cap table size for device residency; uniform subsample
     if len(xy) > 65536:
         xy = xy[rng.choice(len(xy), 65536, replace=False)]
-    return Heightfield(
-        heights=jnp.asarray(big),
-        cell=cell,
-        origin=origin,
-        spawnable_xy=jnp.asarray(xy),
-    )
+    return make_heightfield(heights=big, cell=cell, origin=origin,
+                            spawnable_xy=xy)
