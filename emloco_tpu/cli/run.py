@@ -211,6 +211,51 @@ def cmd_eval_predictor(cfg, args):
         print(f"{k}: {v:.4f}")
 
 
+def cmd_tune_predictor(cfg, args):
+    """Random-search hyper-sweep for the predictor (reference
+    hyper_tuning_jta.py / hyper_tuning_monitor.py)."""
+    from ..learning.networks import ValuePoseNet
+    from ..prediction.data import SyntheticScenes
+    from ..prediction.tuning import predictor_objective, run_sweep
+    from ..utils.checkpoint import load_pytree
+
+    vnet, vp = None, None
+    if args.valuenet:
+        vnet = ValuePoseNet(use_pose=True, use_vel=True)
+        vp, _ = load_pytree(args.valuenet)
+    ds = SyntheticScenes(num_people=4, seed=cfg.seed)
+    eval_ds = SyntheticScenes(num_people=4, seed=cfg.seed + 1)
+    objective = predictor_objective(
+        {"model": cfg.model, "predict": cfg.predict}, ds, eval_ds,
+        epochs=max(1, cfg.epochs), batch_size=args.batch_size,
+        batches_per_epoch=args.batches, vnet=vnet, vnet_params=vp,
+        seed=cfg.seed)
+    summary = run_sweep(objective, num_trials=args.trials,
+                        log_path=os.path.join(cfg.out_dir, "trials.jsonl"),
+                        seed=cfg.seed)
+    for k, v in summary.items():
+        print(f"{k}: {v}")
+
+
+def cmd_visualize_pred(cfg, args):
+    """Multi-model comparison plots from saved vis_dict pkls (reference
+    visualize_pred.py)."""
+    from ..prediction import visualize as V
+
+    vis = {os.path.splitext(os.path.basename(p))[0]: V.load_vis_dict(p)
+           for p in args.vis_dicts}
+    n = min(v["pred"].shape[0] for v in vis.values())
+    out = os.path.join(cfg.out_dir, "pred_comparison.png")
+    V.plot_prediction_comparison(vis, list(range(min(args.games, n))), out,
+                                 value_threshold=0.7)
+    print(out)
+    for name, v in vis.items():
+        if "values" in v:
+            hout = os.path.join(cfg.out_dir, f"values_{name}.png")
+            V.plot_value_histogram({name: v["values"]}, hout)
+            print(hout)
+
+
 def cmd_optimize_traj(cfg, args):
     from ..analysis import optimize_trajectory, sample_candidate_trajs
     from ..learning.networks import ValuePoseNet
@@ -239,7 +284,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="emloco_tpu")
     p.add_argument("command", choices=[
         "train-policy", "train-valuenet", "eval-policy", "train-predictor",
-        "eval-predictor", "optimize-traj"])
+        "eval-predictor", "optimize-traj", "tune-predictor",
+        "visualize-pred"])
     p.add_argument("--config", default=None)
     p.add_argument("--policy", default=None)
     p.add_argument("--valuenet", default=None)
@@ -253,6 +299,8 @@ def main(argv=None):
     p.add_argument("--batches", type=int, default=20)
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--grid", action="store_true")
+    p.add_argument("--trials", type=int, default=20)
+    p.add_argument("--vis-dicts", nargs="*", default=[])
     p.add_argument("overrides", nargs="*",
                    help="dotted config overrides, e.g. env.num_envs=1024")
     args = p.parse_args(argv)
@@ -266,6 +314,8 @@ def main(argv=None):
         "train-predictor": cmd_train_predictor,
         "eval-predictor": cmd_eval_predictor,
         "optimize-traj": cmd_optimize_traj,
+        "tune-predictor": cmd_tune_predictor,
+        "visualize-pred": cmd_visualize_pred,
     }[args.command](cfg, args)
 
 

@@ -87,6 +87,11 @@ class EnvConfig(struct.PyTreeNode):
     action_noise_std: float = struct.field(pytree_node=False, default=0.0)
     push_interval: int = struct.field(pytree_node=False, default=0)  # 0 = off
     push_vel: float = struct.field(pytree_node=False, default=1.0)
+    # projectile-style hits (reference _build_projectiles/_launch_projectiles,
+    # humanoid.py:46-48,95-133): an impulse at a random BODY point — linear
+    # kick plus the lever-arm angular kick a small flying object imparts
+    projectile_interval: int = struct.field(pytree_node=False, default=0)
+    projectile_impulse: float = struct.field(pytree_node=False, default=3.0)
     traj: traj_gen.TrajConfig = struct.field(
         pytree_node=False,
         default=traj_gen.TrajConfig(episode_dur=2 * 168 / 30.0))
@@ -422,6 +427,28 @@ class PedestrianTerrainEnv:
             dv = dv.at[:, 2].multiply(0.2)
             u = physics.u.at[:, 0:3].add(
                 jnp.where(do_push[:, None], dv, 0.0))
+            physics = physics.replace(u=u)
+        if cfg.projectile_interval > 0:
+            rng, k_b, k_d = jax.random.split(rng, 3)
+            hit = (state.progress % cfg.projectile_interval
+                   == cfg.projectile_interval - 1)
+            body = jax.random.randint(k_b, (cfg.num_envs,), 0, bm.NUM_BODIES)
+            # mostly-horizontal random impulse direction
+            d = jax.random.normal(k_d, (cfg.num_envs, 3))
+            d = d.at[:, 2].multiply(0.3)
+            d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
+            imp = cfg.projectile_impulse * d                   # N·s
+            mass_tot = self.params.mass.sum(-1, keepdims=True)  # (N,1)
+            xb = jnp.take_along_axis(physics.body_x,
+                                     body[:, None, None].repeat(3, -1),
+                                     1)[:, 0]                  # hit point
+            r = xb - physics.body_x[:, 0]                      # lever arm
+            dv = imp / mass_tot
+            # angular kick via a pelvis-level inertia scale (~point projectile)
+            dw = jnp.cross(r, imp) / (mass_tot * 0.15)
+            u = physics.u
+            u = u.at[:, 0:3].add(jnp.where(hit[:, None], dv, 0.0))
+            u = u.at[:, 3:6].add(jnp.where(hit[:, None], dw, 0.0))
             physics = physics.replace(u=u)
         state = state.replace(rng=rng)
         progress = state.progress + 1

@@ -111,3 +111,104 @@ def augment_with_flips(d: Dict) -> Dict:
     for name, m in d.items():
         out[name + "_flip"] = flip_motion_lr(m)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Raw AMASS ingest (counterpart of the reference's offline pipeline
+# process_amass_raw.py → process_amass_db.py → convert_amass_isaac.py —
+# re-derived: downsample, body-joint slice, y-up → z-up upright correction,
+# FK-based ground height fix; no torch/smplx dependency)
+# ---------------------------------------------------------------------------
+
+# Basis change W from SMPL's y-up frame to our z-up/x-forward frame (the
+# cyclic axis permutation the reference bakes in as quat [0.5,0.5,0.5,0.5],
+# convert_amass_isaac.py:292). Re-expressing every local rotation in the new
+# basis is conjugation g → W g W⁻¹, which for axis-angle vectors is simply
+# aa → W·aa; translations map as t → W·t.
+_UPRIGHT_R = np.array([[0, 0, 1], [1, 0, 0], [0, 1, 0]], np.float32)
+
+
+def conform_joints(pose_aa_src: np.ndarray, source_names: Sequence[str],
+                   target_names: Sequence[str] = None) -> np.ndarray:
+    """Remap per-joint axis-angle data between skeleton layouts by joint
+    name; missing target joints get zeros. Covers the reference's masterfoot
+    remap (motion_lib_smpl.py:101-119 — subdivided-foot skeletons → standard)
+    and SMPL-H/X 52/55-joint AMASS data → 24-joint SMPL."""
+    target_names = tuple(target_names or BODY_NAMES)
+    src = np.asarray(pose_aa_src, np.float32).reshape(
+        len(pose_aa_src), len(source_names), 3)
+    out = np.zeros((len(src), len(target_names), 3), np.float32)
+    lookup = {n: i for i, n in enumerate(source_names)}
+    for t, name in enumerate(target_names):
+        if name in lookup:
+            out[:, t] = src[:, lookup[name]]
+    return out.reshape(len(src), -1)
+
+
+def amass_to_motion(npz_path_or_dict, target_fps: float = 30.0,
+                    ground_fix: bool = True) -> Dict:
+    """One raw AMASS sequence (npz with poses/trans/betas/mocap_framerate)
+    → our motion-dict schema {pose_aa (F,72), root_trans_offset (F,3),
+    beta (16,), fps}."""
+    import jax.numpy as jnp
+
+    from . import body_model as bm
+    from .skeleton import forward_kinematics
+    from ..ops import quat
+
+    d = npz_path_or_dict
+    if isinstance(d, str):
+        d = dict(np.load(d, allow_pickle=True))
+    poses = np.asarray(d["poses"], np.float32)
+    trans = np.asarray(d["trans"], np.float32)
+    fps_in = float(np.asarray(d.get("mocap_framerate",
+                                    d.get("mocap_frame_rate", 60.0))))
+    betas = np.asarray(d.get("betas", np.zeros(16)), np.float32)[:16]
+    betas = np.pad(betas, (0, 16 - len(betas)))
+
+    # temporal downsample to target_fps
+    step = max(1, int(round(fps_in / target_fps)))
+    poses, trans = poses[::step], trans[::step]
+    fps = fps_in / step
+
+    # body-joint slice: first 22 SMPL joints; hands (22, 23) zeroed
+    pose_aa = np.zeros((len(poses), 24, 3), np.float32)
+    pose_aa[:, :22] = poses[:, :66].reshape(-1, 22, 3)
+
+    # upright correction: conjugate every local rotation into the z-up basis
+    # (axis-angle vectors rotate by W) and rotate the root translation
+    pose_aa = pose_aa @ _UPRIGHT_R.T
+    trans = trans @ _UPRIGHT_R.T
+
+    if ground_fix:
+        # FK the lowest joint over all frames onto the ground (the reference
+        # uses the SMPL mesh; joint minimum + toe radius is our analogue)
+        tree = bm.canonical_skeleton()
+        local = quat.exp_map_to_quat(jnp.asarray(pose_aa))
+        _, gpos = forward_kinematics(tree, local, jnp.asarray(trans))
+        trans[:, 2] -= float(np.asarray(gpos[..., 2]).min()) - 0.02
+
+    return {"pose_aa": pose_aa.reshape(-1, 72).astype(np.float32),
+            "root_trans_offset": trans.astype(np.float32),
+            "beta": betas, "fps": fps}
+
+
+def amass_directory_to_dict(paths: Sequence[str], target_fps: float = 30.0,
+                            max_motions: Optional[int] = None) -> Dict:
+    """Batch-convert raw AMASS npz files (skips non-motion npz like
+    shape.npz), keyed by filename stem."""
+    import os
+
+    out = {}
+    for p in paths:
+        if max_motions is not None and len(out) >= max_motions:
+            break
+        try:
+            d = dict(np.load(p, allow_pickle=True))
+        except (OSError, ValueError):
+            continue
+        if "poses" not in d or "trans" not in d:
+            continue
+        name = os.path.splitext(os.path.basename(p))[0]
+        out[name] = amass_to_motion(d, target_fps=target_fps)
+    return out

@@ -1,0 +1,60 @@
+"""LSTM trajectory-prediction baseline.
+
+Counterpart of the reference's LSTM baselines (social-transmotion ships them
+as configs — configs/jta_lstm.yaml etc. — selecting a seq2seq LSTM over the
+primary agent's observed trajectory). Same call signature as TransMotion so
+PredictorTrainer, the EmLoco loss, evaluation and the LocoVal filter all work
+unchanged: (tokens, padding_mask) → (B, total_F, nmode, 2).
+
+TPU note: the recurrences run as lax.scan over ≤21 steps of dense (B, H)
+matmuls — sequence length is trivially small here, so the scan-carried
+dependency costs ~20 fused steps, not a host loop.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .model import TransMotionConfig
+
+
+class LSTMPredictor(nn.Module):
+    """Encoder-decoder LSTM over the primary agent's xy track."""
+
+    cfg: TransMotionConfig
+
+    @nn.compact
+    def __call__(self, tokens, padding_mask, train: bool = False,
+                 limit_obs: int = 0):
+        c = self.cfg
+        B, in_F, N, J, K = tokens.shape
+        out_F = c.total_frames - in_F
+        xy = tokens[:, :, 0, 0, :2]                      # (B, in_F, 2)
+        if limit_obs:
+            keep = jnp.arange(in_F) >= (in_F - limit_obs)
+            xy = jnp.where(keep[None, :, None], xy, 0.0)
+
+        H = c.nhid
+        enc = nn.OptimizedLSTMCell(H)
+        dec = nn.OptimizedLSTMCell(H)
+        carry = enc.initialize_carry(jnp.zeros(2, jnp.uint32), (B,))
+        emb = nn.Dense(H, name="in_proj")
+        for t in range(in_F):                            # unrolled: in_F ≤ 9
+            carry, _ = enc(carry, emb(xy[:, t]))
+
+        # decoder: autoregressive velocity residuals from the last position
+        head = nn.Dense(2 * c.nmode, name="out_proj",
+                        kernel_init=nn.initializers.zeros)
+        last = xy[:, -1]
+        outs = []
+        dcarry = carry
+        inp = emb(last)
+        for _ in range(out_F):
+            dcarry, h = dec(dcarry, inp)
+            dv = head(h).reshape(B, c.nmode, 2) * c.output_scale
+            outs.append(dv)
+            inp = emb(last + dv[:, 0])                   # feed primary mode
+        vel = jnp.stack(outs, axis=1)                    # (B, out_F, M, 2)
+        pred = last[:, None, None] + jnp.cumsum(vel, axis=1)
+        obs_part = jnp.repeat(xy[:, :, None], c.nmode, axis=2)
+        return jnp.concatenate([obs_part, pred], axis=1)  # (B, total_F, M, 2)

@@ -46,6 +46,9 @@ class TransMotionConfig:
     num_3dpose: int = 24
     num_2dpose: int = 22
     multi_modal: bool = True
+    # architecture selector: "transmotion" | "lstm" (the reference ships LSTM
+    # baselines as alternate configs, configs/*lstm.yaml)
+    arch: str = "transmotion"
     # train-time mask ratios (model_jta.py:207-243)
     mask_traj: float = 0.2
     mask_joints: float = 0.2

@@ -51,7 +51,11 @@ class PredictorTrainer:
     def __init__(self, model_cfg: TransMotionConfig = TransMotionConfig(),
                  cfg: PredictTrainConfig = PredictTrainConfig(),
                  vnet: Optional[ValuePoseNet] = None):
-        self.model = TransMotion(model_cfg)
+        if getattr(model_cfg, "arch", "transmotion") == "lstm":
+            from .lstm import LSTMPredictor
+            self.model = LSTMPredictor(model_cfg)
+        else:
+            self.model = TransMotion(model_cfg)
         self.mcfg = model_cfg
         self.cfg = cfg
         self.vnet = vnet

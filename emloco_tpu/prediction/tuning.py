@@ -151,6 +151,6 @@ def predictor_objective(base_cfg, dataset, eval_dataset, epochs=3,
         ts, history, best = trainer.fit(
             ts, dataset, epochs=epochs, batches_per_epoch=batches_per_epoch,
             batch_size=batch_size, eval_dataset=eval_dataset)
-        return float(min(h["val_ade"] for h in history if "val_ade" in h))
+        return float(min(h["ade_min"] for h in history if "ade_min" in h))
 
     return objective

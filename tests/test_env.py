@@ -135,6 +135,26 @@ def test_domain_randomization_hooks():
     assert not np.allclose(np.asarray(out2.obs), np.asarray(clean))
 
 
+def test_projectile_perturbations():
+    """Projectile hits (humanoid.py:95-133): at the interval step the root
+    picks up a velocity + angular-velocity kick; sim stays finite."""
+    cfg = EnvConfig(num_envs=4, terrain_obs=False, num_amp_obs_steps=3,
+                    projectile_interval=2, projectile_impulse=20.0,
+                    enable_early_termination=False)
+    terrain = flat_terrain(extent=20.0, cell=0.1)
+    lib = ml.synthetic_walk_motions(speeds=(1.0,), duration=2.0)
+    env = PedestrianTerrainEnv(cfg, terrain, lib)
+    st = env.reset(jax.random.PRNGKey(0))
+    a = jnp.zeros((4, env.cfg.num_actions))
+    st, _ = env.step(st, a)                       # progress 0→1: no hit
+    w_before = np.asarray(st.physics.u[:, 3:6])
+    st, out = env.step(st, a)                     # progress 1: hit step
+    w_after = np.asarray(st.physics.u[:, 3:6])
+    assert np.all(np.isfinite(np.asarray(out.obs)))
+    # angular velocity visibly kicked on at least one env
+    assert np.abs(w_after - w_before).max() > 0.05
+
+
 def test_traj_bank_export_roundtrip(tmp_path):
     from emloco_tpu.prediction.data import SyntheticScenes
     from emloco_tpu.prediction.export import (export_scene_dataset,

@@ -1,0 +1,111 @@
+"""Sweep harness + prediction visualization tests.
+
+Reference counterparts: hyper_tuning_jta.py / hyper_tuning_monitor.py (sweep),
+visualize_pred.py / draw_histogram.py / evaluate_jta.py:432-493 (plots).
+"""
+import os
+
+import numpy as np
+
+from emloco_tpu.prediction import tuning, visualize
+
+
+def test_param_sampling_bounds():
+    rng = np.random.RandomState(0)
+    p = tuning.Param("lr", "loguniform", 1e-5, 1e-3)
+    for _ in range(50):
+        v = p.sample(rng)
+        assert 1e-5 <= v <= 1e-3
+    c = tuning.Param("n", "choice", choices=(4, 6, 8))
+    assert all(c.sample(rng) in (4, 6, 8) for _ in range(10))
+
+
+def test_run_sweep_logs_and_resumes(tmp_path):
+    log_path = str(tmp_path / "trials.jsonl")
+    calls = []
+
+    def objective(params, i):
+        calls.append(i)
+        if i == 1:
+            raise RuntimeError("diverged")          # must not kill the sweep
+        return params["predict.lr"] * 1e4
+
+    s = tuning.run_sweep(objective, num_trials=4, log_path=log_path, seed=1)
+    assert s["num_trials"] == 3                      # errored trial excluded
+    assert calls == [0, 1, 2, 3]
+    log = tuning.SweepLog(log_path)
+    assert len(log.trials()) == 4
+    assert any("error" in t for t in log.trials())
+    best = log.best()
+    assert best["val_ade"] == s["best"]
+
+    # resume: 4 already done, ask for 6 → only trials 4, 5 run
+    calls.clear()
+    tuning.run_sweep(objective, num_trials=6, log_path=log_path, seed=1)
+    assert calls == [4, 5]
+    assert len(log.trials()) == 6
+
+
+def _fake_vis(num_scenes=3, modes=4, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "obs": rng.randn(num_scenes, 9, 2).cumsum(1),
+        "gt": rng.randn(num_scenes, 12, 2).cumsum(1),
+        "pred": rng.randn(num_scenes, 12, modes, 2).cumsum(1),
+        "values": rng.rand(num_scenes, modes),
+    }
+
+
+def test_vis_dict_roundtrip(tmp_path):
+    vis = _fake_vis()
+    p = str(tmp_path / "vis.pkl")
+    visualize.save_vis_dict(p, vis)
+    v2 = visualize.load_vis_dict(p)
+    np.testing.assert_allclose(v2["pred"], vis["pred"])
+
+
+def test_comparison_plot_written(tmp_path):
+    out = str(tmp_path / "cmp.png")
+    visualize.plot_prediction_comparison(
+        {"modelA": _fake_vis(seed=1), "modelB": _fake_vis(seed=2)},
+        scene_indices=[0, 2], out_path=out, value_threshold=0.5)
+    assert os.path.getsize(out) > 1000
+
+
+def test_value_ade_bars_binning(tmp_path):
+    rng = np.random.RandomState(0)
+    values = rng.rand(500)
+    ades = 2.0 - values + 0.1 * rng.randn(500)   # higher value → lower ADE
+    out = visualize.plot_value_ade_bars(values, ades,
+                                        str(tmp_path / "bars.png"))
+    assert out["counts"].sum() == 500
+    # monotone-ish: first bin mean ADE > last bin mean ADE
+    assert out["mean_ade"][0] > out["mean_ade"][-1]
+
+
+def test_histogram_and_des_plots(tmp_path):
+    p1 = visualize.plot_value_histogram(
+        {"pred": np.random.rand(100), "gt": np.random.rand(50)},
+        str(tmp_path / "h.png"))
+    p2 = visualize.plot_des_per_step(
+        {"m": np.linspace(0.1, 1.2, 12)}, str(tmp_path / "des.png"))
+    assert os.path.getsize(p1) > 500 and os.path.getsize(p2) > 500
+
+
+def test_collect_vis_data_shapes():
+    import jax
+    from emloco_tpu.prediction.data import SyntheticScenes
+    from emloco_tpu.prediction.model import TransMotionConfig
+    from emloco_tpu.prediction.train import PredictorTrainer
+
+    mcfg = TransMotionConfig(nhid=32, dim_ff=64, nlayers_local=1,
+                             nlayers_global=1, nmode=3)
+    trainer = PredictorTrainer(mcfg)
+    ds = SyntheticScenes(num_people=2, seed=0)
+    batch = ds.batch(4)
+    ts = trainer.init(jax.random.PRNGKey(0), batch)
+    vis = visualize.collect_vis_data(trainer, ts.params, ds, batch_size=4,
+                                     num_batches=1)
+    assert vis["obs"].shape == (4, 9, 2)
+    assert vis["gt"].shape == (4, 12, 2)
+    assert vis["pred"].shape[0] == 4 and vis["pred"].shape[2] == 3
