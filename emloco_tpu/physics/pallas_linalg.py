@@ -26,51 +26,36 @@ LANES = 128
 
 
 def _chol_solve_kernel(a_ref, b_ref, x_ref, w_ref, y_ref):
-    """a (M,M,L), b (M,L) → x (M,L); w,y scratch."""
+    """a (M,M,L), b (M,L) → x (M,L); w,y scratch.
+
+    M is static, so the factorization unrolls with *static shrinking slices*:
+    step k touches only the trailing (M−k, M−k) block instead of a masked
+    full-matrix update — 3x fewer VPU flops (Σ(M−k)² = M³/3 vs M³)."""
     M = a_ref.shape[0]
     w_ref[:] = a_ref[:]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
 
-    def chol_step(k, _):
+    for k in range(M):                       # static unroll
         d = w_ref[k, k, :]                                 # (L,)
         s = jnp.sqrt(jnp.maximum(d, 1e-12))
-        col = w_ref[:, k, :] / s[None, :]                  # (M,L)
-        col = jnp.where(rows > k, col, 0.0)
-        # write the finished L column (diag = s, below-diag = col)
-        onehot = (rows == k).astype(col.dtype)
-        w_ref[:, k, :] = col + onehot * s[None, :]
-        # rank-1 trailing update (col is zero at and above row k, so rows/cols
-        # ≤ k are untouched)
-        w_ref[:, :, :] = w_ref[:] - col[:, None, :] * col[None, :, :]
-        return 0
+        w_ref[k, k, :] = s
+        if k + 1 < M:
+            col = w_ref[k + 1:, k, :] / s[None, :]         # (M-k-1, L)
+            w_ref[k + 1:, k, :] = col
+            # trailing update on the (M-k-1)² block only
+            w_ref[k + 1:, k + 1:, :] = (
+                w_ref[k + 1:, k + 1:, :] - col[:, None, :] * col[None, :, :])
 
-    jax.lax.fori_loop(0, M, chol_step, 0)
-
-    # forward solve L y = b (y[j] stays 0 until assigned; L upper = garbage
-    # but masked reads use only the finished lower-triangular columns)
-    y_ref[:] = jnp.zeros_like(y_ref)
-
-    def fwd_step(k, _):
-        lk = w_ref[k, :, :]                                # row k of L (M,L)
-        lk = jnp.where(rows < k, lk, 0.0)                  # strictly lower
-        s = jnp.sum(lk * y_ref[:], axis=0)                 # (L,)
+    # forward solve L y = b — row k uses only finished columns :k
+    y_ref[0, :] = b_ref[0, :] / w_ref[0, 0, :]
+    for k in range(1, M):
+        s = jnp.sum(w_ref[k, :k, :] * y_ref[:k, :], axis=0)
         y_ref[k, :] = (b_ref[k, :] - s) / w_ref[k, k, :]
-        return 0
 
-    jax.lax.fori_loop(0, M, fwd_step, 0)
-
-    # backward solve Lᵀ x = y
-    x_ref[:] = jnp.zeros_like(x_ref)
-
-    def bwd_step(i, _):
-        k = M - 1 - i
-        ck = w_ref[:, k, :]                                # column k of L
-        ck = jnp.where(rows > k, ck, 0.0)
-        s = jnp.sum(ck * x_ref[:], axis=0)
+    # backward solve Lᵀ x = y — column k below the diagonal
+    x_ref[M - 1, :] = y_ref[M - 1, :] / w_ref[M - 1, M - 1, :]
+    for k in range(M - 2, -1, -1):
+        s = jnp.sum(w_ref[k + 1:, k, :] * x_ref[k + 1:, :], axis=0)
         x_ref[k, :] = (y_ref[k, :] - s) / w_ref[k, k, :]
-        return 0
-
-    jax.lax.fori_loop(0, M, bwd_step, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -278,20 +278,22 @@ def _skew(r):
 
 
 def _build_jacobians(model: Model, x, q, pivots_x):
-    """Body Jacobians folded for the MXU: Jv (N, B·3, 75) and the per-body
-    world inertias (N, B, 3, 3).
+    """Body Jacobians + symmetric inertia rows, kept 4-D for TPU layout.
+
+    Returns Jv4 (N, B, 3, 75) and W4 (N, B, 3, 75) with W = √D·RᵀJw (zero
+    linear columns), so the angular mass block is exactly W4ᵀW4 and the
+    per-body world inertia I = R D Rᵀ is never materialized. Downstream
+    contractions run over the (B, 3) axis pair directly — a (N, B·3, ·)
+    reshape would cost a tiled-layout copy on TPU.
 
     Column layout: [root-lin (3) | 72 angular columns (root-ang a=0, joints
     a=1..23)]. For body k and extended joint a (ancestor):
         Jv[k, :, ang-col a] = −[x_k − p_a]× = −[x_k]× + [p_a]×
-    distributed into two matmuls against static selector tensors so no
+    distributed into two contractions against ε-folded static tensors so no
     (N, A, B, 3, 3) block tensor is materialized.
     """
     p = model.params
     N = x.shape[0]
-    R = quat.to_matrix(q)
-    I_world = jnp.einsum("nbik,nbk,nbjk->nbij", R, p.inertia, R)
-
     subx = jnp.asarray(_SUBX)                            # (24ext,B)
     eps_jw = jnp.asarray(_EPS_JW)                        # (B,3,3,72)
     eps_col = jnp.asarray(_EPS_COL)                      # (24ext,3,3,72)
@@ -302,66 +304,46 @@ def _build_jacobians(model: Model, x, q, pivots_x):
     t2 = jnp.einsum("naj,ajic->naic", pivots_x, -eps_col)
     term2 = jnp.einsum("naic,ak->nkic", t2, subx)        # (N,B,3,72)
     eye = jnp.broadcast_to(jnp.eye(3), (N, B, 3, 3))
-    Jv = jnp.concatenate([eye, term1 + term2], axis=-1)  # (N,B,3,75)
-    return Jv.reshape(N, B * 3, NU), I_world
+    Jv4 = jnp.concatenate([eye, term1 + term2], axis=-1)  # (N,B,3,75)
 
-
-def _mass_matrix_from_jac(model: Model, Jv72, I_world):
-    """M = Jvᵀ diag(m) Jv + Jwᵀ I_blkdiag Jw — two batched matmuls.
-
-    (Diagnostics/tests path; the hot substep assembles M fused into the full
-    LHS via _assemble_lhs_rhs and never materializes it.)"""
-    p = model.params
-    m_rep = jnp.repeat(p.mass, 3, axis=-1)               # (N,72)
-    Mv = jnp.matmul(jnp.swapaxes(Jv72 * m_rep[..., None], 1, 2), Jv72)
+    R = quat.to_matrix(q)                                # (N,B,3,3)
     jw = jnp.asarray(_JW_EXT)                            # (B,3,72)
-    IJw = jnp.einsum("nkij,kjc->nkic", I_world, jw)      # (N,B,3,72)
-    Mw = jnp.einsum("kic,nkid->ncd", jw, IJw)            # (N,72,72)
-    return Mv.at[:, 3:, 3:].add(Mw)
+    RtJw = jnp.einsum("nkji,kjc->nkic", R, jw)           # Rᵀ·Jw
+    W = jnp.sqrt(p.inertia)[..., None] * RtJw            # (N,B,3,72)
+    W4 = jnp.concatenate([jnp.zeros((N, B, 3, 3), W.dtype), W], axis=-1)
+    return Jv4, W4
 
 
-def _assemble_lhs_rhs(model: Model, Jv72, I_world, u, diag, wn, wt, Jn, Jc,
-                      dt_Q):
-    """Fused LHS/RHS assembly as ONE batched MXU matmul + three matvecs.
-
-    A = Jvᵀm Jv + JwᵀI Jw + wt·JcᵀJc + (wn−wt)·JnᵀJn + diag
-      = Lᵀ R with L/R row-stacks (N, 72+72+144+48, 75); symmetric because
-      every block is. rhs = M·u + dt·Q without materializing M:
-      M·u = Jvᵀ(m⊙(Jv u)) + Jwᵀ(IJw·u). Replaces the reference's PhysX-side
-      TGS assembly (closed .so); one matmul keeps the MXU busy instead of
-      five (N,75,75) einsum-reductions bound on HBM.
-    """
+def _mass_matrix_from_jac(model: Model, Jv4, W4):
+    """M = Jv4ᵀ diag(m) Jv4 + W4ᵀW4 (diagnostics/tests path; the hot substep
+    assembles M fused into the full LHS via _assemble_lhs_rhs)."""
     p = model.params
-    N = Jv72.shape[0]
-    m_rep = jnp.repeat(p.mass, 3, axis=-1)               # (N,72)
-    jw = jnp.asarray(_JW_EXT)                            # (B,3,72)
-    IJw = jnp.einsum("nkij,kjc->nkic", I_world, jw)      # (N,B,3,72)
-    IJw_flat = IJw.reshape(N, B * 3, 72)
-    pad = jnp.zeros((N, B * 3, 3), Jv72.dtype)
-    IJw_pad = jnp.concatenate([pad, IJw_flat], axis=-1)  # (N,72,75)
-    jw_pad = jnp.concatenate([jnp.zeros((B * 3, 3), Jv72.dtype),
-                              jw.reshape(B * 3, 72)], axis=-1)  # (72,75)
-    jw_pad_b = jnp.broadcast_to(jw_pad, (N,) + jw_pad.shape)
+    Mv = jnp.einsum("nkic,nkid->ncd", p.mass[..., None, None] * Jv4, Jv4)
+    return Mv + jnp.einsum("nkic,nkid->ncd", W4, W4)
 
-    C = Jn.shape[1]
-    Jc_flat = Jc.reshape(N, C * 3, NU)
-    wt3 = jnp.repeat(wt, 3, axis=-1)                     # (N,3C)
 
-    L = jnp.concatenate([
-        Jv72 * m_rep[..., None],
-        IJw_pad,
-        Jc_flat * wt3[..., None],
-        Jn * (wn - wt)[..., None],
-    ], axis=1)
-    Rm = jnp.concatenate([Jv72, jw_pad_b, Jc_flat, Jn], axis=1)
-    A = jnp.matmul(jnp.swapaxes(L, 1, 2), Rm)            # (N,75,75)
+def _assemble_lhs_rhs(model: Model, Jv4, W4, u, diag, wn, wt, Jn, Jc, dt_Q):
+    """Fused LHS/RHS assembly as ONE batched MXU contraction + matvecs.
+
+    A = Jvᵀm Jv + WᵀW + wt·JcᵀJc + (wn−wt)·JnᵀJn + diag, built as a single
+    dot_general over the stacked (body, xyz) axis pair — multi-axis
+    contraction instead of (N, rows, 75) reshapes, which would each cost a
+    tiled-layout copy. rhs = M·u + dt·Q without materializing M. Replaces
+    the reference's PhysX-side TGS assembly (closed .so)."""
+    p = model.params
+    # three multi-axis dot_generals; concatenating the row blocks first would
+    # copy ~560 MB/step of operands that are otherwise consumed in place
+    A = jnp.einsum("nkic,nkid->ncd", p.mass[..., None, None] * Jv4, Jv4)
+    A = A + jnp.einsum("nkic,nkid->ncd", W4, W4)
+    A = A + jnp.einsum("nkic,nkid->ncd", wt[..., None, None] * Jc, Jc)
+    A = A + jnp.einsum("nci,ncj->nij", (wn - wt)[..., None] * Jn, Jn)
     A = A + jax.vmap(jnp.diag)(diag)
 
     # rhs = M·u + dt·Q via matvecs (no dense M)
-    v1 = jnp.einsum("nrc,nc->nr", Jv72, u)
-    Mu = jnp.einsum("nrc,nr->nc", Jv72, m_rep * v1)
-    v2 = jnp.einsum("nrc,nc->nr", IJw_pad, u)
-    Mu = Mu + jnp.einsum("rc,nr->nc", jw_pad, v2)
+    v1 = jnp.einsum("nkic,nc->nki", Jv4, u)
+    Mu = jnp.einsum("nkic,nki->nc", Jv4, p.mass[..., None] * v1)
+    v2 = jnp.einsum("nkic,nc->nki", W4, u)
+    Mu = Mu + jnp.einsum("nkic,nki->nc", W4, v2)
     return A, Mu + dt_Q
 
 
@@ -385,13 +367,12 @@ def _contact_jacobians(model: Model, x, q, pivots_x, points):
     return Jc
 
 
-def _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv72, I_world, target_q,
-                         dt, gvec):
+def _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv4, target_q, dt, gvec):
     """Q_gravity + Q_bias + explicit spring RHS, all through Jᵀ matvecs.
 
     Cross products are distributed (see _body_velocities) so the bias needs
-    no (N, J, B, 3) intermediates; generalized forces are two batched
-    matvecs against the folded Jacobian.
+    no (N, J, B, 3) intermediates; the gyroscopic torque uses quaternion
+    rotations against the diagonal body-frame inertia (no I_world matrices).
     """
     p = model.params
     m = p.mass
@@ -411,11 +392,13 @@ def _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv72, I_world, target_q,
     a_vp = (jnp.cross(w_root[:, None], v_b - v_b[:, 0:1])
             + jnp.cross(w_sum, v_b)
             - jnp.einsum("jb,nji->nbi", sub, jnp.cross(qd, v_piv)))
-    gyro = jnp.cross(w_b, jnp.einsum("nbij,nbj->nbi", I_world, w_b))
+    # gyro = ω × (R D Rᵀ ω), via two quat rotations on (N,B,3)
+    Iw = quat.rotate(q, p.inertia * quat.rotate_inv(q, w_b))
+    gyro = jnp.cross(w_b, Iw)
 
     # generalized forces: Q = Jvᵀ f_lin + Jwᵀ τ_ang
     f_lin = m[..., None] * (gvec[None, None] - a_vp)     # gravity − inertial
-    Q = jnp.einsum("nrc,nr->nc", Jv72, f_lin.reshape(N, -1))
+    Q = jnp.einsum("nkic,nki->nc", Jv4, f_lin)
     jw = jnp.asarray(_JW_EXT)                            # (B,3,72)
     tau_ang = -gyro                                      # (N,B,3)
     Q = Q.at[:, 3:].add(jnp.einsum("kic,nki->nc", jw, tau_ang))
@@ -508,11 +491,11 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     piv_j = x[:, 1:] + quat.rotate(q[:, 1:], model.anchor_c[:, 1:])
     pivots_x = jnp.concatenate([x[:, 0:1], piv_j], axis=1)   # (N,24ext,3)
 
-    Jv72, I_world = _build_jacobians(model, x, q, pivots_x)
+    Jv4, W4 = _build_jacobians(model, x, q, pivots_x)
 
     gvec = jnp.array([0.0, 0.0, cfg.gravity])
-    Q = _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv72, I_world,
-                             target_q, dt, gvec)
+    Q = _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv4, target_q, dt,
+                             gvec)
 
     # ---- implicit diagonal: dt·D + dt²·K (+ small root damping) ----
     kp = p.kp                                            # (N,23)
@@ -556,8 +539,8 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     # RHS contact: normal spring force at current penetration
     Q = Q + jnp.einsum("nc,ncj->nj", active * k_n * pen, Jn)
 
-    A, rhs = _assemble_lhs_rhs(model, Jv72, I_world, u, diag, wn, wt,
-                               Jn, Jc, dt * Q)
+    A, rhs = _assemble_lhs_rhs(model, Jv4, W4, u, diag, wn, wt, Jn, Jc,
+                               dt * Q)
 
     # ---- solve ----
     from .pallas_linalg import backend_supports_pallas, cholesky_solve_soa
