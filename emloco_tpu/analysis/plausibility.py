@@ -52,11 +52,13 @@ def sample_candidate_trajs(key, num, num_waypoints=13, dt=0.4,
 
 def optimize_trajectory(vnet: ValuePoseNet, params, traj0, init_pose=None,
                         init_vel=None, steps: int = 200, lr: float = 0.01,
-                        freeze_first: bool = True):
+                        freeze_first: bool = True, record_trajs: bool = False):
     """Gradient-based test-time optimization of trajectory coordinates
     against exp(−value) (reference test_value_mlp.py:239-274).
 
-    Returns (optimized traj (B,W,2), history of values (steps+1, B))."""
+    Returns (optimized traj (B,W,2), history of values (steps+1, B));
+    with record_trajs also the per-step trajectory snapshots
+    (steps+1, B, W, 2) for the optimization animation."""
     tx = optax.adam(lr)
 
     def loss_fn(traj):
@@ -73,12 +75,54 @@ def optimize_trajectory(vnet: ValuePoseNet, params, traj0, init_pose=None,
             if freeze_first:
                 g = g.at[:, 0].set(0.0)   # origin stays pinned
             updates, opt_state = tx.update(g, opt_state)
-            traj = optax.apply_updates(traj, updates)
-            return (traj, opt_state), v
+            new_traj = optax.apply_updates(traj, updates)
+            out = (v, traj) if record_trajs else (v,)
+            return (new_traj, opt_state), out
 
-        (traj, _), history = jax.lax.scan(step, (traj0, opt_state), None,
-                                          length=steps)
+        (traj, _), hist = jax.lax.scan(step, (traj0, opt_state), None,
+                                       length=steps)
         final_v = vnet.apply(params, traj, init_pose, init_vel)
-        return traj, jnp.concatenate([history, final_v[None]], 0)
+        values = jnp.concatenate([hist[0], final_v[None]], 0)
+        if record_trajs:
+            snaps = jnp.concatenate([hist[1], traj[None]], 0)
+            return traj, values, snaps
+        return traj, values
 
     return run(traj0)
+
+
+def animate_optimization(snapshots, values, out_path: str = "traj_opt.gif",
+                         index: int = 0, fps: int = 10, stride: int = 5):
+    """GIF of the trajectory-optimization process (reference
+    test_value_mlp.py:276-297): the trajectory morphs while its LocoVal
+    value climbs in the title."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+
+    snaps = np.asarray(snapshots)[:, index]            # (S, W, 2)
+    vals = np.asarray(values)[:, index]
+    frames = list(range(0, len(snaps), stride)) + [len(snaps) - 1]
+    lo = snaps.min((0, 1)) - 0.5
+    hi = snaps.max((0, 1)) + 0.5
+    fig, ax = plt.subplots(figsize=(5, 5))
+
+    def draw(i):
+        t = frames[i]
+        ax.cla()
+        ax.plot(snaps[0, :, 0], snaps[0, :, 1], ":", c="gray",
+                label="initial")
+        ax.plot(snaps[t, :, 0], snaps[t, :, 1], "o-", c="tab:blue",
+                label="current")
+        ax.set_xlim(lo[0], hi[0])
+        ax.set_ylim(lo[1], hi[1])
+        ax.set_aspect("equal")
+        ax.set_title(f"step {t}  value={vals[t]:.3f}")
+        ax.legend(loc="upper right", fontsize=8)
+
+    anim = animation.FuncAnimation(fig, draw, frames=len(frames),
+                                   interval=1000 / fps)
+    anim.save(out_path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return out_path

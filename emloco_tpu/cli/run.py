@@ -272,8 +272,17 @@ def cmd_optimize_traj(cfg, args):
         if use_pose else None
     init_vel = np.asarray(trajs[:, 1] - trajs[:, 0]) / 0.4 \
         if use_vel else None
-    out, hist = optimize_trajectory(vnet, vp, trajs, init_pose=init_pose,
-                                    init_vel=init_vel, steps=args.steps)
+    if args.gif:
+        from ..analysis import animate_optimization
+        out, hist, snaps = optimize_trajectory(
+            vnet, vp, trajs, init_pose=init_pose, init_vel=init_vel,
+            steps=args.steps, record_trajs=True)
+        gif = animate_optimization(
+            snaps, hist, os.path.join(cfg.out_dir, "traj_opt.gif"))
+        print(gif)
+    else:
+        out, hist = optimize_trajectory(vnet, vp, trajs, init_pose=init_pose,
+                                        init_vel=init_vel, steps=args.steps)
     print(f"value before: {float(np.asarray(hist[0]).mean()):.4f} "
           f"after: {float(np.asarray(hist[-1]).mean()):.4f}")
 
@@ -301,6 +310,7 @@ def main(argv=None):
     p.add_argument("--grid", action="store_true")
     p.add_argument("--trials", type=int, default=20)
     p.add_argument("--vis-dicts", nargs="*", default=[])
+    p.add_argument("--gif", action="store_true")
     p.add_argument("overrides", nargs="*",
                    help="dotted config overrides, e.g. env.num_envs=1024")
     args = p.parse_args(argv)
