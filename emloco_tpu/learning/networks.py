@@ -53,8 +53,11 @@ class AMPSeptValueNet(nn.Module):
     sigma_init: float = -2.9
 
     def setup(self):
+        # explicit dtype: a weak-typed param would strengthen after the first
+        # optimizer step and retrace the whole compiled epoch once
         self.log_sigma = self.param(
-            "log_sigma", lambda k, s: jnp.full(s, self.sigma_init),
+            "log_sigma", lambda k, s: jnp.full(s, self.sigma_init,
+                                               jnp.float32),
             (self.num_actions,))
         self.task_mlp = _make_mlp(self.task_units, "task_mlp")
         self.actor_mlp = _make_mlp(self.mlp_units, "actor_mlp")

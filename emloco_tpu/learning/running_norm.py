@@ -18,8 +18,10 @@ class RunningNorm(struct.PyTreeNode):
 
     @classmethod
     def create(cls, dim: int):
+        # explicit dtype → non-weak type, so the first `update` doesn't change
+        # the pytree signature and force a one-time jit retrace of the epoch
         return cls(mean=jnp.zeros((dim,)), var=jnp.ones((dim,)),
-                   count=jnp.asarray(1e-4))
+                   count=jnp.asarray(1e-4, jnp.float32))
 
     def update(self, batch: jnp.ndarray) -> "RunningNorm":
         batch = batch.reshape(-1, batch.shape[-1])
