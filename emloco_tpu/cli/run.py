@@ -70,11 +70,23 @@ def cmd_train_policy(cfg, args):
         tree, _ = load_pytree(args.resume)
         ts = ts.replace(params=tree["params"], obs_norm=tree["obs_norm"],
                         amp_norm=tree["amp_norm"])
+    mesh_ctx = None
+    if args.mesh > 1:
+        # env-axis data parallelism over an N-chip mesh (the reference's
+        # Horovod multi-GPU path, run.py:57-72 — here: shard + let XLA emit
+        # the ICI collectives)
+        from ..parallel.mesh import make_mesh, shard_env_axis
+        mesh_ctx = make_mesh(args.mesh)
+        ts = shard_env_axis(ts, mesh_ctx, cfg.env.num_envs)
     logger = MetricsLogger(cfg.out_dir, "policy")
     t0 = time.perf_counter()
     steps_per_epoch = cfg.amp.horizon * cfg.env.num_envs
     for ep in range(cfg.epochs):
-        ts, metrics = agent.train_epoch(ts)
+        if mesh_ctx is not None:
+            with mesh_ctx:
+                ts, metrics = agent.train_epoch(ts)
+        else:
+            ts, metrics = agent.train_epoch(ts)
         if ep % 10 == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics["step_fps"] = steps_per_epoch * (ep + 1) / (
@@ -311,6 +323,8 @@ def main(argv=None):
     p.add_argument("--trials", type=int, default=20)
     p.add_argument("--vis-dicts", nargs="*", default=[])
     p.add_argument("--gif", action="store_true")
+    p.add_argument("--mesh", type=int, default=1,
+                   help="shard the env axis over N devices (data parallel)")
     p.add_argument("overrides", nargs="*",
                    help="dotted config overrides, e.g. env.num_envs=1024")
     args = p.parse_args(argv)

@@ -1,0 +1,72 @@
+"""Multi-device data-parallel training on the virtual 8-device CPU mesh.
+
+Reference counterpart: the Horovod multi-GPU path (run.py:57-72, allreduce in
+amp_continuous.py:268-301). Here: env-axis NamedSharding + jit → XLA
+collectives; results must match the unsharded run bit-for-... well, to fp32
+reduction tolerance.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emloco_tpu.envs import EnvConfig, PedestrianTerrainEnv, traj_gen
+from emloco_tpu.kinematics import motion_lib as ml
+from emloco_tpu.learning.amp_agent import AMPAgent, AMPConfig
+from emloco_tpu.parallel.mesh import make_mesh, pmean_metrics, shard_env_axis
+from emloco_tpu.physics import flat_terrain
+
+
+def _agent(num_envs):
+    terrain = flat_terrain(extent=20.0, cell=0.1)
+    lib = ml.synthetic_walk_motions(speeds=(1.0,), duration=1.5)
+    cfg = EnvConfig(num_envs=num_envs, sensor_res=8, episode_length=24,
+                    num_amp_obs_steps=3, terrain_obs=True)
+    env = PedestrianTerrainEnv(cfg, terrain, lib,
+                               real_traj_bank=traj_gen.synthetic_real_bank(8))
+    return AMPAgent(env, AMPConfig(horizon=4, num_minibatches=2,
+                                   mini_epochs=1, amp_batch_size=16))
+
+
+def test_mesh_construction():
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("env",)
+
+
+def test_sharded_epoch_matches_unsharded():
+    n = 16
+    agent = _agent(n)
+    ts0 = agent.init(jax.random.PRNGKey(0))
+
+    ts_ref, m_ref = agent.train_epoch(ts0)
+
+    mesh = make_mesh(8)
+    ts_sh = shard_env_axis(ts0, mesh, n)
+    # env-state leaves actually land on the env axis
+    sh = ts_sh.env_state.physics.root_pos.sharding
+    assert sh.spec == jax.sharding.PartitionSpec("env")
+    assert ts_sh.params["params"]["log_sigma"].sharding.spec == \
+        jax.sharding.PartitionSpec()
+    with mesh:
+        ts_sh, m_sh = agent.train_epoch(ts_sh)
+
+    for k in m_ref:
+        np.testing.assert_allclose(float(m_ref[k]), float(m_sh[k]),
+                                   rtol=2e-3, atol=2e-3, err_msg=k)
+    # params agree after one update
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     ts_ref.params, ts_sh.params)
+    assert max(jax.tree.leaves(d)) < 2e-4
+
+
+def test_pmean_metrics_shape():
+    mesh = make_mesh(8)
+
+    from jax.sharding import PartitionSpec as P
+
+    def f(x):
+        return pmean_metrics({"m": x.mean()})
+
+    g = jax.shard_map(f, mesh=mesh, in_specs=P("env"), out_specs=P())
+    out = g(jnp.arange(16.0))
+    assert abs(float(out["m"]) - 7.5) < 1e-6
