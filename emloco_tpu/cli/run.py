@@ -192,9 +192,13 @@ def cmd_train_predictor(cfg, args):
     batch = ds.batch(args.batch_size)
     ts = trainer.init(jax.random.PRNGKey(cfg.seed), batch, vnet_params=vp)
     logger = MetricsLogger(cfg.out_dir, "predictor")
+    mesh = None
+    if args.mesh > 1:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(args.mesh, axis="batch")
     ts, history, best = trainer.fit(
         ts, ds, epochs=cfg.epochs, batches_per_epoch=args.batches,
-        batch_size=args.batch_size, eval_dataset=eval_ds)
+        batch_size=args.batch_size, eval_dataset=eval_ds, mesh=mesh)
     for h in history:
         logger.log(h.pop("epoch"), h)
     trainer.save_checkpoint(
@@ -221,6 +225,32 @@ def cmd_eval_predictor(cfg, args):
                                args.batches, vnet=vnet, vnet_params=vp)
     for k, v in sorted(out.items()):
         print(f"{k}: {v:.4f}")
+    if args.all_frames:
+        # observation-length sweep (reference evaluate_jta.py --all_frames)
+        from ..prediction.evaluate import observation_length_sweep
+        sweep = observation_length_sweep(trainer, blob["params"], ds,
+                                         args.batch_size, args.batches)
+        for L, ade in sweep.items():
+            print(f"obs_frames={L}: ade_min={ade:.4f}")
+    if args.plots and vnet is not None:
+        from ..prediction import visualize as V
+        vis = V.collect_vis_data(trainer, blob["params"], ds,
+                                 args.batch_size, args.batches,
+                                 vnet=vnet, vnet_params=vp)
+        V.save_vis_dict(os.path.join(cfg.out_dir, "vis_dict.pkl"), vis)
+        n = min(3, vis["pred"].shape[0])
+        print(V.plot_prediction_comparison(
+            {"model": vis}, list(range(n)),
+            os.path.join(cfg.out_dir, "pred_comparison.png"),
+            value_threshold=0.7))
+        import numpy as _np
+        ades = _np.linalg.norm(
+            vis["pred"] - vis["gt"][:, :, None], axis=-1).mean(1)  # (S,M)
+        V.plot_value_ade_bars(vis["values"], ades,
+                              os.path.join(cfg.out_dir, "value_ade.png"))
+        print(V.plot_value_histogram(
+            {"pred": vis["values"]},
+            os.path.join(cfg.out_dir, "value_hist.png")))
 
 
 def cmd_tune_predictor(cfg, args):
@@ -325,6 +355,10 @@ def main(argv=None):
     p.add_argument("--gif", action="store_true")
     p.add_argument("--mesh", type=int, default=1,
                    help="shard the env axis over N devices (data parallel)")
+    p.add_argument("--all-frames", action="store_true",
+                   help="eval-predictor: sweep observed-frame counts 1..9")
+    p.add_argument("--plots", action="store_true",
+                   help="eval-predictor: save comparison/value plots")
     p.add_argument("overrides", nargs="*",
                    help="dotted config overrides, e.g. env.num_envs=1024")
     args = p.parse_args(argv)

@@ -151,11 +151,12 @@ class TransMotion(nn.Module):
             keep = (t_idx >= (in_F - limit_obs)) | (t_idx >= in_F)
             keep = keep.astype(tgt_traj.dtype)[None, :, None, None]
             tgt_traj = tgt_traj * keep
-            keep_in = keep[:, :in_F]
-            tgt_3dbb = tgt_3dbb * keep_in
-            tgt_2dbb = tgt_2dbb * keep_in
-            tgt_3dpose = tgt_3dpose * keep_in[..., None]
-            tgt_2dpose = tgt_2dpose * keep_in[..., None]
+            # cue tensors are already padded to F frames; frames ≥ in_F stay
+            # (they replicate the last observed frame, which limit_obs keeps)
+            tgt_3dbb = tgt_3dbb * keep
+            tgt_2dbb = tgt_2dbb * keep
+            tgt_3dpose = tgt_3dpose * keep[..., None]
+            tgt_2dpose = tgt_2dpose * keep[..., None]
 
         det = not train
 

@@ -137,8 +137,24 @@ class PredictorTrainer:
     # ------------------------------------------------------------------
 
     def fit(self, ts, dataset, epochs: int, batches_per_epoch: int,
-            batch_size: int, log_every: int = 10, eval_dataset=None):
-        """Host-side epoch loop (reference train_jta.py main loop :224-384)."""
+            batch_size: int, log_every: int = 10, eval_dataset=None,
+            mesh=None):
+        """Host-side epoch loop (reference train_jta.py main loop :224-384).
+
+        With `mesh`, batches shard along axis 0 over the device mesh — the
+        TPU-native replacement for the reference's torch DataParallel
+        (train_jta.py:392); XLA inserts the gradient allreduce."""
+        import contextlib
+
+        place = lambda b: b                                 # noqa: E731
+        ctx = contextlib.nullcontext()
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = mesh.axis_names[0]
+            sh = NamedSharding(mesh, P(axis))
+            place = lambda b: jax.device_put(jnp.asarray(b), sh)  # noqa: E731
+            ctx = mesh
+            ts = jax.device_put(ts, NamedSharding(mesh, P()))
         history = []
         best_ade = float("inf")
         best_params = ts.params
@@ -146,7 +162,9 @@ class PredictorTrainer:
             losses = []
             for obs, mask, gt in dataset.batches(batch_size,
                                                  batches_per_epoch):
-                ts, aux = self.train_step(ts, obs, mask, gt)
+                with ctx:
+                    ts, aux = self.train_step(ts, place(obs), place(mask),
+                                              place(gt))
                 losses.append(float(aux["traj_loss"]))
             entry = dict(epoch=ep, traj_loss=float(np.mean(losses)))
             if eval_dataset is not None:

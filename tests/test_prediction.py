@@ -166,3 +166,23 @@ def test_eqmotion_with_locoval():
     ts, aux = trainer.train_step(ts, vp, past, future)
     assert np.isfinite(float(aux["value_loss"]))
     assert float(aux["value_loss"]) > 0
+
+
+def test_limit_obs_sweep():
+    """--all_frames sweep masks observed frames consistently across cue
+    tensors (evaluate_jta.py:617-621; regression: padded-F cue shapes)."""
+    import jax
+    from emloco_tpu.prediction.data import SyntheticScenes
+    from emloco_tpu.prediction.evaluate import observation_length_sweep
+    from emloco_tpu.prediction.model import TransMotionConfig
+    from emloco_tpu.prediction.train import PredictorTrainer
+
+    mcfg = TransMotionConfig(nhid=32, dim_ff=64, nlayers_local=1,
+                             nlayers_global=1, nmode=2)
+    trainer = PredictorTrainer(mcfg)
+    ds = SyntheticScenes(num_people=2, seed=0)
+    ts = trainer.init(jax.random.PRNGKey(0), ds.batch(4))
+    out = observation_length_sweep(trainer, ts.params, ds, 4, 1,
+                                   lengths=(1, 5, 9))
+    assert set(out) == {1, 5, 9}
+    assert all(np.isfinite(v) for v in out.values())
