@@ -214,3 +214,36 @@ def synthetic_eth_batch(key, batch=8, agents=4, past=8, future=12):
     xy = xy + jax.random.uniform(k4, (batch, agents, 1, 2), minval=-5,
                                  maxval=5)
     return xy[:, :, :past], xy[:, :, past:]
+
+
+def synthetic_nbody_batch(key, batch=8, bodies=5, past=10, future=10,
+                          dim=3, dt=0.05, k_spring=0.5):
+    """N-body spring-system rollouts (the reference's second EqMotion domain,
+    EqMotion/n_body_system: charged/spring particles in 3-D). Symplectic
+    Euler under pairwise linear springs, simulated in one lax.scan —
+    the physical system is E(3)-equivariant, which is exactly what the
+    coordinate-channel design must preserve. Returns (past, future) with
+    shapes (B, bodies, T, dim)."""
+    k1, k2 = jax.random.split(key)
+    x0 = jax.random.normal(k1, (batch, bodies, dim))
+    v0 = jax.random.normal(k2, (batch, bodies, dim)) * 0.5
+
+    def step(carry, _):
+        x, v = carry
+        d = x[:, :, None] - x[:, None]                    # (B,N,N,dim)
+        f = -k_spring * jnp.sum(d, 2)                     # linear springs
+        v = v + dt * f
+        x = x + dt * v
+        return (x, v), x
+
+    _, xs = jax.lax.scan(step, (x0, v0), None, length=past + future)
+    xs = jnp.moveaxis(xs, 0, 2)                           # (B,N,T,dim)
+    return xs[:, :, :past], xs[:, :, past:]
+
+
+def nbody_config(past=10, future=10, nmode=1) -> EqMotionConfig:
+    """Config preset for the n-body domain (single-mode regression, as in
+    the reference's n_body_system main)."""
+    return EqMotionConfig(past_length=past, future_length=future,
+                          hidden_nf=64, hid_channel=32, n_layers=4,
+                          nmode=nmode)

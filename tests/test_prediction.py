@@ -186,3 +186,37 @@ def test_limit_obs_sweep():
                                    lengths=(1, 5, 9))
     assert set(out) == {1, 5, 9}
     assert all(np.isfinite(v) for v in out.values())
+
+
+def test_eqmotion_nbody_domain():
+    """EqMotion on the 3-D n-body spring domain (EqMotion/n_body_system):
+    trains, and the equivariant core commutes with 3-D rotations."""
+    import jax
+    import jax.numpy as jnp
+    from emloco_tpu.prediction import eqmotion as E
+
+    key = jax.random.PRNGKey(0)
+    past, future = E.synthetic_nbody_batch(key, batch=8, bodies=4)
+    assert past.shape == (8, 4, 10, 3) and future.shape == (8, 4, 10, 3)
+
+    cfg = E.nbody_config(nmode=1)
+    trainer = E.EqMotionTrainer(cfg, lr=1e-3)
+    ts, _ = trainer.init(jax.random.PRNGKey(1), past)
+    losses = []
+    for i in range(20):
+        k = jax.random.fold_in(key, i)
+        p, f = E.synthetic_nbody_batch(k, batch=8, bodies=4)
+        ts, aux = trainer.train_step(ts, None, p, f)
+        losses.append(float(aux["wta"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+    # E(3) equivariance: predict(R x) == R predict(x)
+    th = 0.7
+    R = jnp.asarray(np.array(
+        [[np.cos(th), -np.sin(th), 0],
+         [np.sin(th), np.cos(th), 0],
+         [0, 0, 1.0]], np.float32))
+    pred = trainer.predict(ts.params, past)
+    pred_rot = trainer.predict(ts.params, past @ R.T)
+    np.testing.assert_allclose(np.asarray(pred @ R.T),
+                               np.asarray(pred_rot), atol=2e-3)
