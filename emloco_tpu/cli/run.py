@@ -361,7 +361,13 @@ def main(argv=None):
                    help="eval-predictor: save comparison/value plots")
     p.add_argument("overrides", nargs="*",
                    help="dotted config overrides, e.g. env.num_envs=1024")
-    args = p.parse_args(argv)
+    # argparse stops collecting positionals once an optional appears between
+    # them; accept key=value overrides anywhere on the line
+    args, unknown = p.parse_known_args(argv)
+    bad = [u for u in unknown if "=" not in u or u.startswith("-")]
+    if bad:
+        p.error(f"unrecognized arguments: {' '.join(bad)}")
+    args.overrides = list(args.overrides) + unknown
 
     cfg = load_config(args.config, args.overrides)
     os.makedirs(cfg.out_dir, exist_ok=True)

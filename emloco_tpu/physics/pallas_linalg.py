@@ -59,18 +59,19 @@ def _chol_solve_kernel(a_ref, b_ref, x_ref, w_ref, y_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def cholesky_solve_soa(A: jnp.ndarray, b: jnp.ndarray,
-                       interpret: bool = False) -> jnp.ndarray:
-    """Solve A x = b for batched SPD A (N, M, M), b (N, M) → x (N, M)."""
-    N, M, _ = A.shape
+def cholesky_solve_soa_t(At: jnp.ndarray, bt: jnp.ndarray,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Env-last variant: A (M, M, N), b (M, N) → x (M, N). Preferred in the
+    hot path — the producer contraction writes (M, M, N) directly, so no
+    (N, M, M) ↔ (M, M, N) relayout (a ~1.6 ms pathological transpose at
+    4096 envs) ever happens. Padded lanes solve the zero system → x = 0."""
+    M = At.shape[0]
+    N = At.shape[-1]
     pad = (-N) % LANES
     if pad:
-        eye = jnp.broadcast_to(jnp.eye(M, dtype=A.dtype), (pad, M, M))
-        A = jnp.concatenate([A, eye], 0)
-        b = jnp.concatenate([b, jnp.zeros((pad, M), b.dtype)], 0)
-    Nf = A.shape[0]
-    At = jnp.moveaxis(A, 0, -1)                            # (M,M,Nf)
-    bt = jnp.moveaxis(b, 0, -1)                            # (M,Nf)
+        At = jnp.pad(At, ((0, 0), (0, 0), (0, pad)))
+        bt = jnp.pad(bt, ((0, 0), (0, pad)))
+    Nf = At.shape[-1]
 
     grid = (Nf // LANES,)
     x = pl.pallas_call(
@@ -84,15 +85,23 @@ def cholesky_solve_soa(A: jnp.ndarray, b: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((M, LANES), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, Nf), A.dtype),
+        out_shape=jax.ShapeDtypeStruct((M, Nf), At.dtype),
         scratch_shapes=[
-            pltpu.VMEM((M, M, LANES), A.dtype),
-            pltpu.VMEM((M, LANES), A.dtype),
+            pltpu.VMEM((M, M, LANES), At.dtype),
+            pltpu.VMEM((M, LANES), At.dtype),
         ],
         interpret=interpret,
     )(At, bt)
-    x = jnp.moveaxis(x, -1, 0)                             # (Nf,M)
-    return x[:N]
+    return x[:, :N]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cholesky_solve_soa(A: jnp.ndarray, b: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Solve A x = b for batched SPD A (N, M, M), b (N, M) → x (N, M)."""
+    At = jnp.moveaxis(A, 0, -1)                            # (M,M,N)
+    bt = jnp.moveaxis(b, 0, -1)                            # (M,N)
+    return cholesky_solve_soa_t(At, bt, interpret=interpret).T
 
 
 def backend_supports_pallas() -> bool:

@@ -331,20 +331,22 @@ def _assemble_lhs_rhs(model: Model, Jv4, W4, u, diag, wn, wt, Jn, Jc, dt_Q):
     tiled-layout copy. rhs = M·u + dt·Q without materializing M. Replaces
     the reference's PhysX-side TGS assembly (closed .so)."""
     p = model.params
-    # three multi-axis dot_generals; concatenating the row blocks first would
-    # copy ~560 MB/step of operands that are otherwise consumed in place
-    A = jnp.einsum("nkic,nkid->ncd", p.mass[..., None, None] * Jv4, Jv4)
-    A = A + jnp.einsum("nkic,nkid->ncd", W4, W4)
-    A = A + jnp.einsum("nkic,nkid->ncd", wt[..., None, None] * Jc, Jc)
-    A = A + jnp.einsum("nci,ncj->nij", (wn - wt)[..., None] * Jn, Jn)
-    A = A + jax.vmap(jnp.diag)(diag)
+    # three multi-axis dot_generals, emitted ENV-LAST (c,d,n): the Pallas
+    # solver wants envs on lanes, and producing that layout here avoids a
+    # pathological (N,75,75)↔(75,75,N) relayout (~1.6 ms/substep at 4096).
+    # Concatenating the row blocks first would copy ~560 MB/step of operands.
+    At = jnp.einsum("nkic,nkid->cdn", p.mass[..., None, None] * Jv4, Jv4)
+    At = At + jnp.einsum("nkic,nkid->cdn", W4, W4)
+    At = At + jnp.einsum("nkic,nkid->cdn", wt[..., None, None] * Jc, Jc)
+    At = At + jnp.einsum("nci,ncj->ijn", (wn - wt)[..., None] * Jn, Jn)
+    At = At + jnp.eye(NU, dtype=At.dtype)[:, :, None] * diag.T[:, None, :]
 
-    # rhs = M·u + dt·Q via matvecs (no dense M)
+    # rhs = M·u + dt·Q via matvecs (no dense M), also env-last (c, n)
     v1 = jnp.einsum("nkic,nc->nki", Jv4, u)
-    Mu = jnp.einsum("nkic,nki->nc", Jv4, p.mass[..., None] * v1)
+    Mu = jnp.einsum("nkic,nki->cn", Jv4, p.mass[..., None] * v1)
     v2 = jnp.einsum("nkic,nc->nki", W4, u)
-    Mu = Mu + jnp.einsum("nkic,nki->nc", W4, v2)
-    return A, Mu + dt_Q
+    Mu = Mu + jnp.einsum("nkic,nki->cn", W4, v2)
+    return At, Mu + dt_Q.T
 
 
 # ---------------------------------------------------------------------------
@@ -539,18 +541,19 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     # RHS contact: normal spring force at current penetration
     Q = Q + jnp.einsum("nc,ncj->nj", active * k_n * pen, Jn)
 
-    A, rhs = _assemble_lhs_rhs(model, Jv4, W4, u, diag, wn, wt, Jn, Jc,
-                               dt * Q)
+    At, rhs_t = _assemble_lhs_rhs(model, Jv4, W4, u, diag, wn, wt, Jn, Jc,
+                                  dt * Q)                  # env-last (·,·,N)
 
     # ---- solve ----
-    from .pallas_linalg import backend_supports_pallas, cholesky_solve_soa
-    A = A + 1e-8 * jnp.eye(NU)
+    from .pallas_linalg import backend_supports_pallas, cholesky_solve_soa_t
+    At = At + 1e-8 * jnp.eye(NU)[:, :, None]
     if backend_supports_pallas():
         # SoA Pallas kernel: one HBM read of A, factorization stays in VMEM
-        u_new = cholesky_solve_soa(A, rhs)
+        u_new = cholesky_solve_soa_t(At, rhs_t).T
     else:
+        A = jnp.moveaxis(At, -1, 0)
         L = jnp.linalg.cholesky(A)
-        u_new = jax.scipy.linalg.cho_solve((L, True), rhs)
+        u_new = jax.scipy.linalg.cho_solve((L, True), rhs_t.T)
 
     # ---- contact force readback (for resets/diagnostics) ----
     vpt_new = jnp.einsum("ncij,nj->nci", Jc, u_new)
