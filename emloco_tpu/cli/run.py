@@ -174,6 +174,17 @@ def cmd_eval_policy(cfg, args):
         print(f"[{name}] value prediction: mse={mse:.4f} corr={corr:.3f}")
 
 
+def _pred_dataset(cfg, seed_offset=0):
+    """Predictor dataset: real ndjson scenes when configured, else synthetic
+    (reference load_data_jta_all_visual_cues vs our SyntheticScenes)."""
+    from ..prediction.data import NdjsonScenes, SyntheticScenes
+
+    path = cfg.ndjson_val if (seed_offset and cfg.ndjson_val) else cfg.ndjson
+    if path:
+        return NdjsonScenes(path, seed=cfg.seed + seed_offset)
+    return SyntheticScenes(num_people=4, seed=cfg.seed + seed_offset)
+
+
 def cmd_train_predictor(cfg, args):
     from ..learning.networks import ValuePoseNet
     from ..prediction.data import SyntheticScenes
@@ -187,8 +198,8 @@ def cmd_train_predictor(cfg, args):
         vnet = ValuePoseNet(use_pose=True, use_vel=True)
         vp, _ = load_pytree(args.valuenet)
     trainer = PredictorTrainer(cfg.model, cfg.predict, vnet=vnet)
-    ds = SyntheticScenes(num_people=4, seed=cfg.seed)
-    eval_ds = SyntheticScenes(num_people=4, seed=cfg.seed + 1)
+    ds = _pred_dataset(cfg)
+    eval_ds = _pred_dataset(cfg, seed_offset=1)
     batch = ds.batch(args.batch_size)
     ts = trainer.init(jax.random.PRNGKey(cfg.seed), batch, vnet_params=vp)
     logger = MetricsLogger(cfg.out_dir, "predictor")
@@ -215,7 +226,7 @@ def cmd_eval_predictor(cfg, args):
     from ..utils.checkpoint import load_pytree
 
     trainer = PredictorTrainer(cfg.model, cfg.predict)
-    ds = SyntheticScenes(num_people=4, seed=cfg.seed + 2)
+    ds = _pred_dataset(cfg, seed_offset=2)
     blob = trainer.load_checkpoint(args.predictor)
     vnet, vp = None, None
     if args.valuenet:
@@ -265,8 +276,8 @@ def cmd_tune_predictor(cfg, args):
     if args.valuenet:
         vnet = ValuePoseNet(use_pose=True, use_vel=True)
         vp, _ = load_pytree(args.valuenet)
-    ds = SyntheticScenes(num_people=4, seed=cfg.seed)
-    eval_ds = SyntheticScenes(num_people=4, seed=cfg.seed + 1)
+    ds = _pred_dataset(cfg)
+    eval_ds = _pred_dataset(cfg, seed_offset=1)
     objective = predictor_objective(
         {"model": cfg.model, "predict": cfg.predict}, ds, eval_ds,
         epochs=max(1, cfg.epochs), batch_size=args.batch_size,

@@ -207,3 +207,65 @@ def read_ndjson_scenes(path: str, max_scenes: Optional[int] = None):
         if ok:
             scenes.append(arr)
     return scenes
+
+
+class NdjsonScenes:
+    """Real-data dataset over trajnet++-style ndjson exports (JTA/JRDB).
+
+    Mirrors the reference pipeline (dataset_jta.py:86-152 preprocessing +
+    collate_batch :11-25 pad-to-max-people + drop_ped_with_missing_frame /
+    drop_distant_far, utils/data.py:34-100): scenes are windowed to
+    OBS+PRED frames, neighbours beyond `max_radius` of the primary agent are
+    dropped, people are padded to a fixed count with a padding mask. 2-D-only
+    exports have no pose/box cues — those token slots stay zero (the model's
+    modality masking treats zeros as absent, like the trajectory-only
+    reference configs)."""
+
+    def __init__(self, path: str, max_people: int = 8, max_radius: float = 6.0,
+                 seed: int = 0, max_scenes: Optional[int] = None):
+        raw = read_ndjson_scenes(path, max_scenes=max_scenes)
+        self.windows = []
+        for arr in raw:                                   # (T, N, 2)
+            for s in range(0, len(arr) - TOTAL + 1, TOTAL):
+                w = arr[s:s + TOTAL]
+                # drop neighbours that are far from the primary at the last
+                # obs frame or have missing frames (NaN)
+                ref = w[OBS_FRAMES - 1, 0]
+                keep = [0]
+                for j in range(1, w.shape[1]):
+                    if np.isnan(w[:, j]).any():
+                        continue
+                    if np.linalg.norm(w[OBS_FRAMES - 1, j] - ref) \
+                            <= max_radius:
+                        keep.append(j)
+                if np.isnan(w[:, 0]).any():
+                    continue
+                self.windows.append(
+                    np.nan_to_num(w[:, keep[:max_people]], nan=0.0))
+        if not self.windows:
+            raise ValueError(f"no usable scenes in {path}")
+        self.max_people = max_people
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.windows)
+
+    def batch(self, batch_size):
+        B, N, T = batch_size, self.max_people, TOTAL
+        traj = np.zeros((B, T, N, 2), np.float32)
+        mask = np.zeros((B, N), bool)
+        idx = self.rng.randint(0, len(self.windows), B)
+        for b, i in enumerate(idx):
+            w = self.windows[i]                           # (T, n, 2)
+            n = w.shape[1]
+            traj[b, :, :n] = w
+            mask[b, :n] = True
+        tokens = build_tokens(traj)
+        tokens, _ = normalize_scene(tokens)
+        obs = tokens[:, :OBS_FRAMES]
+        gt_future = tokens[:, OBS_FRAMES:, 0, 0, :2]
+        return (jnp.asarray(obs), jnp.asarray(mask), jnp.asarray(gt_future))
+
+    def batches(self, batch_size, num_batches) -> Iterator:
+        for _ in range(num_batches):
+            yield self.batch(batch_size)

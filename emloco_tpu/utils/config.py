@@ -48,6 +48,8 @@ class RunConfig:
     terrain: dict = dataclasses.field(default_factory=dict)
     motions: Optional[str] = None        # motion pkl path (None → synthetic)
     real_traj_pkl: Optional[str] = None  # real-path bank (None → synthetic)
+    ndjson: Optional[str] = None         # real JTA/JRDB ndjson scenes for the
+    ndjson_val: Optional[str] = None     # predictor (None → synthetic)
 
 
 def _apply(cls, base, overrides: dict):

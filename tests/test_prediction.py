@@ -220,3 +220,52 @@ def test_eqmotion_nbody_domain():
     pred_rot = trainer.predict(ts.params, past @ R.T)
     np.testing.assert_allclose(np.asarray(pred @ R.T),
                                np.asarray(pred_rot), atol=2e-3)
+
+
+def test_ndjson_scenes_dataset(tmp_path):
+    """Real-data path: trajnet++ ndjson → windowed, padded, masked batches
+    (reference dataset_jta.py:86-152 + collate_batch :11-25)."""
+    import json
+    import jax
+    from emloco_tpu.prediction.data import (NdjsonScenes, OBS_FRAMES, TOTAL)
+
+    path = str(tmp_path / "scenes.ndjson")
+    rows = []
+    # two scenes of TOTAL frames; scene 0 has a near + a far neighbour
+    for sid, x0 in ((0, 0.0), (1, 100.0)):
+        rows.append({"scene": {"id": sid, "p": sid * 10, "s": sid * 100,
+                               "e": sid * 100 + TOTAL - 1}})
+        for f in range(TOTAL):
+            fr = sid * 100 + f
+            rows.append({"track": {"f": fr, "p": sid * 10,
+                                   "x": x0 + 0.4 * f, "y": 0.0}})
+            rows.append({"track": {"f": fr, "p": sid * 10 + 1,
+                                   "x": x0 + 0.4 * f, "y": 2.0}})   # near
+            rows.append({"track": {"f": fr, "p": sid * 10 + 2,
+                                   "x": x0 + 0.4 * f, "y": 50.0}})  # far
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    ds = NdjsonScenes(path, max_people=4)
+    assert len(ds) == 2
+    obs, mask, gt = ds.batch(3)
+    assert obs.shape[:2] == (3, OBS_FRAMES)
+    assert gt.shape == (3, TOTAL - OBS_FRAMES, 2)
+    m = np.asarray(mask)
+    assert m[:, 0].all()
+    assert m.sum(-1).max() == 2          # far neighbour dropped
+    # primary agent normalized to origin at the last obs frame
+    np.testing.assert_allclose(np.asarray(obs)[:, OBS_FRAMES - 1, 0, 0, :2],
+                               0.0, atol=1e-5)
+    # future is a straight +x walk at 0.4 m/frame
+    np.testing.assert_allclose(np.asarray(gt)[:, 0, 0], 0.4, atol=1e-4)
+
+    # trains through the standard trainer
+    from emloco_tpu.prediction.model import TransMotionConfig
+    from emloco_tpu.prediction.train import PredictorTrainer
+    trainer = PredictorTrainer(TransMotionConfig(
+        nhid=32, dim_ff=64, nlayers_local=1, nlayers_global=1, nmode=2))
+    ts = trainer.init(jax.random.PRNGKey(0), ds.batch(3))
+    ts, aux = trainer.train_step(ts, obs, mask, gt)
+    assert np.isfinite(float(aux["traj_loss"]))
