@@ -17,7 +17,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .terrain import Heightfield, make_heightfield, walkable_mask
+from .terrain import Heightfield, make_heightfield
 
 
 def load_mesh(path: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -122,16 +122,12 @@ def mesh_heightfield(verts: np.ndarray, faces: np.ndarray,
     from ..native.terrain import fast_rasterize_trimesh
     heights, cover = fast_rasterize_trimesh(verts, faces, H, W, cell, (ox, oy))
 
+    from ..native.terrain import fast_spawn_table, fast_walkable_mask
+
     floor = float(heights[cover].min()) if cover.any() else 0.0
     heights = np.where(cover, heights, floor).astype(np.float32)
-    mask = cover & walkable_mask(heights, cell, max_slope, margin_cells)
-    xs, ys = np.where(mask)
-    xy = np.stack([xs * cell + ox, ys * cell + oy], -1).astype(np.float32)
-    if len(xy) == 0:
-        xy = np.zeros((1, 2), np.float32)
-    if len(xy) > max_spawn:
-        rng = np.random.RandomState(seed)
-        xy = xy[rng.choice(len(xy), max_spawn, replace=False)]
+    mask = cover & fast_walkable_mask(heights, cell, max_slope, margin_cells)
+    xy = fast_spawn_table(mask, cell, (ox, oy), max_pts=max_spawn, seed=seed)
     return make_heightfield(heights=heights, cell=cell, origin=(ox, oy),
                             spawnable_xy=xy)
 

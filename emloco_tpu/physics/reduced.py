@@ -42,7 +42,7 @@ from flax import struct
 from ..kinematics import body_model as bm
 from ..kinematics.skeleton import forward_kinematics
 from ..ops import quat
-from .terrain import Heightfield, height_and_normal_at, height_at, normal_at
+from .terrain import Heightfield, height_and_normal_at
 from .types import EngineConfig
 
 B = bm.NUM_BODIES            # 24
@@ -222,27 +222,27 @@ def kinematic_state(
     if dof_vel is None:
         dof_vel = jnp.zeros((N, NJ, 3))
 
-    st = PhysicsState(
-        root_pos=root_com,
-        root_rot=root_rot,
-        joint_rot=joint_rot,
-        u=jnp.zeros((N, NU)),
-        body_x=jnp.zeros((N, B, 3)),
-        body_q=jnp.zeros((N, B, 4)),
-        body_v=jnp.zeros((N, B, 3)),
-        body_w=jnp.zeros((N, B, 3)),
-        contact_force=jnp.zeros((N, B, 3)),
-    )
-    st = refresh_cache(model, st, tree)
+    # one FK; poses don't change when u is filled in below
+    x, grot, gpos_pivot = _fk(model, root_com, root_rot, joint_rot, tree)
     # world-frame joint velocities: qd_j = R_parent · dof_vel_j
     parent = np.maximum(PARENTS, 0)
-    qd = quat.rotate(st.body_q[:, parent][:, 1:], dof_vel)
+    qd = quat.rotate(grot[:, parent][:, 1:], dof_vel)
     # root velocity given at the pivot; convert to COM
     r = quat.rotate(root_rot, model.com_off[:, 0])
     v_com = root_vel + jnp.cross(root_ang_vel, r)
     u = jnp.concatenate([v_com, root_ang_vel, qd.reshape(N, -1)], axis=-1)
-    st = st.replace(u=u)
-    return refresh_cache(model, st, tree)
+    v_b, w_b = _body_velocities(model, x, grot, gpos_pivot, u)
+    return PhysicsState(
+        root_pos=root_com,
+        root_rot=root_rot,
+        joint_rot=joint_rot,
+        u=u,
+        body_x=x,
+        body_q=grot,
+        body_v=v_b,
+        body_w=w_b,
+        contact_force=jnp.zeros((N, B, 3)),
+    )
 
 
 def body_frame_state(model: Model, state: PhysicsState):
@@ -267,15 +267,6 @@ def joint_state(model: Model, state: PhysicsState):
 # ---------------------------------------------------------------------------
 # Mass matrix from subtree moment aggregates
 # ---------------------------------------------------------------------------
-
-def _skew(r):
-    zero = jnp.zeros_like(r[..., 0])
-    return jnp.stack([
-        jnp.stack([zero, -r[..., 2], r[..., 1]], -1),
-        jnp.stack([r[..., 2], zero, -r[..., 0]], -1),
-        jnp.stack([-r[..., 1], r[..., 0], zero], -1),
-    ], -2)
-
 
 def _build_jacobians(model: Model, x, q, pivots_x):
     """Body Jacobians + symmetric inertia rows, kept 4-D for TPU layout.
@@ -311,7 +302,7 @@ def _build_jacobians(model: Model, x, q, pivots_x):
     RtJw = jnp.einsum("nkji,kjc->nkic", R, jw)           # Rᵀ·Jw
     W = jnp.sqrt(p.inertia)[..., None] * RtJw            # (N,B,3,72)
     W4 = jnp.concatenate([jnp.zeros((N, B, 3, 3), W.dtype), W], axis=-1)
-    return Jv4, W4
+    return Jv4, W4, term2
 
 
 def _mass_matrix_from_jac(model: Model, Jv4, W4):
@@ -353,23 +344,21 @@ def _assemble_lhs_rhs(model: Model, Jv4, W4, u, diag, wn, wt, Jn, Jc, dt_Q):
 # Generalized forces
 # ---------------------------------------------------------------------------
 
-def _contact_jacobians(model: Model, x, q, pivots_x, points):
-    """Contact-point velocity Jacobians (N, C·3, 75) via the same static
-    selector matmuls as the body Jacobians (one per contact sample)."""
+def _contact_jacobians(points, term2):
+    """Contact-point velocity Jacobians (N, C, 3, 75) from the shared pivot
+    contraction: term2 is _build_jacobians' (N, B, 3, 72) — reusing it keeps
+    body and contact Jacobians structurally identical (and saves the two
+    largest contractions a second evaluation per substep)."""
     N, C = points.shape[0], points.shape[1]
-    subx = jnp.asarray(_SUBX)
     eps_jwc = jnp.asarray(_EPS_JW[_CONTACT_BODY])        # (C,3,3,72) static
-    eps_col = jnp.asarray(_EPS_COL)
     term1 = jnp.einsum("ncj,cjid->ncid", points, eps_jwc)
-    t2 = jnp.einsum("naj,ajic->naic", pivots_x, -eps_col)
-    term2 = jnp.einsum("naic,ak->nkic", t2, subx)        # (N,B,3,72)
     term2c = term2[:, _CONTACT_BODY]                     # (N,C,3,72)
     eye = jnp.broadcast_to(jnp.eye(3), (N, C, 3, 3))
     Jc = jnp.concatenate([eye, term1 + term2c], axis=-1)  # (N,C,3,75)
     return Jc
 
 
-def _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv4, target_q, dt, gvec):
+def _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv4, target_q, gvec):
     """Q_gravity + Q_bias + explicit spring RHS, all through Jᵀ matvecs.
 
     Cross products are distributed (see _body_velocities) so the bias needs
@@ -493,11 +482,10 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     piv_j = x[:, 1:] + quat.rotate(q[:, 1:], model.anchor_c[:, 1:])
     pivots_x = jnp.concatenate([x[:, 0:1], piv_j], axis=1)   # (N,24ext,3)
 
-    Jv4, W4 = _build_jacobians(model, x, q, pivots_x)
+    Jv4, W4, term2 = _build_jacobians(model, x, q, pivots_x)
 
     gvec = jnp.array([0.0, 0.0, cfg.gravity])
-    Q = _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv4, target_q, dt,
-                             gvec)
+    Q = _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv4, target_q, gvec)
 
     # ---- implicit diagonal: dt·D + dt²·K (+ small root damping) ----
     kp = p.kp                                            # (N,23)
@@ -517,7 +505,7 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     pen = (h + radius - pts[..., 2]) * nrm[..., 2]
     active = (pen > 0.0).astype(x.dtype)
 
-    Jc = _contact_jacobians(model, x, q, pivots_x, pts)   # (N,C,3,75)
+    Jc = _contact_jacobians(pts, term2)                  # (N,C,3,75)
     # point velocities
     vpt = jnp.einsum("ncij,nj->nci", Jc, u)
     vn = jnp.sum(vpt * nrm, axis=-1)
@@ -527,10 +515,13 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     k_n = cfg.contact_stiffness
     d_n = cfg.contact_damping
     f_n_est = k_n * pen                                  # spring part estimate
-    # Coulomb-limited viscous friction coefficient (implicit); per-env
+    # Coulomb-limited viscous friction coefficient (implicit); static μ for
+    # near-stationary contact points, dynamic μ once sliding; per-env
     # friction_scale supports domain randomization (reference
     # apply_randomizations friction DR, base_task.py:547-787)
-    mu = cfg.dynamic_friction * p.friction_scale[:, None]
+    mu = jnp.where(vt_mag < cfg.friction_vel_ref,
+                   cfg.static_friction, cfg.dynamic_friction)
+    mu = mu * p.friction_scale[:, None]
     d_t = mu * f_n_est / (vt_mag + cfg.friction_vel_ref)
     d_t = jnp.minimum(d_t, cfg.max_friction_damping)
 
@@ -559,6 +550,11 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     vpt_new = jnp.einsum("ncij,nj->nci", Jc, u_new)
     vn_new = jnp.sum(vpt_new * nrm, axis=-1)
     f_n = active * (k_n * pen - (dt * k_n + d_n) * vn_new)
+    # Deliberate readback/dynamics asymmetry: the linear implicit solve can
+    # transiently apply an adhesive ("glue") normal force on fast separation;
+    # PhysX contacts are unilateral, so we report the clamped force the
+    # reference would (keeps contact-force terminations from firing on
+    # penalty-model artifacts).
     f_n = jnp.maximum(f_n, 0.0)
     vt_new = vpt_new - nrm * vn_new[..., None]
     f_t = -d_t[..., None] * vt_new * active[..., None]

@@ -122,12 +122,7 @@ def height_at(hf: Heightfield, xy: jnp.ndarray) -> jnp.ndarray:
 def height_at_min2(hf: Heightfield, xy: jnp.ndarray) -> jnp.ndarray:
     """Conservative 2-point min gather — the reference sensor's lookup
     (humanoid_pedestrain_terrain.py:1282-1297 uses min of [x0,y0],[x0+1,y0+1])."""
-    gx, gy = _grid_coords(hf, xy)
-    x0 = jnp.floor(gx).astype(jnp.int32)
-    y0 = jnp.floor(gy).astype(jnp.int32)
-    if hf.min2_tex is not None:
-        return hf.min2_tex[x0, y0]
-    return jnp.minimum(hf.heights[x0, y0], hf.heights[x0 + 1, y0 + 1])
+    return height_at_min2_xy(hf, xy[..., 0], xy[..., 1])
 
 
 def _normal_from_corners(hf, h00, h10, h01, h11, fx, fy):
@@ -324,15 +319,12 @@ def generate_mixed_terrain(
             y0 = border_cells + j * tile
             big[x0:x0 + tile, y0:y0 + tile] = patch
 
-    mask = walkable_mask(big, cell)
-    xs, ys = np.where(mask)
+    # native C++ path with numpy fallback (single implementation for the
+    # mask/spawn-table logic across all terrain builders)
+    from ..native.terrain import fast_spawn_table, fast_walkable_mask
+    mask = fast_walkable_mask(big, cell)
     extent = n * cell
     origin = (-extent / 2, -extent / 2)
-    xy = np.stack([xs * cell + origin[0], ys * cell + origin[1]], -1).astype(np.float32)
-    if len(xy) == 0:
-        xy = np.zeros((1, 2), np.float32)
-    # cap table size for device residency; uniform subsample
-    if len(xy) > 65536:
-        xy = xy[rng.choice(len(xy), 65536, replace=False)]
+    xy = fast_spawn_table(mask, cell, origin, max_pts=65536, seed=seed)
     return make_heightfield(heights=big, cell=cell, origin=origin,
                             spawnable_xy=xy)
