@@ -514,7 +514,12 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
 
     k_n = cfg.contact_stiffness
     d_n = cfg.contact_damping
-    f_n_est = k_n * pen                                  # spring part estimate
+    # depenetration clamp: deep impact penetrations push back at a bounded
+    # force (cfg.max_depenetration), like PhysX's maxDepenetrationVelocity —
+    # without it a 5 m/s impact at 240 kN/m injects energy and can blow up
+    # a long training run
+    pen_f = jnp.minimum(pen, cfg.max_depenetration)
+    f_n_est = k_n * pen_f                                # spring part estimate
     # Coulomb-limited viscous friction coefficient (implicit); static μ for
     # near-stationary contact points, dynamic μ once sliding; per-env
     # friction_scale supports domain randomization (reference
@@ -530,7 +535,7 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     # tangential projector T = E − nnᵀ folds as wt·JcᵀJc + (wn−wt)·JnᵀJn
     wt = active * dt * d_t
     # RHS contact: normal spring force at current penetration
-    Q = Q + jnp.einsum("nc,ncj->nj", active * k_n * pen, Jn)
+    Q = Q + jnp.einsum("nc,ncj->nj", active * k_n * pen_f, Jn)
 
     At, rhs_t = _assemble_lhs_rhs(model, Jv4, W4, u, diag, wn, wt, Jn, Jc,
                                   dt * Q)                  # env-last (·,·,N)
@@ -549,7 +554,7 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     # ---- contact force readback (for resets/diagnostics) ----
     vpt_new = jnp.einsum("ncij,nj->nci", Jc, u_new)
     vn_new = jnp.sum(vpt_new * nrm, axis=-1)
-    f_n = active * (k_n * pen - (dt * k_n + d_n) * vn_new)
+    f_n = active * (k_n * pen_f - (dt * k_n + d_n) * vn_new)
     # Deliberate readback/dynamics asymmetry: the linear implicit solve can
     # transiently apply an adhesive ("glue") normal force on fast separation;
     # PhysX contacts are unilateral, so we report the clamped force the

@@ -32,6 +32,10 @@ class EngineConfig(struct.PyTreeNode):
     contact_damping: float = struct.field(pytree_node=False, default=2000.0)
     friction_vel_ref: float = struct.field(pytree_node=False, default=0.05)
     max_friction_damping: float = struct.field(pytree_node=False, default=4000.0)
+    # depenetration clamp (PhysX maxDepenetrationVelocity analog): the spring
+    # force sees at most this penetration, so a deep single-substep impact
+    # can't inject unbounded energy through the explicit RHS term
+    max_depenetration: float = struct.field(pytree_node=False, default=0.02)
 
     @property
     def substep_dt(self) -> float:
