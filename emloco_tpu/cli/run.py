@@ -79,6 +79,15 @@ def cmd_train_policy(cfg, args):
         mesh_ctx = make_mesh(args.mesh)
         ts = shard_env_axis(ts, mesh_ctx, cfg.env.num_envs)
     logger = MetricsLogger(cfg.out_dir, "policy")
+    if args.profile:
+        # one-epoch device trace (perfetto/tensorboard); reference only has
+        # wall-clock segment timers (amp_continuous.py:224-306)
+        from ..utils.profiling import trace
+        ts, _ = agent.train_epoch(ts)              # compile outside the trace
+        with trace(os.path.join(cfg.out_dir, "trace")) as d:
+            ts, _ = agent.train_epoch(ts)
+            jax.block_until_ready(ts.key)
+        print(f"profile trace written to {d}")
     t0 = time.perf_counter()
     steps_per_epoch = cfg.amp.horizon * cfg.env.num_envs
     for ep in range(cfg.epochs):
@@ -202,6 +211,10 @@ def cmd_train_predictor(cfg, args):
     eval_ds = _pred_dataset(cfg, seed_offset=1)
     batch = ds.batch(args.batch_size)
     ts = trainer.init(jax.random.PRNGKey(cfg.seed), batch, vnet_params=vp)
+    if args.resume:
+        # reference train_jta.py --resume (:430-440)
+        blob = trainer.load_checkpoint(args.resume)
+        ts = ts.replace(params=blob["params"])
     logger = MetricsLogger(cfg.out_dir, "predictor")
     mesh = None
     if args.mesh > 1:
@@ -366,6 +379,8 @@ def main(argv=None):
     p.add_argument("--gif", action="store_true")
     p.add_argument("--mesh", type=int, default=1,
                    help="shard the env axis over N devices (data parallel)")
+    p.add_argument("--profile", action="store_true",
+                   help="train-policy: dump a one-epoch device trace")
     p.add_argument("--all-frames", action="store_true",
                    help="eval-predictor: sweep observed-frame counts 1..9")
     p.add_argument("--plots", action="store_true",
