@@ -247,3 +247,35 @@ def nbody_config(past=10, future=10, nmode=1) -> EqMotionConfig:
     return EqMotionConfig(past_length=past, future_length=future,
                           hidden_nf=64, hid_channel=32, n_layers=4,
                           nmode=nmode)
+
+
+def synthetic_h36m_batch(key, batch=8, past=10, future=10, fps=25.0,
+                         lib=None):
+    """Human-motion domain (the reference's EqMotion/h36m variant): nodes are
+    the 24 skeleton JOINTS of one person; per-node 3-D trajectories come from
+    FK over the motion library's gaits. Returns (past, future) shaped
+    (B, 24, T, 3)."""
+    from ..kinematics import motion_lib as ml
+
+    if lib is None:
+        lib = ml.synthetic_walk_motions(speeds=(0.8, 1.2, 1.6), duration=4.0)
+    from ..kinematics import body_model as bm
+    from ..kinematics.skeleton import forward_kinematics
+
+    T = past + future
+    k1, k2 = jax.random.split(key)
+    ids = ml.sample_motions(lib, k1, batch)
+    t0 = ml.sample_time(lib, k2, ids, truncate_time=T / fps)
+    times = t0[:, None] + jnp.arange(T)[None] / fps       # (B, T)
+    st = ml.get_motion_state(lib, jnp.repeat(ids, T), times.reshape(-1))
+    tree = bm.canonical_skeleton()
+    _, jpos = forward_kinematics(tree, st["local_rot"], st["root_pos"])
+    jpos = jpos.reshape(batch, T, -1, 3)                  # (B, T, J, 3)
+    return (jnp.swapaxes(jpos[:, :past], 1, 2),
+            jnp.swapaxes(jpos[:, past:], 1, 2))
+
+
+def h36m_config(past=10, future=10, nmode=1) -> EqMotionConfig:
+    return EqMotionConfig(past_length=past, future_length=future,
+                          hidden_nf=64, hid_channel=32, n_layers=4,
+                          nmode=nmode)

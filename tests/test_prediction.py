@@ -269,3 +269,27 @@ def test_ndjson_scenes_dataset(tmp_path):
     ts = trainer.init(jax.random.PRNGKey(0), ds.batch(3))
     ts, aux = trainer.train_step(ts, obs, mask, gt)
     assert np.isfinite(float(aux["traj_loss"]))
+
+
+def test_eqmotion_h36m_domain():
+    """EqMotion human-motion domain (EqMotion/h36m): joints as equivariant
+    nodes; trains on FK'd gait windows."""
+    import jax
+    from emloco_tpu.prediction import eqmotion as E
+
+    key = jax.random.PRNGKey(0)
+    past, future = E.synthetic_h36m_batch(key, batch=4)
+    assert past.shape == (4, 24, 10, 3) and future.shape == (4, 24, 10, 3)
+    assert np.isfinite(np.asarray(past)).all()
+
+    cfg = E.h36m_config(nmode=1)
+    cfg = type(cfg)(**{**cfg.__dict__, "hidden_nf": 32, "hid_channel": 16,
+                       "n_layers": 2})
+    trainer = E.EqMotionTrainer(cfg, lr=1e-3)
+    ts, _ = trainer.init(jax.random.PRNGKey(1), past)
+    losses = []
+    for i in range(12):
+        p, f = E.synthetic_h36m_batch(jax.random.fold_in(key, i), batch=4)
+        ts, aux = trainer.train_step(ts, None, p, f)
+        losses.append(float(aux["wta"]))
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
