@@ -478,6 +478,13 @@ class PedestrianTerrainEnv:
         terminated = (has_fallen | tar_fail) if cfg.enable_early_termination \
             else jnp.zeros_like(has_fallen)
         terminated = terminated & self._termination_allowed(state)
+        # failure detection: a numerically diverged env must recycle — NaN
+        # comparisons are all False, so without this it would never trip the
+        # fall/fail checks and would poison every batch statistic forever
+        bad = (~jnp.isfinite(physics.u).all(-1)
+               | ~jnp.isfinite(physics.root_pos).all(-1)
+               | (jnp.abs(physics.root_pos) > 1e4).any(-1))
+        terminated = terminated | bad
         truncated = progress >= cfg.episode_length - 1
         done = terminated | truncated
 

@@ -551,6 +551,19 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
         L = jnp.linalg.cholesky(A)
         u_new = jax.scipy.linalg.cho_solve((L, True), rhs_t.T)
 
+    # ---- velocity clamps (PhysX maxLinearVelocity/maxAngularVelocity):
+    # keep the explicit quadratic velocity terms bounded for the next substep
+    def _norm_clamp(v, cap):
+        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        return v * (jnp.minimum(n, cap) / jnp.maximum(n, 1e-9))
+
+    u_new = jnp.concatenate([
+        _norm_clamp(u_new[:, 0:3], cfg.max_linear_velocity),
+        _norm_clamp(u_new[:, 3:6], cfg.max_angular_velocity),
+        _norm_clamp(u_new[:, 6:].reshape(N, NJ, 3),
+                    cfg.max_angular_velocity).reshape(N, -1),
+    ], axis=-1)
+
     # ---- contact force readback (for resets/diagnostics) ----
     vpt_new = jnp.einsum("ncij,nj->nci", Jc, u_new)
     vn_new = jnp.sum(vpt_new * nrm, axis=-1)

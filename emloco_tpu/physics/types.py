@@ -36,6 +36,13 @@ class EngineConfig(struct.PyTreeNode):
     # force sees at most this penetration, so a deep single-substep impact
     # can't inject unbounded energy through the explicit RHS term
     max_depenetration: float = struct.field(pytree_node=False, default=0.02)
+    # velocity clamps (PhysX maxLinearVelocity / maxAngularVelocity): the
+    # velocity-product and gyroscopic RHS terms are explicit and quadratic in
+    # velocity — without a cap, one kicked env can spiral v→ω→v to inf and
+    # poison batch statistics with NaN
+    max_linear_velocity: float = struct.field(pytree_node=False, default=50.0)
+    max_angular_velocity: float = struct.field(pytree_node=False,
+                                               default=60.0)
 
     @property
     def substep_dt(self) -> float:
