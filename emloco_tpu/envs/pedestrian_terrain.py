@@ -393,9 +393,27 @@ class PedestrianTerrainEnv:
         S = cfg.num_traj_samples
         loc = task[:, :2 * S].reshape(-1, S, 2).at[..., 1].multiply(-1.0)
         parts = [self_obs, loc.reshape(-1, 2 * S)]
+        off = 2 * S
         if cfg.terrain_obs:
-            hm = task[:, 2 * S:].reshape(-1, cfg.sensor_res, cfg.sensor_res)
-            parts.append(hm[:, :, ::-1].reshape(-1, cfg.sensor_res ** 2))
+            res = cfg.sensor_res
+            if cfg.velocity_map:
+                # 3 channels [h, vx, vy] in the heading frame: mirror the
+                # lateral grid axis and negate the lateral velocity channel
+                n_hm = 3 * res * res
+                hm = task[:, off:off + n_hm].reshape(-1, res, res, 3)
+                hm = hm[:, :, ::-1].at[..., 2].multiply(-1.0)
+                parts.append(hm.reshape(-1, n_hm))
+            else:
+                n_hm = res * res
+                hm = task[:, off:off + n_hm].reshape(-1, res, res)
+                parts.append(hm[:, :, ::-1].reshape(-1, n_hm))
+            off += n_hm
+        if cfg.group_obs:
+            # relative positions/velocities of nearby people in the heading
+            # frame: mirror their lateral (y) components
+            grp = task[:, off:].reshape(task.shape[0], 5, 11, 3)
+            grp = grp.at[..., 1].multiply(-1.0)
+            parts.append(grp.reshape(task.shape[0], -1))
         return jnp.concatenate(parts, -1)
 
     # ------------------------------------------------------------------
@@ -505,13 +523,20 @@ class PedestrianTerrainEnv:
         if cfg.obs_noise_std > 0:
             obs_out = obs_out + cfg.obs_noise_std * jax.random.normal(
                 jax.random.fold_in(new_state.rng, 3), obs_out.shape)
+        # Sanitize every learning-facing output: a diverged env (recycled via
+        # `bad` above) must not leak NaN/inf into GAE, advantage statistics,
+        # or the disc pools — one poisoned sample would NaN the whole update.
+        clean = lambda x: jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
         out = StepOutput(
-            obs=obs_out,
-            reward=reward,
+            obs=clean(obs_out),
+            reward=clean(reward),
             done=done,
             terminated=terminated,
-            amp_obs=new_state.amp_obs_hist.reshape(cfg.num_envs, -1),
-            reward_raw=reward_raw,
+            # PRE-reset window: the transition the policy actually produced
+            # (a done env's new_state hist is already the next episode's
+            # tiled reset pose — wrong sample for disc reward/training)
+            amp_obs=clean(hist.reshape(cfg.num_envs, -1)),
+            reward_raw=clean(reward_raw),
         )
         return new_state, out
 

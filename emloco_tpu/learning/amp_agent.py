@@ -141,48 +141,24 @@ class AMPAgent:
                 - jnp.log(sigma)
                 - 0.5 * jnp.log(2 * jnp.pi)).sum(-1)
 
-    def rollout(self, ts: TrainState):
-        """Collect horizon steps; returns batch dict + new train state."""
-        cfg = self.cfg
-
-        def step_fn(carry, _):
-            env_state, key = carry
-            key, k_act = jax.random.split(key)
-            obs = self.env.observe(env_state)
-            a, mu, sigma, logp, o_n = self._policy(ts.params, ts.obs_norm,
-                                                   obs, k_act)
-            value = self.net.apply(ts.params, o_n, method=self.net.critic)
-            new_env_state, out = self.env.step(env_state, a)
-            data = dict(obs=obs, action=a, logp=logp, value=value,
-                        reward=out.reward, done=out.done,
-                        terminated=out.terminated, amp_obs=out.amp_obs,
-                        reward_raw=out.reward_raw,
-                        inverted=env_state.inverted)
-            return (new_env_state, key), data
-
-        key, k_roll = jax.random.split(ts.key)
-        (env_state, _), batch = jax.lax.scan(
-            step_fn, (ts.env_state, k_roll), None, length=cfg.horizon)
-        ts = ts.replace(env_state=env_state, key=key)
-        return ts, batch
-
     def _disc_reward(self, params, amp_norm, amp_obs):
         a = amp_norm.normalize(amp_obs)
         logit = self.net.apply(params, a, method=self.net.disc)
         prob = jax.nn.sigmoid(logit)
         return -jnp.log(jnp.maximum(1 - prob, 1e-4)) * self.cfg.disc_reward_scale
 
-    def compute_gae(self, ts, batch):
+    def compute_gae(self, ts, batch, last_obs):
         """GAE over the scanned batch (reference discount_values,
-        common_agent.py:573-587). Terminated steps bootstrap 0; truncated
-        bootstrap V(s')."""
+        common_agent.py:573-587). ALL done steps bootstrap 0 — the env
+        auto-resets inside step, so the next state belongs to a fresh
+        episode and its value must not leak across the boundary (the
+        reference masks `nextvalues` by dones the same way)."""
         cfg = self.cfg
         # combined reward
         disc_r = self._disc_reward(ts.params, ts.amp_norm, batch["amp_obs"])
         reward = (cfg.task_reward_w * batch["reward"]
                   + cfg.disc_reward_w * disc_r)
 
-        last_obs = self.env.observe(ts.env_state)
         o_n = ts.obs_norm.normalize(last_obs) if cfg.normalize_input else last_obs
         last_value = self.net.apply(ts.params, o_n, method=self.net.critic)
         if cfg.normalize_value:
@@ -193,17 +169,16 @@ class AMPAgent:
 
         def gae_step(carry, x):
             adv_next, v_next = carry
-            r, v, done, term = x
-            nonterm = 1.0 - term.astype(jnp.float32)
+            r, v, done = x
             nondone = 1.0 - done.astype(jnp.float32)
-            delta = r + cfg.gamma * v_next * nonterm - v
+            delta = r + cfg.gamma * v_next * nondone - v
             adv = delta + cfg.gamma * cfg.tau * nondone * adv_next
             return (adv, v), adv
 
         (_, _), advs = jax.lax.scan(
             gae_step,
             (jnp.zeros_like(last_value), last_value),
-            (reward, values, batch["done"], batch["terminated"]),
+            (reward, values, batch["done"]),
             reverse=True,
         )
         returns = advs + values
@@ -213,8 +188,9 @@ class AMPAgent:
     # losses
     # ------------------------------------------------------------------
 
-    def _update_minibatch(self, params, opt_state, mb, demo_amp, key):
+    def _update_minibatch(self, params, opt_state, mb, demo_amp, replay_amp):
         cfg = self.cfg
+        half = replay_amp.shape[0]
 
         def loss_fn(p):
             mu, sigma = self.net.apply(p, mb["obs_n"], method=self.net.actor)
@@ -231,11 +207,13 @@ class AMPAgent:
                 jnp.sum(jnp.clip(mu - 1.1, 0, None) ** 2
                         + jnp.clip(mu + 1.1, None, 0) ** 2, -1))
 
-            # discriminator: agent (rollout ∪ replay) vs demo
+            # discriminator: agent (rollout ∪ replay, half each — reference
+            # amp_continuous.py:621-649) vs demo
             def disc_logit(x):
                 return self.net.apply(p, x, method=self.net.disc)
 
-            agent_logit = disc_logit(mb["amp_n"])
+            agent_amp = jnp.concatenate([mb["amp_n"][:half], replay_amp], 0)
+            agent_logit = disc_logit(agent_amp)
             demo_logit = disc_logit(demo_amp)
             d_loss = 0.5 * (
                 jnp.mean(jax.nn.softplus(agent_logit))       # BCE label 0
@@ -244,9 +222,12 @@ class AMPAgent:
             logit_reg = jnp.sum(p["params"]["disc_logits"]["kernel"] ** 2)
             grad = jax.grad(lambda x: disc_logit(x).sum())(demo_amp)
             grad_pen = jnp.mean(jnp.sum(grad ** 2, -1))
+            # all disc weights incl. the logit kernel (reference
+            # get_disc_weights sums mlp + logit layers)
             w_decay = sum(
                 jnp.sum(p["params"][k]["kernel"] ** 2)
-                for k in p["params"] if k.startswith("disc_mlp"))
+                for k in p["params"]
+                if k.startswith("disc_mlp")) + logit_reg
             disc_total = (d_loss + cfg.disc_logit_reg * logit_reg
                           + cfg.disc_grad_penalty * grad_pen
                           + cfg.disc_weight_decay * w_decay)
@@ -288,14 +269,14 @@ class AMPAgent:
         N = ecfg.num_envs
         T = cfg.horizon
 
-        # flipped obs of the current state per step are needed per sample;
-        # recompute on the flattened batch after the rollout (cheaper: flip
-        # feature-level from stored obs is not possible for the heightmap, so
-        # we collect them in the rollout via observe_flipped)
+        # Observations thread through the scan carry: the policy consumes
+        # out.obs from the previous step (so obs-noise DR actually reaches
+        # training) and each sensor sweep is computed exactly once. Flipped
+        # obs for the symmetry loss still need their own sensor pass
+        # (heightmaps can't be flipped feature-level).
         def step_fn(carry, _):
-            env_state, key = carry
+            env_state, obs, key = carry
             key, k_act = jax.random.split(key)
-            obs = self.env.observe(env_state)
             flip_obs = (self.env.observe_flipped(env_state)
                         if cfg.motion_sym_loss else obs)
             a, mu, sigma, logp, o_n = self._policy(ts.params, ts.obs_norm,
@@ -306,14 +287,16 @@ class AMPAgent:
                         value=value, reward=out.reward, done=out.done,
                         terminated=out.terminated, amp_obs=out.amp_obs,
                         reward_raw=out.reward_raw)
-            return (new_env_state, key), data
+            return (new_env_state, out.obs, key), data
 
         key, k_roll, k_demo, k_perm, k_replay = jax.random.split(ts.key, 5)
-        (env_state, _), batch = jax.lax.scan(
-            step_fn, (ts.env_state, k_roll), None, length=T)
+        obs0 = self.env.observe(ts.env_state)
+        (env_state, last_obs, _), batch = jax.lax.scan(
+            step_fn, (ts.env_state, obs0, k_roll), None, length=T)
         ts = ts.replace(env_state=env_state, key=key)
 
-        advs, returns, comb_reward, disc_r = self.compute_gae(ts, batch)
+        advs, returns, comb_reward, disc_r = self.compute_gae(ts, batch,
+                                                              last_obs)
 
         # normalization updates (obs/amp/value)
         flat = lambda x: x.reshape((T * N,) + x.shape[2:])
@@ -337,16 +320,32 @@ class AMPAgent:
         ret01 = jnp.clip((ret_f - cfg.min_cum_reward)
                          / (cfg.max_cum_reward - cfg.min_cum_reward), 0, 1)
 
-        # replay buffer update (ring)
+        # replay buffer update (ring; reference amp_continuous.py:621-649).
+        # When the rollout exceeds the insert budget, a random subset goes in
+        # (taking the first rows would bias the buffer toward early steps).
         R = cfg.amp_replay_size
+        key, k_ins, k_sel = jax.random.split(key, 3)
+        ts = ts.replace(key=key)
         n_new = min(T * N, R)
+        src = (jax.random.choice(k_ins, T * N, (n_new,), replace=False)
+               if T * N > R else jnp.arange(n_new))
         idx = (ts.replay_ptr + jnp.arange(n_new)) % R
-        replay = ts.replay_amp.at[idx].set(amp_f[:n_new])
+        replay = ts.replay_amp.at[idx].set(amp_f[src])
         ts = ts.replace(
             replay_amp=replay,
             replay_ptr=(ts.replay_ptr + n_new) % R,
             replay_filled=jnp.minimum(ts.replay_filled + n_new, R),
         )
+
+        # replay half of the discriminator's agent batch (falls back to
+        # rollout samples until the buffer has history)
+        half = max(1, cfg.amp_batch_size // 2)
+        total_r = cfg.num_minibatches * half
+        ridx = jax.random.randint(k_sel, (total_r,), 0,
+                                  jnp.maximum(ts.replay_filled, 1))
+        replay_rows = jnp.where(ts.replay_filled > 0,
+                                ts.replay_amp[ridx],
+                                amp_f[ridx % (T * N)])
 
         # assemble normalized minibatch pools
         obs_n = ts.obs_norm.normalize(obs_f) if cfg.normalize_input else obs_f
@@ -366,6 +365,8 @@ class AMPAgent:
                                                * cfg.amp_batch_size)
         demo_n = ts.amp_norm.normalize(demo_raw).reshape(
             cfg.num_minibatches, cfg.amp_batch_size, -1)
+        replay_n = ts.amp_norm.normalize(replay_rows).reshape(
+            cfg.num_minibatches, half, -1)
 
         def mini_epoch(carry, k):
             params, opt_state = carry
@@ -375,8 +376,9 @@ class AMPAgent:
                 params, opt_state = carry2
                 sel = jax.lax.dynamic_slice_in_dim(perm, i * mb_size, mb_size)
                 mb = {k2: v[sel] for k2, v in data.items()}
+                j = i % cfg.num_minibatches
                 params, opt_state, metrics = self._update_minibatch(
-                    params, opt_state, mb, demo_n[i % cfg.num_minibatches], k)
+                    params, opt_state, mb, demo_n[j], replay_n[j])
                 return (params, opt_state), metrics
 
             (params, opt_state), metrics = jax.lax.scan(

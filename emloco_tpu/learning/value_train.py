@@ -68,11 +68,15 @@ class LocoValTrainer:
 
     def init(self, policy_ts: TrainState, key) -> ValueTrainState:
         n = self.env.cfg.num_envs
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         wp = jnp.zeros((1, self.vnet.num_waypoints, 2))
         pose = jnp.zeros((1, 24, 3))
         vel = jnp.zeros((1, 2))
         params = self.vnet.init(k1, wp, pose, vel)
+        # fresh episodes: a mid-episode env inherited from policy training
+        # would latch a truncated return (cum missing its earlier rewards)
+        # as the very first regression target of every env
+        policy_ts = policy_ts.replace(env_state=self.env.reset(k3))
         return ValueTrainState(
             policy=policy_ts,
             vnet_params=params,
@@ -84,8 +88,9 @@ class LocoValTrainer:
             epoch=jnp.zeros((), jnp.int32),
         )
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def train_epoch(self, ts: ValueTrainState):
+    def _collect(self, ts: ValueTrainState):
+        """Frozen-policy rollout with return latching — shared by training
+        and (read-only) evaluation."""
         cfg = self.cfg
         agent = self.agent
         pol = ts.policy
@@ -130,11 +135,21 @@ class LocoValTrainer:
             step_fn, carry0, None, length=cfg.horizon)
 
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
-        wp = flat(samples["wp"])
-        pose = flat(samples["pose"])
-        vel = flat(samples["vel"])
-        target = flat(samples["target"])
-        valid = flat(samples["valid"])
+        samples = {k: flat(v) for k, v in samples.items()}
+        ts = ts.replace(
+            policy=pol.replace(env_state=env_state),
+            cum_reward=cum,
+            disc_factor=factor,
+            already_latched=already,
+            key=key,
+        )
+        return ts, samples
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def train_epoch(self, ts: ValueTrainState):
+        ts, s = self._collect(ts)
+        wp, pose, vel = s["wp"], s["pose"], s["vel"]
+        target, valid = s["target"], s["valid"]
 
         def loss_fn(p):
             pred = self.vnet.apply(p, wp, pose, vel)
@@ -145,50 +160,38 @@ class LocoValTrainer:
         updates, vnet_opt = self.tx.update(grads, ts.vnet_opt, ts.vnet_params)
         vnet_params = optax.apply_updates(ts.vnet_params, updates)
 
-        ts = ts.replace(
-            policy=pol.replace(env_state=env_state),
-            vnet_params=vnet_params,
-            vnet_opt=vnet_opt,
-            cum_reward=cum,
-            disc_factor=factor,
-            already_latched=already,
-            key=key,
-            epoch=ts.epoch + 1,
-        )
+        ts = ts.replace(vnet_params=vnet_params, vnet_opt=vnet_opt,
+                        epoch=ts.epoch + 1)
         metrics = dict(vnet_loss=loss, num_latched=valid.sum(),
                        mean_target=(target * valid).sum()
                        / jnp.maximum(valid.sum(), 1.0))
         return ts, metrics
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_epoch(self, ts: ValueTrainState):
+        """Read-only rollout epoch: (pred, realized target, valid) triplets at
+        latch events. No vnet update (evaluation must not train)."""
+        ts, s = self._collect(ts)
+        pred = self.vnet.apply(ts.vnet_params, s["wp"], s["pose"], s["vel"])
+        return ts, (pred, s["target"], s["valid"])
+
     def evaluate(self, ts: ValueTrainState, num_epochs: int = 4):
-        """Value-prediction quality: run rollouts, compare prediction at
-        episode start vs realized normalized return (reference
+        """Value-prediction quality over LATCHED episodes only: prediction
+        from the episode's (waypoints, init pose, init vel) vs the realized
+        normalized return at done/step_to_pred (reference
         AMPPlayerContinuousValue.run, amp_value_players.py:37-275).
         Returns (ts, mse, correlation)."""
         import numpy as np
         preds, targets = [], []
         for _ in range(num_epochs):
-            ts, m = self.train_eval_epoch(ts)
-            preds.append(np.asarray(m["preds"]))
-            targets.append(np.asarray(m["targets"]))
+            ts, (p, t, v) = self.eval_epoch(ts)
+            m = np.asarray(v) > 0
+            preds.append(np.asarray(p)[m])
+            targets.append(np.asarray(t)[m])
         p = np.concatenate(preds)
         t = np.concatenate(targets)
+        if len(p) == 0:
+            return ts, float("nan"), 0.0
         mse = float(((p - t) ** 2).mean())
         corr = float(np.corrcoef(p, t)[0, 1]) if p.std() > 1e-6 else 0.0
         return ts, mse, corr
-
-    @functools.partial(jax.jit, static_argnums=0)
-    def train_eval_epoch(self, ts: ValueTrainState):
-        """One epoch that also reports (pred, target) pairs for diagnostics."""
-        ts, metrics = self.train_epoch(ts)
-        # prediction on current episode inputs
-        es = ts.policy.env_state
-        pred = self.vnet.apply(ts.vnet_params,
-                               es.waypoint_traj[:, :self.vnet.num_waypoints],
-                               es.init_pose, es.init_vel)
-        metrics = dict(metrics, preds=pred,
-                       targets=jnp.clip((ts.cum_reward - self.cfg.min_cum)
-                                        / (self.cfg.max_cum - self.cfg.min_cum),
-                                        0, 1),
-                       valid=jnp.ones_like(pred))
-        return ts, metrics

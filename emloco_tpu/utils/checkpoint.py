@@ -2,8 +2,9 @@
 
 Replaces the reference's rl_games .pth checkpointing (common_agent.py:248-265
 incl. periodic/intermediate saves and the valuenet-only export that feeds the
-prediction side, train_jta.py:198-204). Uses orbax when available, with a
-plain numpy-pickle fallback so checkpoints stay dependency-light.
+prediction side, train_jta.py:198-204). Trees are materialized to host numpy
+and pickled — dependency-light, layout-free, and loadable from any process
+(the same role .pth plays for the reference).
 """
 from __future__ import annotations
 

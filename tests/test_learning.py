@@ -135,3 +135,57 @@ def test_group_obs_and_velocity_map_env():
     assert o.shape == (4, env.obs_dim)
     assert env.task_obs_dim == 30 + 8 * 8 * 3 + 165
     assert np.all(np.isfinite(np.asarray(o)))
+
+
+def test_flip_obs_group_and_velocity_map():
+    """Symmetry-loss flip path covers group + velocity-map obs (regression:
+    observe_flipped only handled [traj, 1-channel heightmap])."""
+    cfg = EnvConfig(num_envs=4, sensor_res=8, episode_length=24,
+                    num_amp_obs_steps=3, velocity_map=True, group_obs=True,
+                    group_size=4)
+    terrain = flat_terrain(extent=20.0, cell=0.1)
+    lib = ml.synthetic_walk_motions(speeds=(1.0,), duration=1.5)
+    env = PedestrianTerrainEnv(cfg, terrain, lib)
+    st = env.reset(jax.random.PRNGKey(0))
+    o = env.observe(st)
+    f = env.observe_flipped(st)
+    assert o.shape == f.shape == (4, env.obs_dim)
+    assert np.isfinite(np.asarray(f)).all()
+    # double flip of the task part restores it (flip is an involution on a
+    # symmetric state representation): check the traj slice sign structure
+    S = cfg.num_traj_samples
+    base = cfg.self_obs_dim
+    loc_o = np.asarray(o[:, base:base + 2 * S]).reshape(-1, S, 2)
+    loc_f = np.asarray(f[:, base:base + 2 * S]).reshape(-1, S, 2)
+    np.testing.assert_allclose(loc_f[..., 0], loc_o[..., 0], atol=1e-5)
+    np.testing.assert_allclose(loc_f[..., 1], -loc_o[..., 1], atol=1e-5)
+    # symmetry training runs end-to-end with these flags
+    agent = AMPAgent(env, AMPConfig(horizon=4, num_minibatches=2,
+                                    mini_epochs=1, amp_batch_size=8))
+    ts = agent.init(jax.random.PRNGKey(1))
+    ts, m = agent.train_epoch(ts)
+    assert np.isfinite(float(m["total"]))
+
+
+def test_obs_noise_reaches_training_rollout():
+    """obs-noise DR must reach the policy's observations (regression: the
+    training loop re-observed noise-free)."""
+    def run(noise):
+        cfg = EnvConfig(num_envs=4, terrain_obs=False, num_amp_obs_steps=3,
+                        episode_length=24, obs_noise_std=noise)
+        terrain = flat_terrain(extent=20.0, cell=0.1)
+        lib = ml.synthetic_walk_motions(speeds=(1.0,), duration=1.5)
+        env = PedestrianTerrainEnv(cfg, terrain, lib)
+        agent = AMPAgent(env, AMPConfig(horizon=4, num_minibatches=2,
+                                        mini_epochs=1, amp_batch_size=8,
+                                        motion_sym_loss=False))
+        ts = agent.init(jax.random.PRNGKey(0))
+        ts, m = agent.train_epoch(ts)
+        return ts
+    ts0 = run(0.0)
+    ts1 = run(0.5)
+    # identical seeds: any difference in learned params must come from the
+    # noise actually reaching the training observations
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     ts0.params, ts1.params)
+    assert max(jax.tree.leaves(d)) > 1e-7
