@@ -126,6 +126,29 @@ def amp_obs(root_pos, root_rot, root_vel, root_ang_vel, dof_pos, dof_vel,
 
 AMP_OBS_DIM = 1 + 6 + 3 + 3 + len(DOF_SUBSET_JOINTS) * 9 + len(KEY_BODY_IDS) * 3
 
+# per-step AMP-obs block offsets (root_h 1 + rot 6 + vel 3 + ang_vel 3)
+_AMP_DOF_OBS_OFFSET = 13
+_AMP_DOF_VEL_OFFSET = _AMP_DOF_OBS_OFFSET + len(DOF_SUBSET_JOINTS) * 6
+
+
+def amp_dropout_mask(key, batch: int, steps: int, per_step: int,
+                     rate: float = 0.3) -> jnp.ndarray:
+    """Whole-joint dropout mask for AMP discriminator inputs (reference
+    get_dropout_mask, amp_models.py:49-90): each of the 19 observed joints is
+    dropped with probability `rate`, zeroing BOTH its 6-d tan-norm dof block
+    and its 3-d dof-vel block, with the same mask repeated across all window
+    steps. Returns (batch, steps·per_step) of {0,1}."""
+    J = len(DOF_SUBSET_JOINTS)
+    keep = (jax.random.uniform(key, (batch, J)) > rate).astype(jnp.float32)
+    step_mask = jnp.ones((batch, per_step))
+    pos = jnp.repeat(keep, 6, -1)                          # (B, J·6)
+    vel = jnp.repeat(keep, 3, -1)                          # (B, J·3)
+    step_mask = jax.lax.dynamic_update_slice_in_dim(
+        step_mask, pos, _AMP_DOF_OBS_OFFSET, 1)
+    step_mask = jax.lax.dynamic_update_slice_in_dim(
+        step_mask, vel, _AMP_DOF_VEL_OFFSET, 1)
+    return jnp.tile(step_mask, (1, steps))
+
 
 def location_obs(root_pos, root_rot, traj_samples) -> jnp.ndarray:
     """Future trajectory samples in the heading-local frame, xy only
@@ -142,6 +165,54 @@ def make_sensor_grid(extent: float = 2.0, res: int = 32) -> np.ndarray:
     lin = np.linspace(-extent, extent, res)
     gx, gy = np.meshgrid(lin, lin, indexing="ij")
     return np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)
+
+
+def make_sensor_grid_fov(max_range: float = 2.0,
+                         max_angle_deg: float = 110.0) -> np.ndarray:
+    """(450, 2) forward fan grid — 18 exponentially spaced ranges × 25
+    exponentially spaced bearings mirrored around +x (reference
+    init_fov_height_points, humanoid_pedestrain_terrain.py:705-730).
+    Density concentrates near the body and straight ahead, where footstep
+    planning needs resolution."""
+    rs = np.exp(np.arange(0.2, 2, 0.1)) - 0.9
+    rs = rs / rs.max() * max_range
+    phi = np.exp(np.linspace(0.1, 1.5, 12)) - 1
+    phi = phi / phi.max() * max_angle_deg
+    phi = np.concatenate([-phi[::-1], [0], phi]) * np.pi / 180
+    r, p = np.meshgrid(rs, phi, indexing="ij")
+    return np.stack([(r * np.cos(p)).ravel(),
+                     (r * np.sin(p)).ravel()], -1).astype(np.float32)
+
+
+def make_sensor_grid_square_fov(res: int = 20) -> np.ndarray:
+    """(res², 2) forward square — x ∈ [−0.02, 1.98], y ∈ [−1, 1] (reference
+    init_square_fov_height_points, humanoid_pedestrain_terrain.py:670-683)."""
+    x = np.linspace(-0.02, 1.98, res)
+    y = np.linspace(-1, 1, res)
+    gx, gy = np.meshgrid(x, y, indexing="ij")
+    return np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)
+
+
+SENSOR_GRIDS = {
+    "square": lambda cfg_extent, cfg_res: make_sensor_grid(cfg_extent,
+                                                           cfg_res),
+    "fov": lambda cfg_extent, cfg_res: make_sensor_grid_fov(cfg_extent),
+    "square_fov": lambda cfg_extent, cfg_res: make_sensor_grid_square_fov(),
+}
+
+
+def grid_flip_perm(grid: np.ndarray) -> np.ndarray:
+    """Index permutation realizing the y-mirror of a sensor grid: point i
+    maps to the grid point nearest (x_i, −y_i). All three sensor shapes are
+    y-symmetric by construction, so this is exact; it generalizes the (res,
+    res) array flip that only works for the square grid (reference flips
+    feature-level for the square sensor, humanoid_pedestrain_terrain.py:
+    467-477)."""
+    flipped = grid * np.array([1.0, -1.0], np.float32)
+    d = np.linalg.norm(flipped[:, None] - grid[None], axis=-1)
+    perm = d.argmin(-1)
+    assert (perm[perm] == np.arange(len(grid))).all(), "grid not y-symmetric"
+    return perm
 
 
 def _rotate_grid_xy(heading, grid, origin_xy):
@@ -219,16 +290,89 @@ def group_obs(body_pos, body_vel, root_rot, group_size: int, top_k: int = 5,
 def velocity_map_obs(terrain, sensor_pos, sensor_rot, center_xy, grid_local,
                      root_vel, meas_scale: float = 5.0) -> jnp.ndarray:
     """3-channel sensor variant (reference velocity_map flag,
-    humanoid_pedestrain_terrain.py:420-434): [relative height, heading-local
-    root velocity xy broadcast over the grid] → (N, P·3)."""
+    humanoid_pedestrain_terrain.py:1289-1297): [relative height, velocity
+    field in the agent's point of view]. With no other agents stamped the
+    world velocity field is zero, so every cell reads −ego velocity in the
+    heading frame (the reference subtracts the ego velocity from the sampled
+    map). → (N, P·3)."""
     h = heightmap_obs(terrain, sensor_pos, sensor_rot, center_xy, grid_local,
                       meas_scale)                         # (N,P)
     heading_inv = quat.heading_quat_inv(sensor_rot)
     v_local = quat.rotate(heading_inv, root_vel)          # (N,3)
     P = h.shape[-1]
-    vx = jnp.repeat(v_local[:, 0:1], P, -1)
-    vy = jnp.repeat(v_local[:, 1:2], P, -1)
+    vx = jnp.repeat(-v_local[:, 0:1], P, -1)
+    vy = jnp.repeat(-v_local[:, 1:2], P, -1)
     return jnp.stack([h, vx, vy], -1).reshape(h.shape[0], -1)
+
+
+def group_velocity_map_obs(terrain, sensor_pos, sensor_rot, center_xy,
+                           grid_local, root_pos, root_vel, group_size: int,
+                           meas_scale: float = 5.0, top_k: int = 5,
+                           person_height: float = 1.7,
+                           footprint=(0.25, 0.5),
+                           max_dist: float = 10.0) -> jnp.ndarray:
+    """Group velocity-map sensor: other people in the env's group are stamped
+    into the sampled height field (+person_height over a world-axis-aligned
+    footprint box around their root) and their velocities into the velocity
+    field; cells then read [ch − h, v_world − v_ego] in the heading frame
+    (reference sample_height_points root_points branch,
+    humanoid_pedestrain_terrain.py:1221-1282; footprint init_root_points
+    :686-703). TPU-native: instead of scattering all group members into a
+    per-group heightfield copy, each env tests its P sensor points against
+    its top-k nearest neighbors — an (N,P,k) box test; members beyond the
+    sensor reach never land in the footprint anyway. Deviation: the reference
+    stamps the observer too (a constant bump its center-height normalization
+    mostly cancels); we keep the observer out so the map stays terrain +
+    others. → (N, P·3)."""
+    N = root_pos.shape[0]
+    G = group_size
+    n_groups = N // G
+    heading = quat.calc_heading(sensor_rot)
+    px, py = _rotate_grid_xy(heading, jnp.asarray(grid_local),
+                             sensor_pos[:, :2])           # (N,P)
+    h = height_at_min2_xy(terrain, px, py)                # (N,P)
+
+    # top-k nearest group members (roots), self excluded
+    gp = root_pos[:, :2].reshape(n_groups, G, 2)
+    dist = jnp.linalg.norm(gp[:, :, None] - gp[:, None], axis=-1)
+    dist = dist + jnp.eye(G)[None] * 1e9
+    k = min(top_k, G - 1)
+    nd, idx = jax.lax.top_k(-dist, k)                     # (Ng,G,k)
+    flat_idx = (idx + jnp.arange(n_groups)[:, None, None] * G).reshape(N, k)
+    nbr_xy = root_pos[flat_idx.reshape(-1), :2].reshape(N, k, 2)
+    nbr_v = root_vel[flat_idx.reshape(-1)].reshape(N, k, 3)
+    near = ((-nd).reshape(N, k) <= max_dist)              # (N,k)
+
+    # (N,P,k) footprint box test in world axes
+    dx = px[:, :, None] - nbr_xy[:, None, :, 0]
+    dy = py[:, :, None] - nbr_xy[:, None, :, 1]
+    inside = ((jnp.abs(dx) <= footprint[0]) & (jnp.abs(dy) <= footprint[1])
+              & near[:, None])
+    covered = inside.any(-1)
+    # nearest covering neighbor's world velocity (reference: later stamps
+    # overwrite; nearest is the physically sensible tie-break)
+    d2 = jnp.where(inside, dx ** 2 + dy ** 2, jnp.inf)
+    j = d2.argmin(-1)                                     # (N,P)
+    v_cell = jnp.take_along_axis(
+        nbr_v[:, None, :, :2], j[..., None, None], 2)[:, :, 0]   # (N,P,2)
+    v_cell = jnp.where(covered[..., None], v_cell, 0.0)
+
+    h = h + person_height * covered
+
+    # center height under the root (terrain only, 3×3 patch)
+    cg = jnp.asarray(make_sensor_grid(0.15, 3))
+    cpx, cpy = _rotate_grid_xy(heading, cg, center_xy)
+    ch = height_at_min2_xy(terrain, cpx, cpy).mean(-1, keepdims=True)
+    h_obs = jnp.clip(ch - h, -3.0, 3.0) * meas_scale
+
+    # relative velocity in the heading frame
+    heading_inv = quat.heading_quat_inv(sensor_rot)
+    v_rel = v_cell - root_vel[:, None, :2]
+    c = jnp.cos(-heading)[:, None]
+    s = jnp.sin(-heading)[:, None]
+    vx = c * v_rel[..., 0] - s * v_rel[..., 1]
+    vy = s * v_rel[..., 0] + c * v_rel[..., 1]
+    return jnp.stack([h_obs, vx, vy], -1).reshape(N, -1)
 
 
 def flip_body_state(body_pos, body_rot, body_vel, body_ang_vel):

@@ -58,6 +58,10 @@ class EnvConfig(struct.PyTreeNode):
     step_to_pred: int = struct.field(pytree_node=False, default=144)
     sensor_extent: float = struct.field(pytree_node=False, default=2.0)
     sensor_res: int = struct.field(pytree_node=False, default=32)
+    # sensor footprint: "square" (±extent, res²), "fov" (forward fan, 450
+    # pts) or "square_fov" (forward 2×2 m, 400 pts) — reference
+    # init_{square,fov,square_fov}_height_points
+    sensor_shape: str = struct.field(pytree_node=False, default="square")
     height_meas_scale: float = struct.field(pytree_node=False, default=5.0)
     terrain_obs: bool = struct.field(pytree_node=False, default=True)
     power_reward: bool = struct.field(pytree_node=False, default=True)
@@ -78,6 +82,9 @@ class EnvConfig(struct.PyTreeNode):
     # crowd observation (reference divide_group/group_obs, humanoid.py:222-226)
     group_obs: bool = struct.field(pytree_node=False, default=False)
     group_size: int = struct.field(pytree_node=False, default=128)
+    # half-width of the uniform jitter around each group's spawn center
+    # (reference group_diffs ±8 m, humanoid_pedestrain_terrain.py:1200)
+    group_spawn_spread: float = struct.field(pytree_node=False, default=8.0)
     # 3-channel velocity-map sensor variant (reference velocity_map flag)
     velocity_map: bool = struct.field(pytree_node=False, default=False)
     # domain randomization / in-task fault injection (reference
@@ -107,10 +114,15 @@ class EnvConfig(struct.PyTreeNode):
         return obs.SELF_OBS_DIM + 11 + 10  # + shape + limb weights
 
     @property
+    def num_sensor_points(self):
+        return len(obs.SENSOR_GRIDS[self.sensor_shape](self.sensor_extent,
+                                                       self.sensor_res))
+
+    @property
     def task_obs_dim(self):
         d = self.num_traj_samples * 2
         if self.terrain_obs:
-            d += self.sensor_res ** 2 * (3 if self.velocity_map else 1)
+            d += self.num_sensor_points * (3 if self.velocity_map else 1)
         if self.group_obs:
             d += 5 * 11 * 3
         return d
@@ -170,8 +182,12 @@ class PedestrianTerrainEnv:
         self.params = bm.build_body_params(betas)
         self.model = build_model(self.params)
         self.real_traj_bank = real_traj_bank
-        self.sensor_grid = obs.make_sensor_grid(cfg.sensor_extent,
-                                                cfg.sensor_res)
+        self.sensor_grid = obs.SENSOR_GRIDS[cfg.sensor_shape](
+            cfg.sensor_extent, cfg.sensor_res)
+        # index permutation realizing the y-mirror of the sensor grid for
+        # the symmetry loss (exact for all three y-symmetric shapes)
+        self.sensor_flip_perm = jnp.asarray(
+            obs.grid_flip_perm(self.sensor_grid))
         # PD action mapping (reference _build_pd_action_offset_scale,
         # humanoid.py:950-1025: symmetric ±1.2·max|limit| clamped to π;
         # knee y-scale widened to 5)
@@ -227,6 +243,28 @@ class PedestrianTerrainEnv:
 
     def _sample_spawn(self, key, n):
         table = self.terrain.spawnable_xy
+        if self.cfg.group_obs:
+            # group-clustered spawns: one walkable center per group plus a
+            # uniform jitter, so group members actually start near each other
+            # (reference sample_valid_locations sample_groups=True,
+            # humanoid_pedestrain_terrain.py:1196-1205; the reference also
+            # re-rolls centers on every reset call, so per-env resets drift
+            # groups apart over time exactly like this does)
+            G = min(self.cfg.group_size, n)
+            ng = max(n // G, 1)
+            k1, k2 = jax.random.split(key)
+            centers = table[jax.random.randint(k1, (ng,), 0, table.shape[0])]
+            H, W = self.terrain.shape
+            cell = self.terrain.cell
+            spread = min(self.cfg.group_spawn_spread,
+                         0.25 * (min(H, W) - 1) * cell)
+            jit = jax.random.uniform(k2, (ng, G, 2), minval=-spread,
+                                     maxval=spread)
+            xy = (centers[:, None] + jit).reshape(ng * G, 2)[:n]
+            lo = jnp.asarray(self.terrain.origin) + 2 * cell
+            hi = jnp.asarray(self.terrain.origin) + jnp.asarray(
+                [(H - 3) * cell, (W - 3) * cell])
+            return jnp.clip(xy, lo, hi)
         idx = jax.random.randint(key, (n,), 0, table.shape[0])
         return table[idx]
 
@@ -362,9 +400,17 @@ class PedestrianTerrainEnv:
             head = pos[:, self.tree.index("Head")]
             if cfg.velocity_map:
                 vel = physics.body_v[:, 0]
-                parts.append(obs.velocity_map_obs(
-                    self.terrain, head, root_rot, root_pos[:, :2],
-                    self.sensor_grid, vel, cfg.height_meas_scale))
+                if cfg.group_obs:
+                    # other people stamped into the height/velocity field
+                    gsz = min(cfg.group_size, cfg.num_envs)
+                    parts.append(obs.group_velocity_map_obs(
+                        self.terrain, head, root_rot, root_pos[:, :2],
+                        self.sensor_grid, root_pos, vel, gsz,
+                        cfg.height_meas_scale))
+                else:
+                    parts.append(obs.velocity_map_obs(
+                        self.terrain, head, root_rot, root_pos[:, :2],
+                        self.sensor_grid, vel, cfg.height_meas_scale))
             else:
                 parts.append(obs.heightmap_obs(
                     self.terrain, head, root_rot, root_pos[:, :2],
@@ -377,6 +423,20 @@ class PedestrianTerrainEnv:
     def observe(self, state: EnvState):
         return jnp.concatenate(
             [self._self_obs(state.physics), self._task_obs(state)], -1)
+
+    def observe_with_traj(self, state: EnvState, traj_samples):
+        """Observation with the trajectory slice rebuilt from hypothetical
+        samples (N,S,3) — differentiable wrt traj_samples, so a critic
+        gradient can flow back to candidate trajectories (the reference's
+        query_value_gradient hook, humanoid_pedestrain_terrain.py:353-374,
+        builds exactly this spliced obs but leaves the gradient TODO)."""
+        o = self.observe(state)
+        physics = state.physics
+        pos, rot, _, _ = body_frame_state(self.model, physics)
+        loc = obs.location_obs(pos[:, 0], rot[:, 0], traj_samples)
+        base = self.cfg.self_obs_dim
+        S = self.cfg.num_traj_samples * 2
+        return jnp.concatenate([o[:, :base], loc, o[:, base + S:]], -1)
 
     def observe_flipped(self, state: EnvState):
         """Left/right mirrored observation for the motion-symmetry loss
@@ -395,18 +455,20 @@ class PedestrianTerrainEnv:
         parts = [self_obs, loc.reshape(-1, 2 * S)]
         off = 2 * S
         if cfg.terrain_obs:
-            res = cfg.sensor_res
+            # y-mirror of the sensor footprint as an index permutation
+            # (exact for all three y-symmetric grid shapes)
+            P = cfg.num_sensor_points
+            perm = self.sensor_flip_perm
             if cfg.velocity_map:
-                # 3 channels [h, vx, vy] in the heading frame: mirror the
-                # lateral grid axis and negate the lateral velocity channel
-                n_hm = 3 * res * res
-                hm = task[:, off:off + n_hm].reshape(-1, res, res, 3)
-                hm = hm[:, :, ::-1].at[..., 2].multiply(-1.0)
+                # 3 channels [h, vx, vy] in the heading frame: permute the
+                # grid points and negate the lateral velocity channel
+                n_hm = 3 * P
+                hm = task[:, off:off + n_hm].reshape(-1, P, 3)
+                hm = hm[:, perm].at[..., 2].multiply(-1.0)
                 parts.append(hm.reshape(-1, n_hm))
             else:
-                n_hm = res * res
-                hm = task[:, off:off + n_hm].reshape(-1, res, res)
-                parts.append(hm[:, :, ::-1].reshape(-1, n_hm))
+                n_hm = P
+                parts.append(task[:, off:off + n_hm][:, perm])
             off += n_hm
         if cfg.group_obs:
             # relative positions/velocities of nearby people in the heading

@@ -60,6 +60,10 @@ class AMPConfig(struct.PyTreeNode):
     disc_reward_w: float = struct.field(pytree_node=False, default=0.5)
     amp_replay_size: int = struct.field(pytree_node=False, default=16384)
     amp_batch_size: int = struct.field(pytree_node=False, default=512)
+    # whole-joint dropout on discriminator inputs (reference amp_dropout,
+    # amp_models.py:20-90): independent masks for agent/replay/demo batches
+    amp_dropout: bool = struct.field(pytree_node=False, default=False)
+    amp_dropout_rate: float = struct.field(pytree_node=False, default=0.3)
     normalize_input: bool = struct.field(pytree_node=False, default=True)
     normalize_value: bool = struct.field(pytree_node=False, default=True)
     normalize_advantage: bool = struct.field(pytree_node=False, default=True)
@@ -95,6 +99,8 @@ class AMPAgent:
             self_obs_dim=ecfg.self_obs_dim,
             traj_obs_dim=ecfg.num_traj_samples * 2,
             task_obs_dim=env.task_obs_dim,
+            # crowd pointnet over the trailing group obs when present
+            people_obs_dim=5 * 11 * 3 if ecfg.group_obs else 0,
         )
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_norm),
@@ -147,6 +153,22 @@ class AMPAgent:
         prob = jax.nn.sigmoid(logit)
         return -jnp.log(jnp.maximum(1 - prob, 1e-4)) * self.cfg.disc_reward_scale
 
+    def query_value_gradient(self, ts: TrainState, env_state, new_traj):
+        """Critic value of the current state under a hypothetical future
+        trajectory (N,S,3), and its gradient wrt that trajectory — the
+        fully-functional version of the reference hook
+        (humanoid_pedestrain_terrain.py:353-374 + amp_players.py:18, both
+        left TODO/commented-out there): here the critic is differentiable
+        end-to-end through the spliced location obs."""
+        def value_sum(traj):
+            o = self.env.observe_with_traj(env_state, traj)
+            o_n = (ts.obs_norm.normalize(o) if self.cfg.normalize_input
+                   else o)
+            v = self.net.apply(ts.params, o_n, method=self.net.critic)
+            return v.sum(), v
+        grads, values = jax.grad(value_sum, has_aux=True)(new_traj)
+        return values, grads
+
     def compute_gae(self, ts, batch, last_obs):
         """GAE over the scanned batch (reference discount_values,
         common_agent.py:573-587). ALL done steps bootstrap 0 — the env
@@ -188,9 +210,24 @@ class AMPAgent:
     # losses
     # ------------------------------------------------------------------
 
-    def _update_minibatch(self, params, opt_state, mb, demo_amp, replay_amp):
+    def _update_minibatch(self, params, opt_state, mb, demo_amp, replay_amp,
+                          key):
         cfg = self.cfg
         half = replay_amp.shape[0]
+        amp_rollout = mb["amp_n"][:half]
+
+        if cfg.amp_dropout:
+            # independent whole-joint masks for the three disc batches
+            # (reference num_masks=3, amp_models.py:29-33); masks are
+            # constants w.r.t. the gradient, applied to normalized features
+            ecfg = self.env.cfg
+            ks = jax.random.split(key, 3)
+            mask = lambda k, x: x * obs_mod.amp_dropout_mask(
+                k, x.shape[0], ecfg.num_amp_obs_steps, ecfg.amp_obs_per_step,
+                cfg.amp_dropout_rate)
+            amp_rollout = mask(ks[0], amp_rollout)
+            replay_amp = mask(ks[1], replay_amp)
+            demo_amp = mask(ks[2], demo_amp)
 
         def loss_fn(p):
             mu, sigma = self.net.apply(p, mb["obs_n"], method=self.net.actor)
@@ -212,7 +249,7 @@ class AMPAgent:
             def disc_logit(x):
                 return self.net.apply(p, x, method=self.net.disc)
 
-            agent_amp = jnp.concatenate([mb["amp_n"][:half], replay_amp], 0)
+            agent_amp = jnp.concatenate([amp_rollout, replay_amp], 0)
             agent_logit = disc_logit(agent_amp)
             demo_logit = disc_logit(demo_amp)
             d_loss = 0.5 * (
@@ -378,7 +415,8 @@ class AMPAgent:
                 mb = {k2: v[sel] for k2, v in data.items()}
                 j = i % cfg.num_minibatches
                 params, opt_state, metrics = self._update_minibatch(
-                    params, opt_state, mb, demo_n[j], replay_n[j])
+                    params, opt_state, mb, demo_n[j], replay_n[j],
+                    jax.random.fold_in(k, i))
                 return (params, opt_state), metrics
 
             (params, opt_state), metrics = jax.lax.scan(

@@ -51,6 +51,12 @@ class AMPSeptValueNet(nn.Module):
     value_units: Tuple[int, ...] = (15, 6)
     disc_units: Tuple[int, ...] = (1024, 512)
     sigma_init: float = -2.9
+    # crowd encoder over the trailing group obs: a shared per-person MLP
+    # max-pooled over the top-k neighbors (reference _build_pointnet /
+    # eval_task, amp_network_sept_builder.py:52-66, 167-181). 0 = off.
+    people_obs_dim: int = 0
+    pointnet_topk: int = 5
+    pointnet_emb: int = 64
 
     def setup(self):
         # explicit dtype: a weak-typed param would strengthen after the first
@@ -60,6 +66,12 @@ class AMPSeptValueNet(nn.Module):
                                                jnp.float32),
             (self.num_actions,))
         self.task_mlp = _make_mlp(self.task_units, "task_mlp")
+        if self.people_obs_dim:
+            self.point_net = [
+                nn.Dense(32, name="point_net_0"),
+                nn.Dense(64, name="point_net_1"),
+                nn.Dense(self.pointnet_emb, name="point_net_2"),
+            ]
         self.actor_mlp = _make_mlp(self.mlp_units, "actor_mlp")
         self.critic_mlp = _make_mlp(self.mlp_units, "critic_mlp")
         self.disc_mlp = _make_mlp(self.disc_units, "disc_mlp")
@@ -84,7 +96,25 @@ class AMPSeptValueNet(nn.Module):
         return self_obs, task_obs
 
     def task_embed(self, task_obs):
-        return _run_mlp(self.task_mlp, task_obs)
+        if not self.people_obs_dim:
+            return _run_mlp(self.task_mlp, task_obs)
+        # split [traj+heightmap | people]: task MLP over the static task obs,
+        # permutation-invariant max-pool over the per-person embeddings. The
+        # reference un-normalizes the people slice first (its pointnet was
+        # tuned on raw relative coords); here the pointnet consumes the same
+        # normalized features as every other head — one affine map upstream
+        # of a learned per-person MLP, absorbed by the first Dense.
+        head = task_obs[..., :-self.people_obs_dim]
+        people = task_obs[..., -self.people_obs_dim:]
+        per = self.people_obs_dim // self.pointnet_topk
+        p = people.reshape(people.shape[:-1] + (self.pointnet_topk, per))
+        for i, layer in enumerate(self.point_net):
+            p = layer(p)
+            if i < len(self.point_net) - 1:
+                p = nn.relu(p)
+        point_feat = p.max(-2)
+        return jnp.concatenate([_run_mlp(self.task_mlp, head), point_feat],
+                               -1)
 
     def actor(self, obs):
         self_obs, task_obs = self._split(obs)

@@ -286,11 +286,15 @@ def generate_mixed_terrain(
     difficulty: float = 1.0,
     seed: int = 0,
     border_cells: int = 10,
+    curriculum: bool = False,
 ) -> Heightfield:
     """Tiled multi-type terrain with spawn table — semantic equivalent of the
     reference Terrain class (humanoid_pedestrain_terrain.py:1135-1463): a grid
     of num_tiles × num_tiles sub-terrains, type sampled by proportions,
-    difficulty scaling heights/slopes, plus flat border."""
+    difficulty scaling heights/slopes, plus flat border. With
+    curriculum=True, difficulty grades with the tile row — easy tiles on one
+    edge, hardest on the other (reference cfg["curriculum"] → curiculum(),
+    humanoid_pedestrain_terrain.py:1169-1173)."""
     rng = np.random.RandomState(seed)
     tile = int(map_length / cell)
     n = num_tiles * tile + 2 * border_cells
@@ -300,7 +304,10 @@ def generate_mixed_terrain(
         for j in range(num_tiles):
             u = rng.rand()
             t = types[int(np.searchsorted(cum, u))]
-            d = difficulty * rng.uniform(0.4, 1.0)
+            if curriculum:
+                d = difficulty * (i + 1) / num_tiles
+            else:
+                d = difficulty * rng.uniform(0.4, 1.0)
             kwargs = {}
             if t == "random_uniform":
                 kwargs = dict(min_h=-0.08 * d, max_h=0.08 * d, rng=rng)

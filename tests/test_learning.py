@@ -189,3 +189,40 @@ def test_obs_noise_reaches_training_rollout():
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                      ts0.params, ts1.params)
     assert max(jax.tree.leaves(d)) > 1e-7
+
+
+def test_train_epoch_with_pointnet_and_amp_dropout():
+    """Crowd pointnet (group obs) + whole-joint AMP dropout compile into the
+    same single-epoch program (reference amp_network_sept_builder pointnet +
+    amp_models.get_dropout_mask)."""
+    cfg = EnvConfig(num_envs=4, sensor_res=8, episode_length=24,
+                    num_amp_obs_steps=3, group_obs=True, group_size=4)
+    terrain = flat_terrain(extent=20.0, cell=0.1)
+    lib = ml.synthetic_walk_motions(speeds=(1.0,), duration=2.0)
+    env = PedestrianTerrainEnv(cfg, terrain, lib)
+    acfg = AMPConfig(horizon=4, num_minibatches=2, mini_epochs=2,
+                     amp_batch_size=8, amp_replay_size=64, amp_dropout=True)
+    agent = AMPAgent(env, acfg)
+    assert agent.net.people_obs_dim == 165
+    ts = agent.init(jax.random.PRNGKey(0))
+    assert "point_net_0" in ts.params["params"]
+    ts, metrics = agent.train_epoch(ts)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+
+
+def test_query_value_gradient():
+    """Critic gradient flows back to a hypothetical trajectory through the
+    spliced location obs (the reference hook left TODO,
+    humanoid_pedestrain_terrain.py:353-374)."""
+    agent = tiny_agent()
+    ts = agent.init(jax.random.PRNGKey(0))
+    st = ts.env_state
+    n, S = agent.env.cfg.num_envs, agent.env.cfg.num_traj_samples
+    traj = jnp.zeros((n, S, 3)).at[..., 0].add(
+        jnp.linspace(0, 2, S)[None]) + st.physics.body_x[:, 0:1, :]
+    v, g = agent.query_value_gradient(ts, st, traj)
+    assert v.shape == (n,) and g.shape == (n, S, 3)
+    assert np.isfinite(np.asarray(v)).all()
+    gz = np.asarray(g)
+    assert np.abs(gz[..., :2]).max() > 0  # xy gradient is live
