@@ -104,6 +104,153 @@ def cholesky_solve_soa(A: jnp.ndarray, b: jnp.ndarray,
     return cholesky_solve_soa_t(At, bt, interpret=interpret).T
 
 
+# ---------------------------------------------------------------------------
+# Block-arrow (supernodal) variant for articulated trees
+# ---------------------------------------------------------------------------
+#
+# A reduced-coordinate mass/implicit matrix has M[i,j] ≠ 0 only when DoFs i
+# and j lie on a common root-to-leaf path. For the humanoid (5 chains —
+# 2 legs, 2 arms, neck — hanging off a trunk+root), ordering the DoFs
+# [limb₁ … limb₅ | trunk+root] makes the matrix block-arrow: dense limb
+# diagonal blocks, couplings only into the trailing shared block, zero
+# between limbs. A Cholesky in that order has NO fill-in outside the
+# pattern, so each column's trailing update touches (rest-of-limb + shared)
+# rows instead of all remaining rows: Σ ≈ 28k lane-FMAs vs 137k dense at
+# M=75 — ~5× less VPU work, same numerics (exact, not approximate).
+
+def _chol_solve_blocked_kernel(a_ref, b_ref, x_ref, w_ref, y_ref, z_ref,
+                               *, chunks, limbs, s_lo):
+    """Permuted block-arrow Cholesky solve. chunks: old-index ranges listed
+    in new order (the permutation, as contiguous block moves); limbs:
+    (lo, hi) dense diagonal blocks in NEW order; s_lo: start of the trailing
+    shared block (runs to M)."""
+    M = a_ref.shape[0]
+
+    # permute rows+cols in one pass: 2-D chunk moves old→new
+    roff = 0
+    for rlo, rhi in chunks:
+        coff = 0
+        for clo, chi in chunks:
+            w_ref[roff:roff + rhi - rlo, coff:coff + chi - clo, :] = \
+                a_ref[rlo:rhi, clo:chi, :]
+            coff += chi - clo
+        roff += rhi - rlo
+    off = 0
+    for lo, hi in chunks:
+        y_ref[off:off + hi - lo, :] = b_ref[lo:hi, :]
+        off += hi - lo
+
+    # ---- factorization (lower triangle, static unroll) ----
+    def fcol(k, hi, couple):
+        s = jnp.sqrt(jnp.maximum(w_ref[k, k, :], 1e-12))
+        w_ref[k, k, :] = s
+        if k + 1 < hi:
+            col_g = w_ref[k + 1:hi, k, :] / s[None, :]
+            w_ref[k + 1:hi, k, :] = col_g
+        if couple:
+            col_s = w_ref[s_lo:M, k, :] / s[None, :]
+            w_ref[s_lo:M, k, :] = col_s
+        if k + 1 < hi:
+            w_ref[k + 1:hi, k + 1:hi, :] = (
+                w_ref[k + 1:hi, k + 1:hi, :]
+                - col_g[:, None, :] * col_g[None, :, :])
+            if couple:
+                w_ref[s_lo:M, k + 1:hi, :] = (
+                    w_ref[s_lo:M, k + 1:hi, :]
+                    - col_s[:, None, :] * col_g[None, :, :])
+        if couple:
+            w_ref[s_lo:M, s_lo:M, :] = (
+                w_ref[s_lo:M, s_lo:M, :]
+                - col_s[:, None, :] * col_s[None, :, :])
+
+    for lo, hi in limbs:
+        for k in range(lo, hi):
+            fcol(k, hi, couple=True)
+    for k in range(s_lo, M):
+        fcol(k, M, couple=False)
+
+    # ---- forward solve L y = b (column-oriented, y in place) ----
+    for lo, hi in limbs:
+        for k in range(lo, hi):
+            yk = y_ref[k, :] / w_ref[k, k, :]
+            y_ref[k, :] = yk
+            if k + 1 < hi:
+                y_ref[k + 1:hi, :] = (y_ref[k + 1:hi, :]
+                                      - w_ref[k + 1:hi, k, :] * yk[None, :])
+            y_ref[s_lo:M, :] = (y_ref[s_lo:M, :]
+                                - w_ref[s_lo:M, k, :] * yk[None, :])
+    for k in range(s_lo, M):
+        yk = y_ref[k, :] / w_ref[k, k, :]
+        y_ref[k, :] = yk
+        if k + 1 < M:
+            y_ref[k + 1:M, :] = (y_ref[k + 1:M, :]
+                                 - w_ref[k + 1:M, k, :] * yk[None, :])
+
+    # ---- backward solve Lᵀ x = y (row-oriented, shared block first) ----
+    z_ref[M - 1, :] = y_ref[M - 1, :] / w_ref[M - 1, M - 1, :]
+    for k in range(M - 2, s_lo - 1, -1):
+        acc = jnp.sum(w_ref[k + 1:M, k, :] * z_ref[k + 1:M, :], axis=0)
+        z_ref[k, :] = (y_ref[k, :] - acc) / w_ref[k, k, :]
+    for lo, hi in limbs:
+        for k in range(hi - 1, lo - 1, -1):
+            acc = jnp.sum(w_ref[s_lo:M, k, :] * z_ref[s_lo:M, :], axis=0)
+            if k + 1 < hi:
+                acc = acc + jnp.sum(w_ref[k + 1:hi, k, :]
+                                    * z_ref[k + 1:hi, :], axis=0)
+            z_ref[k, :] = (y_ref[k, :] - acc) / w_ref[k, k, :]
+
+    # inverse permutation back to the caller's DoF order
+    off = 0
+    for lo, hi in chunks:
+        x_ref[lo:hi, :] = z_ref[off:off + hi - lo, :]
+        off += hi - lo
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunks", "limbs", "s_lo", "interpret"))
+def cholesky_solve_blocked_t(At: jnp.ndarray, bt: jnp.ndarray,
+                             chunks, limbs, s_lo: int,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Block-arrow SPD solve, env-last: A (M, M, N), b (M, N) → x (M, N).
+
+    REQUIRES A to be zero outside the block-arrow pattern induced by
+    (chunks, limbs, s_lo) — true by construction for articulated-tree
+    mass/implicit matrices ordered limbs-first (the factorization then has
+    zero fill-in and the result is exact; a dense A violating the pattern
+    gives a silently wrong answer). chunks/limbs/s_lo as in the kernel."""
+    M = At.shape[0]
+    N = At.shape[-1]
+    pad = (-N) % LANES
+    if pad:
+        At = jnp.pad(At, ((0, 0), (0, 0), (0, pad)))
+        bt = jnp.pad(bt, ((0, 0), (0, pad)))
+    Nf = At.shape[-1]
+
+    kernel = functools.partial(_chol_solve_blocked_kernel,
+                               chunks=tuple(chunks), limbs=tuple(limbs),
+                               s_lo=s_lo)
+    x = pl.pallas_call(
+        kernel,
+        grid=(Nf // LANES,),
+        in_specs=[
+            pl.BlockSpec((M, M, LANES), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, Nf), At.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((M, M, LANES), At.dtype),
+            pltpu.VMEM((M, LANES), At.dtype),
+            pltpu.VMEM((M, LANES), At.dtype),
+        ],
+        interpret=interpret,
+    )(At, bt)
+    return x[:, :N]
+
+
 def backend_supports_pallas() -> bool:
     try:
         plat = jax.devices()[0].platform.lower()

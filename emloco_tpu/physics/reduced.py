@@ -64,6 +64,71 @@ def _subtree_masks(parents: np.ndarray) -> np.ndarray:
 
 _SUB = _subtree_masks(PARENTS)                    # (23, 24)
 
+
+def _arrow_blocks(parents: np.ndarray = PARENTS):
+    """Block-arrow structure of the reduced-coordinate system matrix.
+
+    M[i,j] ≠ 0 only for DoFs on a common root-to-leaf path, so with DoFs
+    ordered [limb chains | shared trunk + root] the matrix is block-arrow
+    and a Cholesky in that order has zero fill-in (Featherstone's
+    branch-induced sparsity). Returns (chunks, limbs, s_lo) for
+    pallas_linalg.cholesky_solve_blocked_t: `chunks` lists OLD dof ranges in
+    NEW order (the permutation as contiguous moves), `limbs` the dense
+    diagonal blocks in NEW coordinates, `s_lo` the start of the shared
+    block. Derived from the tree, not hard-coded — any parents array works.
+    """
+    n = len(parents)
+    kids = {i: [] for i in range(n)}
+    for i in range(1, n):
+        kids[int(parents[i])].append(i)
+    # shared set: every body with ≥2 children, and all its ancestors
+    shared = set()
+    for b in range(n):
+        if len(kids[b]) >= 2:
+            a = b
+            while a != -1:
+                shared.add(a)
+                a = int(parents[a])
+    # limb components: connected non-shared bodies (parents precede children
+    # in body order, so one forward pass suffices)
+    comp_id, comps = {}, []
+    for b in range(1, n):
+        if b in shared:
+            continue
+        p = int(parents[b])
+        if p in comp_id:
+            cid = comp_id[p]
+        else:
+            cid = len(comps)
+            comps.append([])
+        comp_id[b] = cid
+        comps[cid].append(b)
+
+    def dof_ranges(bodies):
+        """Merge consecutive bodies into contiguous old-dof ranges."""
+        out = []
+        for b in sorted(bodies):
+            lo, hi = 6 + 3 * (b - 1), 6 + 3 * b
+            if out and out[-1][1] == lo:
+                out[-1] = (out[-1][0], hi)
+            else:
+                out.append((lo, hi))
+        return out
+
+    chunks, limbs, off = [], [], 0
+    for comp in comps:
+        chunks += dof_ranges(comp)
+        limbs.append((off, off + 3 * len(comp)))
+        off += 3 * len(comp)
+    s_lo = off
+    chunks += dof_ranges([b for b in sorted(shared) if b != parents[0] + 1
+                          and b != 0])
+    chunks.append((0, 6))                       # root last
+    return tuple(chunks), tuple(limbs), s_lo
+
+
+_ARROW_CHUNKS, _ARROW_LIMBS, _ARROW_S = _arrow_blocks()
+
 # extended "joint" list: index 0 = root angular DOF (pivot = root COM, mask =
 # all bodies); 1..23 = real joints. Used for uniform mass-matrix assembly.
 _SUBX = np.concatenate([np.ones((1, B), np.float32), _SUB], 0)   # (24, 24)
@@ -541,11 +606,19 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
                                   dt * Q)                  # env-last (·,·,N)
 
     # ---- solve ----
-    from .pallas_linalg import backend_supports_pallas, cholesky_solve_soa_t
+    from .pallas_linalg import (backend_supports_pallas,
+                                cholesky_solve_blocked_t,
+                                cholesky_solve_soa_t)
     At = At + 1e-8 * jnp.eye(NU)[:, :, None]
     if backend_supports_pallas():
         # SoA Pallas kernel: one HBM read of A, factorization stays in VMEM
-        u_new = cholesky_solve_soa_t(At, rhs_t).T
+        if cfg.blocked_solver:
+            # block-arrow factorization along the tree's branch-induced
+            # sparsity (zero fill-in, exact) — ~5× fewer VPU flops
+            u_new = cholesky_solve_blocked_t(
+                At, rhs_t, _ARROW_CHUNKS, _ARROW_LIMBS, _ARROW_S).T
+        else:
+            u_new = cholesky_solve_soa_t(At, rhs_t).T
     else:
         A = jnp.moveaxis(At, -1, 0)
         L = jnp.linalg.cholesky(A)

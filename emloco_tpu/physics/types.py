@@ -43,6 +43,10 @@ class EngineConfig(struct.PyTreeNode):
     max_linear_velocity: float = struct.field(pytree_node=False, default=50.0)
     max_angular_velocity: float = struct.field(pytree_node=False,
                                                default=60.0)
+    # block-arrow (supernodal) Cholesky exploiting the tree's branch-induced
+    # sparsity — exact, ~5× fewer solver flops than the dense factorization;
+    # disable to fall back to the dense Pallas kernel
+    blocked_solver: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def substep_dt(self) -> float:

@@ -227,3 +227,77 @@ def test_violent_impacts_stay_finite():
     assert bool(jnp.isfinite(st.body_x).all())
     assert float(jnp.abs(st.u).max()) < 50.0   # settled, not ringing
     assert float(st.body_x[..., 2].min()) > -0.5
+
+
+def test_blocked_cholesky_matches_dense():
+    """Block-arrow (supernodal) solver: the assembled LHS is exactly zero
+    outside the tree's branch-induced sparsity pattern, and the blocked
+    factorization solves it to machine precision (pallas interpret mode)."""
+    import numpy as np
+    from emloco_tpu.physics import reduced as R
+    from emloco_tpu.physics.pallas_linalg import cholesky_solve_blocked_t
+
+    chunks, limbs, s_lo = R._ARROW_CHUNKS, R._ARROW_LIMBS, R._ARROW_S
+    M = 75
+    # chunks are a permutation partition of 0..M
+    cover = np.concatenate([np.arange(lo, hi) for lo, hi in chunks])
+    assert sorted(cover.tolist()) == list(range(M))
+
+    mask_new = np.zeros((M, M), bool)
+    for lo, hi in limbs:
+        mask_new[lo:hi, lo:hi] = True
+        mask_new[s_lo:, lo:hi] = True
+        mask_new[lo:hi, s_lo:] = True
+    mask_new[s_lo:, s_lo:] = True
+    perm = cover
+
+    rng = np.random.RandomState(0)
+    N = 8
+    A_old = np.zeros((M, M, N), np.float32)
+    for n in range(N):
+        L = np.tril(rng.randn(M, M)).astype(np.float32) * mask_new
+        An = L @ L.T + 5 * np.eye(M, dtype=np.float32)
+        A_old[perm[:, None], perm[None, :], n] = An
+    b = rng.randn(M, N).astype(np.float32)
+    x = cholesky_solve_blocked_t(jnp.asarray(A_old), jnp.asarray(b),
+                                 chunks, limbs, s_lo, interpret=True)
+    x_ref = np.stack([np.linalg.solve(A_old[:, :, n], b[:, n])
+                      for n in range(N)], -1)
+    err = np.abs(np.asarray(x) - x_ref).max() / np.abs(x_ref).max()
+    assert err < 1e-4
+
+
+def test_assembled_lhs_has_arrow_pattern():
+    """The implicit-substep LHS respects the block-arrow sparsity the
+    blocked solver assumes (limbs couple only through trunk+root)."""
+    import numpy as np
+    from emloco_tpu.physics import reduced as R
+    from emloco_tpu.ops import quat as Q
+
+    model, terrain = make_world(4)
+    st = rest_state(model)
+    captured = {}
+    orig = R._assemble_lhs_rhs
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        captured["At"] = out[0]
+        return out
+    R._assemble_lhs_rhs = spy
+    try:
+        with jax.disable_jit():
+            R._implicit_substep(model, terrain, st,
+                                Q.exp_map_to_quat(jnp.zeros((4, 23, 3))),
+                                EngineConfig(), TREE)
+    finally:
+        R._assemble_lhs_rhs = orig
+    chunks, limbs, s_lo = R._ARROW_CHUNKS, R._ARROW_LIMBS, R._ARROW_S
+    perm = np.concatenate([np.arange(lo, hi) for lo, hi in chunks])
+    mask_new = np.zeros((75, 75), bool)
+    for lo, hi in limbs:
+        mask_new[lo:hi, lo:hi] = True
+        mask_new[s_lo:, lo:hi] = True
+        mask_new[lo:hi, s_lo:] = True
+    mask_new[s_lo:, s_lo:] = True
+    An = np.asarray(captured["At"])[perm[:, None], perm[None, :], :]
+    scale = np.abs(An).max()
+    assert np.abs(An[~mask_new]).max() <= 1e-5 * scale
