@@ -118,15 +118,8 @@ def cholesky_solve_soa(A: jnp.ndarray, b: jnp.ndarray,
 # rows instead of all remaining rows: Σ ≈ 28k lane-FMAs vs 137k dense at
 # M=75 — ~5× less VPU work, same numerics (exact, not approximate).
 
-def _chol_solve_blocked_kernel(a_ref, b_ref, x_ref, w_ref, y_ref, z_ref,
-                               *, chunks, limbs, s_lo):
-    """Permuted block-arrow Cholesky solve. chunks: old-index ranges listed
-    in new order (the permutation, as contiguous block moves); limbs:
-    (lo, hi) dense diagonal blocks in NEW order; s_lo: start of the trailing
-    shared block (runs to M)."""
-    M = a_ref.shape[0]
-
-    # permute rows+cols in one pass: 2-D chunk moves old→new
+def _permute_matrix_in(w_ref, a_ref, chunks):
+    """2-D chunk moves old→new: w = P·a·Pᵀ for the block permutation."""
     roff = 0
     for rlo, rhi in chunks:
         coff = 0
@@ -135,12 +128,26 @@ def _chol_solve_blocked_kernel(a_ref, b_ref, x_ref, w_ref, y_ref, z_ref,
                 a_ref[rlo:rhi, clo:chi, :]
             coff += chi - clo
         roff += rhi - rlo
+
+
+def _permute_vec_in(y_ref, b_ref, chunks):
     off = 0
     for lo, hi in chunks:
         y_ref[off:off + hi - lo, :] = b_ref[lo:hi, :]
         off += hi - lo
 
-    # ---- factorization (lower triangle, static unroll) ----
+
+def _permute_vec_out(x_ref, z_ref, chunks):
+    off = 0
+    for lo, hi in chunks:
+        x_ref[lo:hi, :] = z_ref[off:off + hi - lo, :]
+        off += hi - lo
+
+
+def _factor_body(w_ref, limbs, s_lo):
+    """In-place block-arrow Cholesky of the permuted matrix in w_ref."""
+    M = w_ref.shape[0]
+
     def fcol(k, hi, couple):
         s = jnp.sqrt(jnp.maximum(w_ref[k, k, :], 1e-12))
         w_ref[k, k, :] = s
@@ -169,7 +176,10 @@ def _chol_solve_blocked_kernel(a_ref, b_ref, x_ref, w_ref, y_ref, z_ref,
     for k in range(s_lo, M):
         fcol(k, M, couple=False)
 
-    # ---- forward solve L y = b (column-oriented, y in place) ----
+
+def _triangular_solves(w_ref, y_ref, z_ref, limbs, s_lo):
+    """Forward (in y_ref) then backward (into z_ref) sparse solves."""
+    M = w_ref.shape[0]
     for lo, hi in limbs:
         for k in range(lo, hi):
             yk = y_ref[k, :] / w_ref[k, k, :]
@@ -186,7 +196,6 @@ def _chol_solve_blocked_kernel(a_ref, b_ref, x_ref, w_ref, y_ref, z_ref,
             y_ref[k + 1:M, :] = (y_ref[k + 1:M, :]
                                  - w_ref[k + 1:M, k, :] * yk[None, :])
 
-    # ---- backward solve Lᵀ x = y (row-oriented, shared block first) ----
     z_ref[M - 1, :] = y_ref[M - 1, :] / w_ref[M - 1, M - 1, :]
     for k in range(M - 2, s_lo - 1, -1):
         acc = jnp.sum(w_ref[k + 1:M, k, :] * z_ref[k + 1:M, :], axis=0)
@@ -199,11 +208,35 @@ def _chol_solve_blocked_kernel(a_ref, b_ref, x_ref, w_ref, y_ref, z_ref,
                                     * z_ref[k + 1:hi, :], axis=0)
             z_ref[k, :] = (y_ref[k, :] - acc) / w_ref[k, k, :]
 
-    # inverse permutation back to the caller's DoF order
-    off = 0
-    for lo, hi in chunks:
-        x_ref[lo:hi, :] = z_ref[off:off + hi - lo, :]
-        off += hi - lo
+
+def _chol_solve_blocked_kernel(a_ref, b_ref, x_ref, w_ref, y_ref, z_ref,
+                               *, chunks, limbs, s_lo):
+    """Permuted block-arrow Cholesky solve (fused factor+solve). chunks:
+    old-index ranges listed in new order (the permutation, as contiguous
+    block moves); limbs: (lo, hi) dense diagonal blocks in NEW order; s_lo:
+    start of the trailing shared block (runs to M)."""
+    _permute_matrix_in(w_ref, a_ref, chunks)
+    _permute_vec_in(y_ref, b_ref, chunks)
+    _factor_body(w_ref, limbs, s_lo)
+    _triangular_solves(w_ref, y_ref, z_ref, limbs, s_lo)
+    _permute_vec_out(x_ref, z_ref, chunks)
+
+
+def _chol_factor_blocked_kernel(a_ref, l_ref, w_ref, *, chunks, limbs, s_lo):
+    """Factor only: writes L in PERMUTED order (consumed by the resolve
+    kernel, which permutes rhs/solution itself — L never round-trips the
+    permutation)."""
+    _permute_matrix_in(w_ref, a_ref, chunks)
+    _factor_body(w_ref, limbs, s_lo)
+    l_ref[:] = w_ref[:]
+
+
+def _chol_resolve_blocked_kernel(l_ref, b_ref, x_ref, y_ref, z_ref,
+                                 *, chunks, limbs, s_lo):
+    """Solve with a precomputed permuted factor (two triangular solves)."""
+    _permute_vec_in(y_ref, b_ref, chunks)
+    _triangular_solves(l_ref, y_ref, z_ref, limbs, s_lo)
+    _permute_vec_out(x_ref, z_ref, chunks)
 
 
 @functools.partial(jax.jit,
@@ -248,6 +281,75 @@ def cholesky_solve_blocked_t(At: jnp.ndarray, bt: jnp.ndarray,
         ],
         interpret=interpret,
     )(At, bt)
+    return x[:, :N]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunks", "limbs", "s_lo", "interpret"))
+def cholesky_factor_blocked_t(At: jnp.ndarray, chunks, limbs, s_lo: int,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Factor A (M, M, N) → permuted-order L (M, M, N). Same block-arrow
+    requirements as cholesky_solve_blocked_t. Pair with
+    cholesky_resolve_blocked_t to amortize one factorization over several
+    solves (TGS-style frozen-LHS substeps)."""
+    M = At.shape[0]
+    N = At.shape[-1]
+    pad = (-N) % LANES
+    if pad:
+        At = jnp.pad(At, ((0, 0), (0, 0), (0, pad)))
+    Nf = At.shape[-1]
+    kernel = functools.partial(_chol_factor_blocked_kernel,
+                               chunks=tuple(chunks), limbs=tuple(limbs),
+                               s_lo=s_lo)
+    L = pl.pallas_call(
+        kernel,
+        grid=(Nf // LANES,),
+        in_specs=[pl.BlockSpec((M, M, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((M, M, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, M, Nf), At.dtype),
+        scratch_shapes=[pltpu.VMEM((M, M, LANES), At.dtype)],
+        interpret=interpret,
+    )(At)
+    return L[:, :, :N]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunks", "limbs", "s_lo", "interpret"))
+def cholesky_resolve_blocked_t(L: jnp.ndarray, bt: jnp.ndarray,
+                               chunks, limbs, s_lo: int,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Solve with a precomputed permuted factor from
+    cholesky_factor_blocked_t: L (M, M, N), b (M, N) → x (M, N)."""
+    M = L.shape[0]
+    N = L.shape[-1]
+    pad = (-N) % LANES
+    if pad:
+        L = jnp.pad(L, ((0, 0), (0, 0), (0, pad)))
+        bt = jnp.pad(bt, ((0, 0), (0, pad)))
+    Nf = L.shape[-1]
+    kernel = functools.partial(_chol_resolve_blocked_kernel,
+                               chunks=tuple(chunks), limbs=tuple(limbs),
+                               s_lo=s_lo)
+    x = pl.pallas_call(
+        kernel,
+        grid=(Nf // LANES,),
+        in_specs=[
+            pl.BlockSpec((M, M, LANES), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, Nf), L.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((M, LANES), L.dtype),
+            pltpu.VMEM((M, LANES), L.dtype),
+        ],
+        interpret=interpret,
+    )(L, bt)
     return x[:, :N]
 
 

@@ -391,18 +391,27 @@ def _assemble_lhs_rhs(model: Model, Jv4, W4, u, diag, wn, wt, Jn, Jc, dt_Q):
     # solver wants envs on lanes, and producing that layout here avoids a
     # pathological (N,75,75)↔(75,75,N) relayout (~1.6 ms/substep at 4096).
     # Concatenating the row blocks first would copy ~560 MB/step of operands.
+    return (_assemble_lhs(model, Jv4, W4, diag, wn, wt, Jn, Jc),
+            _assemble_rhs(model, Jv4, W4, u, dt_Q))
+
+
+def _assemble_lhs(model: Model, Jv4, W4, diag, wn, wt, Jn, Jc):
+    p = model.params
     At = jnp.einsum("nkic,nkid->cdn", p.mass[..., None, None] * Jv4, Jv4)
     At = At + jnp.einsum("nkic,nkid->cdn", W4, W4)
     At = At + jnp.einsum("nkic,nkid->cdn", wt[..., None, None] * Jc, Jc)
     At = At + jnp.einsum("nci,ncj->ijn", (wn - wt)[..., None] * Jn, Jn)
-    At = At + jnp.eye(NU, dtype=At.dtype)[:, :, None] * diag.T[:, None, :]
+    return At + jnp.eye(NU, dtype=At.dtype)[:, :, None] * diag.T[:, None, :]
 
-    # rhs = M·u + dt·Q via matvecs (no dense M), also env-last (c, n)
+
+def _assemble_rhs(model: Model, Jv4, W4, u, dt_Q):
+    """rhs = M·u + dt·Q via matvecs (no dense M), env-last (c, n)."""
+    p = model.params
     v1 = jnp.einsum("nkic,nc->nki", Jv4, u)
     Mu = jnp.einsum("nkic,nki->cn", Jv4, p.mass[..., None] * v1)
     v2 = jnp.einsum("nkic,nc->nki", W4, u)
     Mu = Mu + jnp.einsum("nkic,nki->cn", W4, v2)
-    return At, Mu + dt_Q.T
+    return Mu + dt_Q.T
 
 
 # ---------------------------------------------------------------------------
@@ -527,11 +536,141 @@ def step(
 def _step(model, terrain, state, pd_target, cfg, tree):
     target_q = quat.exp_map_to_quat(pd_target)
 
+    if cfg.tgs_step and cfg.n_substeps > 1:
+        return _tgs_step(model, terrain, state, target_q, cfg, tree)
+
     def substep(st, _):
         return _implicit_substep(model, terrain, st, target_q, cfg, tree), None
 
     state, _ = jax.lax.scan(substep, state, None, length=cfg.n_substeps)
     return state
+
+
+def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
+              cfg: EngineConfig, tree) -> PhysicsState:
+    """One control step reusing the step-start Cholesky factorization.
+
+    All geometry stays FRESH per substep (Jacobians, contact points/set,
+    penetrations, friction weights, the full RHS) — freezing those proved
+    to inject contact energy at a 1/30 s step, twice the staleness PhysX
+    tolerates at its 1/60 s step. Only the LHS factorization is reused:
+    the implicit system matrix changes O(‖u‖·dt) between substeps (mass
+    matrix through body poses, contact weights through penetrations), so
+    solving substep 2 with the substep-1 factor perturbs only the IMPLICIT
+    damping/stiffness weighting, not the force balance — a stale SPD
+    preconditioner applied as a direct solve, the same spirit as PhysX TGS
+    reusing its contact preconditioning across positional iterations
+    (reference budget pacer.yaml:94-99). Saves one full assembly +
+    factorization per control step."""
+    from .pallas_linalg import (backend_supports_pallas,
+                                cholesky_factor_blocked_t,
+                                cholesky_resolve_blocked_t)
+    dt = cfg.substep_dt
+    use_pallas = backend_supports_pallas()
+    gvec = jnp.array([0.0, 0.0, cfg.gravity])
+
+    def substep(carry, _):
+        st, L = carry
+        (Jv4, W4, Jc, Jn, nrm, active, d_t, k_n, d_n, pen_f, diag,
+         wn, wt) = _contact_and_jacobians(model, terrain, st, cfg)
+        Q = _gravity_bias_spring(model, st.body_x, st.body_q, st.body_v,
+                                 st.body_w, st.u, Jv4, target_q, gvec)
+        Q = Q + jnp.einsum("nc,ncj->nj", active * k_n * pen_f, Jn)
+        rhs_t = _assemble_rhs(model, Jv4, W4, st.u, dt * Q)
+
+        if L is None:
+            At = _assemble_lhs(model, Jv4, W4, diag, wn, wt, Jn, Jc)
+            At = At + 1e-8 * jnp.eye(NU)[:, :, None]
+            if use_pallas:
+                L = cholesky_factor_blocked_t(At, _ARROW_CHUNKS,
+                                              _ARROW_LIMBS, _ARROW_S)
+            else:
+                L = jnp.linalg.cholesky(jnp.moveaxis(At, -1, 0))
+        if use_pallas:
+            u_new = cholesky_resolve_blocked_t(
+                L, rhs_t, _ARROW_CHUNKS, _ARROW_LIMBS, _ARROW_S).T
+        else:
+            u_new = jax.scipy.linalg.cho_solve((L, True), rhs_t.T)
+
+        u_new = _velocity_clamp(u_new, cfg)
+        contact_force = _readback_contact(Jc, nrm, active, d_t, k_n, pen_f,
+                                          dt, d_n, u_new)
+        st = _integrate_pose(model, st, u_new, dt, tree, contact_force)
+        return (st, L), None
+
+    # first substep assembles + factors; the scan over the remaining
+    # substeps carries L and only rebuilds the RHS side
+    (state, L), _ = substep((state, None), None)
+    if cfg.n_substeps > 1:
+        (state, _), _ = jax.lax.scan(substep, (state, L), None,
+                                     length=cfg.n_substeps - 1)
+    return state
+
+
+def _contact_and_jacobians(model: Model, terrain, st: PhysicsState,
+                           cfg: EngineConfig):
+    """Fresh per-substep geometry: body/contact Jacobians, contact set,
+    penetrations, friction weights, implicit diagonal."""
+    p = model.params
+    N = st.num_envs
+    dt = cfg.substep_dt
+    x, q, u = st.body_x, st.body_q, st.u
+
+    piv_j = x[:, 1:] + quat.rotate(q[:, 1:], model.anchor_c[:, 1:])
+    pivots_x = jnp.concatenate([x[:, 0:1], piv_j], axis=1)
+    Jv4, W4, term2 = _build_jacobians(model, x, q, pivots_x)
+
+    diag_joint = dt * p.kd + dt * dt * p.kp
+    diag = jnp.concatenate([
+        jnp.full((N, 3), dt * cfg.linear_damping),
+        jnp.full((N, 3), dt * cfg.angular_damping),
+        jnp.repeat(diag_joint, 3, axis=-1),
+    ], axis=-1)
+
+    pts = _contact_points(model, x, q)
+    radius = p.capsule_radius[:, _CONTACT_BODY]
+    h, nrm = height_and_normal_at(terrain, pts[..., :2])
+    pen = (h + radius - pts[..., 2]) * nrm[..., 2]
+    active = (pen > 0.0).astype(x.dtype)
+    Jc = _contact_jacobians(pts, term2)
+    vpt = jnp.einsum("ncij,nj->nci", Jc, u)
+    vn = jnp.sum(vpt * nrm, axis=-1)
+    vt = vpt - nrm * vn[..., None]
+    vt_mag = jnp.linalg.norm(vt, axis=-1)
+
+    k_n = cfg.contact_stiffness
+    d_n = cfg.contact_damping
+    pen_f = jnp.minimum(pen, cfg.max_depenetration)
+    mu = jnp.where(vt_mag < cfg.friction_vel_ref,
+                   cfg.static_friction, cfg.dynamic_friction)
+    mu = mu * p.friction_scale[:, None]
+    d_t = mu * (k_n * pen_f) / (vt_mag + cfg.friction_vel_ref)
+    d_t = jnp.minimum(d_t, cfg.max_friction_damping)
+
+    Jn = jnp.einsum("nci,ncij->ncj", nrm, Jc)
+    # LHS rows activate SPECULATIVELY (PhysX speculative contacts): a
+    # contact that can engage within the control step gets its implicit
+    # stiffness/damping row now, so when the factorization is reused across
+    # substeps a mid-step touchdown is still solved implicitly — without
+    # this, the 240 kN/m spring of a fresh contact acts explicitly for one
+    # substep and kicks the body (measured: |u| doubling on foot plant).
+    # The RHS spring force stays gated by TRUE penetration (no adhesion).
+    reach = (-cfg.control_dt * jnp.minimum(vn, 0.0)
+             + 0.5 * abs(cfg.gravity) * cfg.control_dt ** 2)
+    pen_pred = pen + reach
+    active_lhs = (pen_pred > 0.0).astype(x.dtype)
+    wn = active_lhs * dt * (dt * k_n + d_n)
+    # friction weight from the PREDICTED end-of-step penetration: a foot
+    # about to land gets its implicit friction row now, so the reused
+    # factorization resolves tangential velocity at touchdown (with wt from
+    # the true current pen — zero pre-touch — the stale LHS lets landing
+    # feet slide for a substep and velocities double)
+    d_t_lhs = mu * (k_n * jnp.clip(pen_pred, 0.0, cfg.max_depenetration)) \
+        / (vt_mag + cfg.friction_vel_ref)
+    d_t_lhs = jnp.minimum(d_t_lhs, cfg.max_friction_damping)
+    wt = active_lhs * dt * d_t_lhs
+    return (Jv4, W4, Jc, Jn, nrm, active, d_t, k_n, d_n,
+            active * pen_f, diag, wn, wt)
 
 
 def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
@@ -624,35 +763,53 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
         L = jnp.linalg.cholesky(A)
         u_new = jax.scipy.linalg.cho_solve((L, True), rhs_t.T)
 
-    # ---- velocity clamps (PhysX maxLinearVelocity/maxAngularVelocity):
-    # keep the explicit quadratic velocity terms bounded for the next substep
+    u_new = _velocity_clamp(u_new, cfg)
+    contact_force = _readback_contact(Jc, nrm, active, d_t, k_n, pen_f, dt,
+                                      d_n, u_new)
+    return _integrate_pose(model, state, u_new, dt, tree, contact_force)
+
+
+def _velocity_clamp(u_new, cfg: EngineConfig):
+    """Velocity clamps (PhysX maxLinearVelocity/maxAngularVelocity): keep
+    the explicit quadratic velocity terms bounded for the next substep."""
+    N = u_new.shape[0]
+
     def _norm_clamp(v, cap):
         n = jnp.linalg.norm(v, axis=-1, keepdims=True)
         return v * (jnp.minimum(n, cap) / jnp.maximum(n, 1e-9))
 
-    u_new = jnp.concatenate([
+    return jnp.concatenate([
         _norm_clamp(u_new[:, 0:3], cfg.max_linear_velocity),
         _norm_clamp(u_new[:, 3:6], cfg.max_angular_velocity),
         _norm_clamp(u_new[:, 6:].reshape(N, NJ, 3),
                     cfg.max_angular_velocity).reshape(N, -1),
     ], axis=-1)
 
-    # ---- contact force readback (for resets/diagnostics) ----
+
+def _readback_contact(Jc, nrm, active, d_t, k_n, pen_f, dt, d_n, u_new):
+    """Contact force readback (for resets/diagnostics). Deliberate
+    readback/dynamics asymmetry: the linear implicit solve can transiently
+    apply an adhesive ("glue") normal force on fast separation; PhysX
+    contacts are unilateral, so we report the clamped force the reference
+    would (keeps contact-force terminations from firing on penalty-model
+    artifacts)."""
     vpt_new = jnp.einsum("ncij,nj->nci", Jc, u_new)
     vn_new = jnp.sum(vpt_new * nrm, axis=-1)
     f_n = active * (k_n * pen_f - (dt * k_n + d_n) * vn_new)
-    # Deliberate readback/dynamics asymmetry: the linear implicit solve can
-    # transiently apply an adhesive ("glue") normal force on fast separation;
-    # PhysX contacts are unilateral, so we report the clamped force the
-    # reference would (keeps contact-force terminations from firing on
-    # penalty-model artifacts).
     f_n = jnp.maximum(f_n, 0.0)
     vt_new = vpt_new - nrm * vn_new[..., None]
     f_t = -d_t[..., None] * vt_new * active[..., None]
-    f_c = f_n[..., None] * nrm + f_t                     # (N,48,3)
-    contact_force = jnp.einsum("cb,nci->nbi", jnp.asarray(_CONTACT_ONEHOT), f_c)
+    f_c = f_n[..., None] * nrm + f_t                     # (N,C,3)
+    return jnp.einsum("cb,nci->nbi", jnp.asarray(_CONTACT_ONEHOT), f_c)
 
-    # ---- integrate positions ----
+
+def _integrate_pose(model: Model, state: PhysicsState, u_new, dt, tree,
+                    contact_force):
+    """Integrate root/joint poses, enforce joint limits (position clamp +
+    velocity projection), refresh the body cache."""
+    p = model.params
+    N = u_new.shape[0]
+    q = state.body_q
     v_root = u_new[:, 0:3]
     w_root = u_new[:, 3:6]
     qd = u_new[:, 6:].reshape(N, NJ, 3)
@@ -665,14 +822,12 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     dq_local = quat.exp_map_to_quat(quat.rotate_inv(qp, qd) * dt)
     joint_rot = quat.normalize(quat.mul(dq_local, state.joint_rot))
 
-    # ---- joint limits: position clamp + velocity projection ----
     th = quat.to_exp_map(joint_rot)
     lim = p.joint_limit
     th_cl = jnp.clip(th, -lim, lim)
     hit = jnp.abs(th - th_cl) > 1e-7
     joint_rot = jnp.where(hit.any(-1, keepdims=True),
                           quat.exp_map_to_quat(th_cl), joint_rot)
-    # remove joint velocity along clamped axes (parent frame)
     qd_local = quat.rotate_inv(qp, qd)
     qd_local = jnp.where(hit, 0.0, qd_local)
     qd = quat.rotate(qp, qd_local)

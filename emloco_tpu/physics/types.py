@@ -47,6 +47,11 @@ class EngineConfig(struct.PyTreeNode):
     # sparsity — exact, ~5× fewer solver flops than the dense factorization;
     # disable to fall back to the dense Pallas kernel
     blocked_solver: bool = struct.field(pytree_node=False, default=True)
+    # TGS-style step: freeze Jacobians / contact set / LHS factorization at
+    # the step start and reuse across substeps, rebuilding only the RHS —
+    # the same once-per-step Jacobian approximation PhysX TGS makes
+    # (pacer.yaml:94-99). False = fully re-assembled implicit substeps.
+    tgs_step: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def substep_dt(self) -> float:

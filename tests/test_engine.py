@@ -301,3 +301,26 @@ def test_assembled_lhs_has_arrow_pattern():
     An = np.asarray(captured["At"])[perm[:, None], perm[None, :], :]
     scale = np.abs(An).max()
     assert np.abs(An[~mask_new]).max() <= 1e-5 * scale
+
+
+def test_tgs_step_matches_full_substeps():
+    """The step-frozen (TGS-style) path stays close to fully re-assembled
+    substeps over a short PD-driven rollout — the frozen Jacobians lag true
+    geometry by at most one substep, so trajectories diverge only slowly."""
+    from emloco_tpu.physics import step as phys_step
+
+    model, terrain = make_world(2)
+    st0 = rest_state(model)
+    target = jnp.zeros((2, 23, 3)).at[:, 0, 0].set(0.3).at[:, 4, 0].set(-0.4)
+    cfg_tgs = EngineConfig(n_substeps=2, tgs_step=True)
+    cfg_full = EngineConfig(n_substeps=2, tgs_step=False)
+    s_t, s_f = st0, st0
+    for _ in range(30):
+        s_t = phys_step(model, terrain, s_t, target, cfg_tgs, TREE)
+        s_f = phys_step(model, terrain, s_f, target, cfg_full, TREE)
+    # both finite, same qualitative pose (1 s of sim)
+    assert np.isfinite(np.asarray(s_t.body_x)).all()
+    dx = np.abs(np.asarray(s_t.body_x - s_f.body_x)).max()
+    assert dx < 0.05, f"TGS diverged from full substeps by {dx:.3f} m"
+    # still standing in both
+    assert np.asarray(s_t.root_pos[:, 2]).min() > 0.5
