@@ -548,63 +548,81 @@ def _step(model, terrain, state, pd_target, cfg, tree):
 
 def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
               cfg: EngineConfig, tree) -> PhysicsState:
-    """One control step reusing the step-start Cholesky factorization.
+    """One control step reusing the substep-1 Jacobians and factorization.
 
-    All geometry stays FRESH per substep (Jacobians, contact points/set,
-    penetrations, friction weights, the full RHS) — freezing those proved
-    to inject contact energy at a 1/30 s step, twice the staleness PhysX
-    tolerates at its 1/60 s step. Only the LHS factorization is reused:
-    the implicit system matrix changes O(‖u‖·dt) between substeps (mass
-    matrix through body poses, contact weights through penetrations), so
-    solving substep 2 with the substep-1 factor perturbs only the IMPLICIT
-    damping/stiffness weighting, not the force balance — a stale SPD
-    preconditioner applied as a direct solve, the same spirit as PhysX TGS
-    reusing its contact preconditioning across positional iterations
-    (reference budget pacer.yaml:94-99). Saves one full assembly +
-    factorization per control step."""
+    Substep 1 builds everything fresh; the remaining substeps keep the
+    FORCE-BALANCE inputs fresh — contact penetrations, spring/gravity/bias
+    magnitudes, Stable-PD error — while reusing the substep-1 projection
+    tensors (body/contact Jacobians, contact normals, friction
+    coefficients) and the Cholesky factor. The projections drift O(‖u‖·dt)
+    within a step, exactly the staleness PhysX TGS accepts by building
+    contact Jacobians once per step and iterating (reference budget
+    pacer.yaml:94-99). Two hard-won requirements (see the regression test):
+    fresh penetrations each substep (frozen ones inject energy at foot
+    plant), and SPECULATIVE LHS rows — a contact landing mid-step whose
+    friction/stiffness rows are absent from the reused factor is solved
+    explicitly for one substep and kicks the body, so rows activate from
+    predicted end-of-step penetration while RHS forces stay gated by true
+    penetration (no adhesion)."""
     from .pallas_linalg import (backend_supports_pallas,
                                 cholesky_factor_blocked_t,
                                 cholesky_resolve_blocked_t)
     dt = cfg.substep_dt
     use_pallas = backend_supports_pallas()
     gvec = jnp.array([0.0, 0.0, cfg.gravity])
+    k_n = cfg.contact_stiffness
+    d_n = cfg.contact_damping
 
-    def substep(carry, _):
-        st, L = carry
-        (Jv4, W4, Jc, Jn, nrm, active, d_t, k_n, d_n, pen_f, diag,
-         wn, wt) = _contact_and_jacobians(model, terrain, st, cfg)
-        Q = _gravity_bias_spring(model, st.body_x, st.body_q, st.body_v,
-                                 st.body_w, st.u, Jv4, target_q, gvec)
-        Q = Q + jnp.einsum("nc,ncj->nj", active * k_n * pen_f, Jn)
-        rhs_t = _assemble_rhs(model, Jv4, W4, st.u, dt * Q)
+    # ---- substep 1: full geometry build, assembly, factor, solve ----
+    st = state
+    (Jv4, W4, Jc, Jn, nrm, active, d_t, _, _, pen_f, diag, wn, wt,
+     h0, radius) = _contact_and_jacobians(model, terrain, st, cfg)
+    Q = _gravity_bias_spring(model, st.body_x, st.body_q, st.body_v,
+                             st.body_w, st.u, Jv4, target_q, gvec)
+    Q = Q + jnp.einsum("nc,ncj->nj", k_n * pen_f, Jn)
+    rhs_t = _assemble_rhs(model, Jv4, W4, st.u, dt * Q)
+    At = _assemble_lhs(model, Jv4, W4, diag, wn, wt, Jn, Jc)
+    At = At + 1e-8 * jnp.eye(NU)[:, :, None]
+    if use_pallas:
+        L = cholesky_factor_blocked_t(At, _ARROW_CHUNKS, _ARROW_LIMBS,
+                                      _ARROW_S)
 
-        if L is None:
-            At = _assemble_lhs(model, Jv4, W4, diag, wn, wt, Jn, Jc)
-            At = At + 1e-8 * jnp.eye(NU)[:, :, None]
-            if use_pallas:
-                L = cholesky_factor_blocked_t(At, _ARROW_CHUNKS,
-                                              _ARROW_LIMBS, _ARROW_S)
-            else:
-                L = jnp.linalg.cholesky(jnp.moveaxis(At, -1, 0))
-        if use_pallas:
-            u_new = cholesky_resolve_blocked_t(
-                L, rhs_t, _ARROW_CHUNKS, _ARROW_LIMBS, _ARROW_S).T
-        else:
-            u_new = jax.scipy.linalg.cho_solve((L, True), rhs_t.T)
+        def resolve(rhs):
+            return cholesky_resolve_blocked_t(
+                L, rhs, _ARROW_CHUNKS, _ARROW_LIMBS, _ARROW_S).T
+    else:
+        L = jnp.linalg.cholesky(jnp.moveaxis(At, -1, 0))
 
-        u_new = _velocity_clamp(u_new, cfg)
-        contact_force = _readback_contact(Jc, nrm, active, d_t, k_n, pen_f,
-                                          dt, d_n, u_new)
-        st = _integrate_pose(model, st, u_new, dt, tree, contact_force)
-        return (st, L), None
+        def resolve(rhs):
+            return jax.scipy.linalg.cho_solve((L, True), rhs.T)
 
-    # first substep assembles + factors; the scan over the remaining
-    # substeps carries L and only rebuilds the RHS side
-    (state, L), _ = substep((state, None), None)
+    u_new = _velocity_clamp(resolve(rhs_t), cfg)
+    contact_force = _readback_contact(Jc, nrm, active, d_t, k_n, pen_f,
+                                      dt, d_n, u_new)
+    st = _integrate_pose(model, st, u_new, dt, tree, contact_force)
+
+    # ---- remaining substeps: fresh penetrations / spring / bias, stale
+    # projections (Jacobians, contact normals/Jacobians, friction coeffs)
+    # and the reused factorization — the PhysX-per-step staleness envelope,
+    # at half the per-substep cost (no Jacobian rebuild, no assembly, no
+    # factorization) ----
+    def resolve_substep(st, _):
+        pts = _contact_points(model, st.body_x, st.body_q)
+        pen = (h0 + radius - pts[..., 2]) * nrm[..., 2]
+        act = (pen > 0.0).astype(pen.dtype)
+        pf = act * jnp.minimum(pen, cfg.max_depenetration)
+        Qs = _gravity_bias_spring(model, st.body_x, st.body_q, st.body_v,
+                                  st.body_w, st.u, Jv4, target_q, gvec)
+        Qs = Qs + jnp.einsum("nc,ncj->nj", k_n * pf, Jn)
+        rhs = _assemble_rhs(model, Jv4, W4, st.u, dt * Qs)
+        u2 = _velocity_clamp(resolve(rhs), cfg)
+        cf = _readback_contact(Jc, nrm, act, d_t, k_n, pf, dt, d_n, u2)
+        return _integrate_pose(model, st, u2, dt, tree, cf), None
+
     if cfg.n_substeps > 1:
-        (state, _), _ = jax.lax.scan(substep, (state, L), None,
-                                     length=cfg.n_substeps - 1)
-    return state
+        st, _ = jax.lax.scan(resolve_substep, st, None,
+                             length=cfg.n_substeps - 1)
+    return st
 
 
 def _contact_and_jacobians(model: Model, terrain, st: PhysicsState,
@@ -670,7 +688,7 @@ def _contact_and_jacobians(model: Model, terrain, st: PhysicsState,
     d_t_lhs = jnp.minimum(d_t_lhs, cfg.max_friction_damping)
     wt = active_lhs * dt * d_t_lhs
     return (Jv4, W4, Jc, Jn, nrm, active, d_t, k_n, d_n,
-            active * pen_f, diag, wn, wt)
+            active * pen_f, diag, wn, wt, h, radius)
 
 
 def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
