@@ -191,12 +191,32 @@ class EqMotionTrainer:
     def predict(self, params, past):
         return self.model.apply(params, past)
 
-    def evaluate(self, params, past, future):
+    def evaluate(self, params, past, future, vnet_params=None,
+                 threshold: float = 0.7):
+        """ADE/FDE over modes; with vnet_params also the LocoVal-filter
+        metrics (reference main_eth_diverse.py test-time filter, :189 —
+        score each mode with the frozen value net, keep modes ≥ threshold,
+        fall back to the argmax-value mode)."""
         pred = self.predict(params, past)[:, 0]          # (B,M,Tf,2)
-        pred = jnp.moveaxis(pred, 1, 2)                  # (B,Tf,M,2)
-        return {k: float(v) for k, v in
-                M.ade_fde(pred, future[:, 0]).items()
-                if not k.endswith("per_mode")}
+        pred_t = jnp.moveaxis(pred, 1, 2)                # (B,Tf,M,2)
+        out = {k: float(v) for k, v in
+               M.ade_fde(pred_t, future[:, 0]).items()
+               if not k.endswith("per_mode")}
+        if self.vnet is not None and vnet_params is not None:
+            cur = past[:, 0, -1:]
+            init_vel = (past[:, 0, -1] - past[:, 0, -2]) * 2.5
+            rel = pred - cur[:, None]
+            trajs = jnp.concatenate([jnp.zeros_like(rel[:, :, :1]), rel], 2)
+            B, Mm = trajs.shape[:2]
+            values = jnp.stack([
+                self.vnet.apply(vnet_params, trajs[:, m], None, init_vel)
+                for m in range(Mm)], -1)                 # (B,M)
+            keep = M.locoval_filter(pred_t, values, threshold)
+            err = jnp.linalg.norm(pred - future[:, 0:1], axis=-1).mean(-1)
+            big = jnp.where(keep, err, jnp.inf)
+            out["ade_filtered_min"] = float(big.min(-1).mean())
+            out["mean_value"] = float(values.mean())
+        return out
 
 
 def synthetic_eth_batch(key, batch=8, agents=4, past=8, future=12):

@@ -166,6 +166,14 @@ def test_eqmotion_with_locoval():
     ts, aux = trainer.train_step(ts, vp, past, future)
     assert np.isfinite(float(aux["value_loss"]))
     assert float(aux["value_loss"]) > 0
+    # test-time LocoVal filter metrics (reference main_eth_diverse.py:189)
+    out = trainer.evaluate(ts.params, past, future, vnet_params=vp,
+                           threshold=0.0)
+    assert "ade_filtered_min" in out and np.isfinite(out["ade_filtered_min"])
+    assert 0.0 <= out["mean_value"] <= 1.0
+    # threshold 0 keeps every mode → filtered-min == min over modes
+    np.testing.assert_allclose(out["ade_filtered_min"], out["ade_min"],
+                               rtol=1e-5)
 
 
 def test_limit_obs_sweep():
