@@ -64,6 +64,9 @@ class AMPConfig(struct.PyTreeNode):
     # amp_models.py:20-90): independent masks for agent/replay/demo batches
     amp_dropout: bool = struct.field(pytree_node=False, default=False)
     amp_dropout_rate: float = struct.field(pytree_node=False, default=0.3)
+    # bf16 hidden matmuls in actor/critic/disc (heads stay f32); the PPO
+    # update is the MXU-bound half of the epoch at scale
+    hidden_bf16: bool = struct.field(pytree_node=False, default=False)
     normalize_input: bool = struct.field(pytree_node=False, default=True)
     normalize_value: bool = struct.field(pytree_node=False, default=True)
     normalize_advantage: bool = struct.field(pytree_node=False, default=True)
@@ -101,6 +104,7 @@ class AMPAgent:
             task_obs_dim=env.task_obs_dim,
             # crowd pointnet over the trailing group obs when present
             people_obs_dim=5 * 11 * 3 if ecfg.group_obs else 0,
+            hidden_bf16=cfg.hidden_bf16,
         )
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_norm),

@@ -29,8 +29,9 @@ def _symmetric_uniform(scale: float):
     return init
 
 
-def _make_mlp(units: Sequence[int], name: str):
-    return [nn.Dense(u, name=f"{name}_{i}") for i, u in enumerate(units)]
+def _make_mlp(units: Sequence[int], name: str, dtype=jnp.float32):
+    return [nn.Dense(u, name=f"{name}_{i}", dtype=dtype)
+            for i, u in enumerate(units)]
 
 
 def _run_mlp(layers, x):
@@ -57,6 +58,15 @@ class AMPSeptValueNet(nn.Module):
     people_obs_dim: int = 0
     pointnet_topk: int = 5
     pointnet_emb: int = 64
+    # mixed precision: hidden MLP matmuls in bf16 (params stay f32, flax
+    # dtype= casts activations; MXU runs bf16 at 2× f32 rate and operand
+    # traffic halves). Heads (μ, σ, value, disc/value logits) stay f32 —
+    # PPO ratios exp(logπ−logπ_old) and disc logits are precision-sensitive.
+    hidden_bf16: bool = False
+
+    @property
+    def _hidden_dtype(self):
+        return jnp.bfloat16 if self.hidden_bf16 else jnp.float32
 
     def setup(self):
         # explicit dtype: a weak-typed param would strengthen after the first
@@ -65,16 +75,17 @@ class AMPSeptValueNet(nn.Module):
             "log_sigma", lambda k, s: jnp.full(s, self.sigma_init,
                                                jnp.float32),
             (self.num_actions,))
-        self.task_mlp = _make_mlp(self.task_units, "task_mlp")
+        dt = self._hidden_dtype
+        self.task_mlp = _make_mlp(self.task_units, "task_mlp", dt)
         if self.people_obs_dim:
             self.point_net = [
-                nn.Dense(32, name="point_net_0"),
-                nn.Dense(64, name="point_net_1"),
-                nn.Dense(self.pointnet_emb, name="point_net_2"),
+                nn.Dense(32, name="point_net_0", dtype=dt),
+                nn.Dense(64, name="point_net_1", dtype=dt),
+                nn.Dense(self.pointnet_emb, name="point_net_2", dtype=dt),
             ]
-        self.actor_mlp = _make_mlp(self.mlp_units, "actor_mlp")
-        self.critic_mlp = _make_mlp(self.mlp_units, "critic_mlp")
-        self.disc_mlp = _make_mlp(self.disc_units, "disc_mlp")
+        self.actor_mlp = _make_mlp(self.mlp_units, "actor_mlp", dt)
+        self.critic_mlp = _make_mlp(self.mlp_units, "critic_mlp", dt)
+        self.disc_mlp = _make_mlp(self.disc_units, "disc_mlp", dt)
         self.task_value_mlp = _make_mlp(self.value_units, "task_value_mlp")
         self.mu = nn.Dense(self.num_actions, name="mu",
                            kernel_init=nn.initializers.variance_scaling(
@@ -118,9 +129,9 @@ class AMPSeptValueNet(nn.Module):
 
     def actor(self, obs):
         self_obs, task_obs = self._split(obs)
-        emb = self.task_embed(task_obs)
+        emb = self.task_embed(task_obs).astype(self._hidden_dtype)
         h = _run_mlp(self.actor_mlp, jnp.concatenate([self_obs, emb], -1))
-        mu = self.mu(h)
+        mu = self.mu(h.astype(jnp.float32))
         sigma = jnp.exp(self.log_sigma) * jnp.ones_like(mu)
         return mu, sigma
 
@@ -128,11 +139,11 @@ class AMPSeptValueNet(nn.Module):
         self_obs, task_obs = self._split(obs)
         emb = self.task_embed(task_obs)
         h = _run_mlp(self.critic_mlp, jnp.concatenate([self_obs, emb], -1))
-        return self.value(h)[..., 0]
+        return self.value(h.astype(jnp.float32))[..., 0]
 
     def disc(self, amp_obs):
         h = _run_mlp(self.disc_mlp, amp_obs)
-        return self.disc_logits(h)[..., 0]
+        return self.disc_logits(h.astype(jnp.float32))[..., 0]
 
     def task_value(self, obs):
         """LocoVal head over the traj part of the task obs

