@@ -23,3 +23,26 @@ import jax  # noqa: E402
 # the env var — force it back to cpu before any backend is initialized.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+import pytest  # noqa: E402
+
+_last_module = [None]
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_between_modules(request):
+    """Free compiled executables when crossing test modules.
+
+    The suite compiles hundreds of XLA CPU programs in one process; past
+    ~85 tests the accumulated compiler state segfaults inside
+    backend_compile_and_load (observed twice at the same point). Dropping
+    caches at module boundaries keeps the process well under that ceiling
+    at the cost of a few intra-module recompiles.
+    """
+    mod = request.module.__name__
+    if _last_module[0] is not None and _last_module[0] != mod:
+        import jax
+        jax.clear_caches()
+    _last_module[0] = mod
+    yield
