@@ -455,20 +455,32 @@ class PedestrianTerrainEnv:
         parts = [self_obs, loc.reshape(-1, 2 * S)]
         off = 2 * S
         if cfg.terrain_obs:
-            # y-mirror of the sensor footprint as an index permutation
-            # (exact for all three y-symmetric grid shapes)
+            # y-mirror of the sensor footprint. For the square grid the
+            # mirror is a minor-axis reversal (free relayout); the fov
+            # shapes need the index permutation (exact — grids are
+            # y-symmetric by construction)
             P = cfg.num_sensor_points
-            perm = self.sensor_flip_perm
+            res = cfg.sensor_res
+            square = cfg.sensor_shape == "square"
             if cfg.velocity_map:
-                # 3 channels [h, vx, vy] in the heading frame: permute the
+                # 3 channels [h, vx, vy] in the heading frame: mirror the
                 # grid points and negate the lateral velocity channel
                 n_hm = 3 * P
                 hm = task[:, off:off + n_hm].reshape(-1, P, 3)
-                hm = hm[:, perm].at[..., 2].multiply(-1.0)
-                parts.append(hm.reshape(-1, n_hm))
+                if square:
+                    hm = hm.reshape(-1, res, res, 3)[:, :, ::-1] \
+                           .reshape(-1, P, 3)
+                else:
+                    hm = hm[:, self.sensor_flip_perm]
+                parts.append(hm.at[..., 2].multiply(-1.0).reshape(-1, n_hm))
             else:
                 n_hm = P
-                parts.append(task[:, off:off + n_hm][:, perm])
+                hm = task[:, off:off + n_hm]
+                if square:
+                    hm = hm.reshape(-1, res, res)[:, :, ::-1].reshape(-1, P)
+                else:
+                    hm = hm[:, self.sensor_flip_perm]
+                parts.append(hm)
             off += n_hm
         if cfg.group_obs:
             # relative positions/velocities of nearby people in the heading
