@@ -136,22 +136,38 @@ class PredictorTrainer:
 
     # ------------------------------------------------------------------
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def _fit_epoch(self, ts, obs_s, mask_s, gt_s):
+        """One epoch as a lax.scan over stacked batches (K, B, …) — ONE
+        dispatch + ONE host sync per epoch. The reference's DataLoader loop
+        (train_jta.py:224-384) — and our previous fit — paid a dispatch AND
+        a blocking loss read per batch; over a remote-TPU link that is
+        seconds of latency per epoch."""
+        def body(ts, b):
+            ts, aux = self.train_step(ts, *b)
+            return ts, aux["traj_loss"]
+
+        ts, losses = jax.lax.scan(body, ts, (obs_s, mask_s, gt_s))
+        return ts, losses.mean()
+
     def fit(self, ts, dataset, epochs: int, batches_per_epoch: int,
             batch_size: int, log_every: int = 10, eval_dataset=None,
             mesh=None):
-        """Host-side epoch loop (reference train_jta.py main loop :224-384).
+        """Epoch loop (reference train_jta.py main loop :224-384); each
+        epoch's batches are stacked and scanned in one compiled call.
 
-        With `mesh`, batches shard along axis 0 over the device mesh — the
-        TPU-native replacement for the reference's torch DataParallel
-        (train_jta.py:392); XLA inserts the gradient allreduce."""
+        With `mesh`, batches shard along their batch axis over the device
+        mesh — the TPU-native replacement for the reference's torch
+        DataParallel (train_jta.py:392); XLA inserts the gradient
+        allreduce."""
         import contextlib
 
-        place = lambda b: b                                 # noqa: E731
+        place = lambda b: jnp.asarray(b)                    # noqa: E731
         ctx = contextlib.nullcontext()
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             axis = mesh.axis_names[0]
-            sh = NamedSharding(mesh, P(axis))
+            sh = NamedSharding(mesh, P(None, axis))         # (K, B, …)
             place = lambda b: jax.device_put(jnp.asarray(b), sh)  # noqa: E731
             ctx = mesh
             ts = jax.device_put(ts, NamedSharding(mesh, P()))
@@ -159,14 +175,13 @@ class PredictorTrainer:
         best_ade = float("inf")
         best_params = ts.params
         for ep in range(epochs):
-            losses = []
-            for obs, mask, gt in dataset.batches(batch_size,
-                                                 batches_per_epoch):
-                with ctx:
-                    ts, aux = self.train_step(ts, place(obs), place(mask),
-                                              place(gt))
-                losses.append(float(aux["traj_loss"]))
-            entry = dict(epoch=ep, traj_loss=float(np.mean(losses)))
+            bs = list(dataset.batches(batch_size, batches_per_epoch))
+            obs_s = place(np.stack([b[0] for b in bs]))
+            mask_s = place(np.stack([b[1] for b in bs]))
+            gt_s = place(np.stack([b[2] for b in bs]))
+            with ctx:
+                ts, mean_loss = self._fit_epoch(ts, obs_s, mask_s, gt_s)
+            entry = dict(epoch=ep, traj_loss=float(mean_loss))
             if eval_dataset is not None:
                 evals = self.evaluate(ts.params, eval_dataset, batch_size,
                                       max(1, batches_per_epoch // 4))

@@ -301,3 +301,19 @@ def test_eqmotion_h36m_domain():
         ts, aux = trainer.train_step(ts, None, p, f)
         losses.append(float(aux["wta"]))
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_fit_scanned_epochs():
+    """fit() scans each epoch's stacked batches in ONE compiled call (one
+    dispatch + one sync per epoch instead of per batch — this is what makes
+    predictor training viable over a remote-TPU link)."""
+    ds = data_mod.SyntheticScenes(num_people=2, seed=0)
+    eval_ds = data_mod.SyntheticScenes(num_people=2, seed=1)
+    trainer = PredictorTrainer(TINY, PredictTrainConfig(lr=1e-3))
+    ts = trainer.init(jax.random.PRNGKey(0), ds.batch(4))
+    ts, history, best = trainer.fit(ts, ds, epochs=3, batches_per_epoch=4,
+                                    batch_size=4, eval_dataset=eval_ds)
+    assert len(history) == 3
+    assert all(np.isfinite(h["traj_loss"]) for h in history)
+    assert "ade_min" in history[0]
+    assert int(ts.step) == 12
