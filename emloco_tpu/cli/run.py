@@ -21,6 +21,16 @@ import time
 import jax
 import numpy as np
 
+# Persistent compilation cache: big programs (the full predictor train step)
+# can take tens of minutes to compile; cache compiled executables across
+# process invocations so retries / later pipeline phases don't pay again.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/emloco_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:  # older jax without the knobs — harmless
+    pass
+
 
 def _build_world(cfg):
     import jax.numpy as jnp
