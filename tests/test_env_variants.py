@@ -1,0 +1,84 @@
+"""Getup and hand-task env variants — reference
+humanoid_pedestrain_terrain_getup.py:21-204 and
+humanoid_pedestrain_terrain_hand.py:28-149."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emloco_tpu.envs import traj_gen
+from emloco_tpu.envs.getup import GetupEnvConfig, PedestrianTerrainGetupEnv
+from emloco_tpu.envs.hand_task import PedestrianTerrainHandEnv
+from emloco_tpu.envs.pedestrian_terrain import EnvConfig
+from emloco_tpu.kinematics import motion_lib as ml
+from emloco_tpu.physics import flat_terrain
+
+
+def _world():
+    terrain = flat_terrain(extent=20.0, cell=0.1)
+    lib = ml.synthetic_walk_motions(speeds=(1.0,), duration=1.5)
+    return terrain, lib
+
+
+def test_getup_env_fall_bank_and_recovery():
+    terrain, lib = _world()
+    cfg = GetupEnvConfig(num_envs=4, sensor_res=8, episode_length=24,
+                         num_amp_obs_steps=3, fall_init_prob=1.0,
+                         recovery_episode_prob=1.0, recovery_steps=10,
+                         fall_gen_steps=30)
+    env = PedestrianTerrainGetupEnv(cfg, terrain, lib)
+    # fall bank: settled, finite, NOT upright (random orientations dropped)
+    bank_z = np.asarray(env.fall_bank.root_pos[:, 2])
+    assert np.isfinite(np.asarray(env.fall_bank.body_x)).all()
+    assert bank_z.max() < 0.85  # below standing pelvis height (~0.92)
+
+    st = env.reset(jax.random.PRNGKey(0))
+    assert st.recovery_counter.shape == (4,)
+    # force all envs to truncate this step: resets must draw fall states +
+    # start recovery episodes
+    st = st.replace(progress=jnp.full((4,), cfg.episode_length - 1,
+                                      jnp.int32))
+    st2, out = env.step(st, jnp.zeros((4, env.cfg.num_actions)))
+    assert np.asarray(out.done).all()
+    assert np.asarray(st2.recovery_counter).max() >= cfg.recovery_steps - 1
+    assert np.isfinite(np.asarray(out.obs)).all()
+    # during recovery the early-termination gate is off
+    for _ in range(3):
+        st2, out = env.step(st2, jnp.zeros((4, env.cfg.num_actions)))
+        assert not np.asarray(out.terminated).any()
+
+
+def test_getup_schedule_curriculum():
+    terrain, lib = _world()
+    cfg = GetupEnvConfig(num_envs=2, sensor_res=8, num_amp_obs_steps=3,
+                         fall_gen_steps=20)
+    env = PedestrianTerrainGetupEnv(cfg, terrain, lib)
+    env.update_getup_schedule(epoch=0)
+    assert env._fall_init_prob == 1.0            # early: always fall-init
+    env.update_getup_schedule(epoch=10_000)
+    assert env._fall_init_prob == cfg.fall_init_prob
+
+
+def test_hand_env_obs_and_reward():
+    terrain, lib = _world()
+    cfg = EnvConfig(num_envs=4, sensor_res=8, episode_length=24,
+                    num_amp_obs_steps=3)
+    env = PedestrianTerrainHandEnv(cfg, terrain, lib)
+    assert env.task_obs_dim == cfg.task_obs_dim + 2
+    st = env.reset(jax.random.PRNGKey(0))
+    assert st.hand_targets.shape == (4, 2)
+    o = env.observe(st)
+    assert o.shape == (4, env.obs_dim)
+    # targets sit right after the location obs slice
+    S = cfg.num_traj_samples
+    got = np.asarray(o[:, cfg.self_obs_dim + 2 * S:
+                       cfg.self_obs_dim + 2 * S + 2])
+    np.testing.assert_allclose(got, np.asarray(st.hand_targets), atol=1e-5)
+    st2, out = env.step(st, jnp.zeros((4, env.cfg.num_actions)))
+    assert out.reward_raw.shape == (4, 2)        # [loc_r, hand_r]
+    r = np.asarray(out.reward)
+    lr = np.asarray(out.reward_raw[:, 0])
+    hr = np.asarray(out.reward_raw[:, 1])
+    np.testing.assert_allclose(r, 0.6 * lr + 0.4 * hr, atol=1e-5)
+    # targets persist within an episode, resample on done
+    assert np.allclose(np.asarray(st2.hand_targets),
+                       np.asarray(st.hand_targets))
