@@ -5,11 +5,20 @@ Baseline context (BASELINE.md): the north star is ≥1M env-steps/s on a v5p-8
 (8 chips) ⇒ 125k steps/s/chip; vs_baseline = steps_per_sec / 125_000.
 """
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compilation cache — shields the bench from slow remote compiles
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/emloco_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
 
 
 def main():
