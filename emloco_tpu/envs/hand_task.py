@@ -50,6 +50,10 @@ class PedestrianTerrainHandEnv(PedestrianTerrainEnv):
         return jnp.concatenate(
             [base[:, :2 * S], state.hand_targets, base[:, 2 * S:]], -1)
 
+    def _flip_task_extra(self, extra):
+        # mirrored body swaps left/right hand targets
+        return extra[:, ::-1]
+
     def _auto_reset(self, state, done):
         new_state = super()._auto_reset(state, done)
         k = jax.random.fold_in(new_state.rng, 78)

@@ -386,6 +386,62 @@ def flip_body_state(body_pos, body_rot, body_vel, body_ang_vel):
     return bp, br, bv, bav
 
 
+def build_self_obs_flip(self_dim: int):
+    """Static (index, sign) realizing the left/right mirror of the self
+    observation IN FEATURE SPACE. The mirror commutes with the heading-local
+    projection (M·Rz(−ψ)=Rz(ψ)·M), so the flipped state's observation is a
+    signed permutation of the unflipped one: body L↔R permutation plus
+    per-component signs — positions/velocities negate y; tan-norm columns
+    pick up (x,−y,z)/(−x,y,−z); angular velocity is a pseudovector and
+    negates x,z; betas unchanged; limb-weight groups swap L/R. Lets the
+    symmetry loss reuse the rollout's computed obs instead of running a
+    second full sensor/obs pass per step (measured 0.55 s/epoch at 1600
+    envs)."""
+    B = bm.NUM_BODIES
+    mi = MIRROR_BODY
+    idx = np.arange(self_dim)
+    sign = np.ones(self_dim, np.float32)
+    o = 1                                             # root_h slot unchanged
+    # local body pos, bodies 1..23, (x,y,z) → mirror body, −y
+    for b in range(1, B):
+        src = o + (mi[b] - 1) * 3
+        dst = o + (b - 1) * 3
+        idx[dst:dst + 3] = np.arange(src, src + 3)
+        sign[dst + 1] = -1.0
+    o += (B - 1) * 3
+    # rot tan-norm, bodies 0..23, col1 (x,−y,z) col2 (−x,y,−z)
+    for b in range(B):
+        src = o + mi[b] * 6
+        dst = o + b * 6
+        idx[dst:dst + 6] = np.arange(src, src + 6)
+        sign[dst:dst + 6] = [1, -1, 1, -1, 1, -1]
+    o += B * 6
+    # body vel: mirror body, −y
+    for b in range(B):
+        src = o + mi[b] * 3
+        dst = o + b * 3
+        idx[dst:dst + 3] = np.arange(src, src + 3)
+        sign[dst + 1] = -1.0
+    o += B * 3
+    # body ang vel (pseudovector): mirror body, −x −z
+    for b in range(B):
+        src = o + mi[b] * 3
+        dst = o + b * 3
+        idx[dst:dst + 3] = np.arange(src, src + 3)
+        sign[dst] = -1.0
+        sign[dst + 2] = -1.0
+    o += B * 3
+    if self_dim > o:                                  # betas (11) unchanged
+        o += 11
+    if self_dim > o:                                  # limb weights: L↔R
+        gperm = np.array([1, 0, 2, 4, 3])
+        idx[o:o + 5] = o + gperm
+        idx[o + 5:o + 10] = o + 5 + gperm
+        o += 10
+    assert o == self_dim, (o, self_dim)
+    return idx, sign
+
+
 def flip_actions(actions):
     """Mirror exp-map actions (reference left_to_right_index_action)."""
     a = actions.reshape(actions.shape[0], bm.NUM_JOINTS, 3)

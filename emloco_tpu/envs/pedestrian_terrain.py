@@ -188,6 +188,10 @@ class PedestrianTerrainEnv:
         # the symmetry loss (exact for all three y-symmetric shapes)
         self.sensor_flip_perm = jnp.asarray(
             obs.grid_flip_perm(self.sensor_grid))
+        # feature-space self-obs mirror (signed permutation)
+        fidx, fsign = obs.build_self_obs_flip(cfg.self_obs_dim)
+        self._flip_self_idx = jnp.asarray(fidx)
+        self._flip_self_sign = jnp.asarray(fsign)
         # PD action mapping (reference _build_pd_action_offset_scale,
         # humanoid.py:950-1025: symmetric ±1.2·max|limit| clamped to π;
         # knee y-scale widened to 5)
@@ -439,10 +443,12 @@ class PedestrianTerrainEnv:
         return jnp.concatenate([o[:, :base], loc, o[:, base + S:]], -1)
 
     def observe_flipped(self, state: EnvState):
-        """Left/right mirrored observation for the motion-symmetry loss
+        """Left/right mirrored observation, computed from the state
         (reference _compute_flip_humanoid_obs humanoid.py:1066-1108 and
-        _compute_flip_task_obs humanoid_pedestrain_terrain.py:455-490)."""
-        cfg = self.cfg
+        _compute_flip_task_obs humanoid_pedestrain_terrain.py:455-490).
+        The training hot path uses observe_flipped_from instead — a pure
+        feature-space signed permutation of the already-computed obs; this
+        state-based version is its oracle (tests pin their equality)."""
         physics = state.physics
         pos, rot, vel, ang = body_frame_state(self.model, physics)
         fp, fr, fv, fa = obs.flip_body_state(pos, rot, vel, ang)
@@ -450,10 +456,35 @@ class PedestrianTerrainEnv:
                                         betas=self.params.betas,
                                         limb_weights=self.limb_weights)
         task = self._task_obs(state)
+        return jnp.concatenate([self_obs] + self._flip_task_parts(task), -1)
+
+    def observe_flipped_from(self, obs_full):
+        """Mirror a COMPUTED observation in feature space: the mirror
+        commutes with the heading-local projection, so the flipped self obs
+        is a static signed permutation (observations.build_self_obs_flip)
+        and the task obs mirrors feature-level — no second sensor/obs pass
+        (that pass measured 0.55 s/epoch at 1600 envs)."""
+        sd = self.cfg.self_obs_dim
+        self_obs = obs_full[:, :sd][:, self._flip_self_idx] \
+            * self._flip_self_sign
+        task = obs_full[:, sd:sd + self.task_obs_dim]
+        return jnp.concatenate([self_obs] + self._flip_task_parts(task), -1)
+
+    def _flip_task_extra(self, extra):
+        """Hook: mirror the variant-specific task-obs insert (hand targets
+        swap L/R; default pass-through)."""
+        return extra
+
+    def _flip_task_parts(self, task):
+        cfg = self.cfg
         S = cfg.num_traj_samples
         loc = task[:, :2 * S].reshape(-1, S, 2).at[..., 1].multiply(-1.0)
-        parts = [self_obs, loc.reshape(-1, 2 * S)]
+        parts = [loc.reshape(-1, 2 * S)]
         off = 2 * S
+        if self._task_extra_dim:
+            parts.append(self._flip_task_extra(
+                task[:, off:off + self._task_extra_dim]))
+            off += self._task_extra_dim
         if cfg.terrain_obs:
             # y-mirror of the sensor footprint. For the square grid the
             # mirror is a minor-axis reversal (free relayout); the fov
@@ -488,7 +519,7 @@ class PedestrianTerrainEnv:
             grp = task[:, off:].reshape(task.shape[0], 5, 11, 3)
             grp = grp.at[..., 1].multiply(-1.0)
             parts.append(grp.reshape(task.shape[0], -1))
-        return jnp.concatenate(parts, -1)
+        return parts
 
     # ------------------------------------------------------------------
     # step

@@ -156,3 +156,44 @@ def test_terrain_curriculum_grades_difficulty():
     tile = 40
     rough = [np.std(h[10 + i * tile:10 + (i + 1) * tile]) for i in range(4)]
     assert rough[-1] > rough[0]  # last row is harder than the first
+
+
+def test_feature_space_flip_matches_state_flip():
+    """observe_flipped_from (static signed permutation of the computed obs)
+    must equal the state-based mirror exactly — across plain, velocity-map,
+    group, and fov-sensor configurations, on states with real motion."""
+    import jax as _jax
+    for kw in (dict(), dict(velocity_map=True),
+               dict(group_obs=True, group_size=4),
+               dict(sensor_shape="fov")):
+        env = _make_env(**kw)
+        st = env.reset(_jax.random.PRNGKey(7))
+        key = _jax.random.PRNGKey(8)
+        for _ in range(3):   # build up velocities / heading changes
+            key, k = _jax.random.split(key)
+            a = _jax.random.uniform(k, (4, env.cfg.num_actions),
+                                    minval=-0.4, maxval=0.4)
+            st, out = env.step(st, a)
+        ref = np.asarray(env.observe_flipped(st))
+        fast = np.asarray(env.observe_flipped_from(env.observe(st)))
+        np.testing.assert_allclose(fast, ref, atol=2e-4,
+                                   err_msg=str(kw))
+
+
+def test_feature_space_flip_hand_targets_swap():
+    from emloco_tpu.envs.hand_task import PedestrianTerrainHandEnv
+    from emloco_tpu.envs.pedestrian_terrain import EnvConfig as EC
+    from emloco_tpu.kinematics import motion_lib as ml2
+    from emloco_tpu.physics import flat_terrain as ft
+    cfg = EC(num_envs=2, sensor_res=8, num_amp_obs_steps=3)
+    env = PedestrianTerrainHandEnv(cfg, ft(20.0),
+                                   ml2.synthetic_walk_motions(speeds=(1.0,),
+                                                              duration=1.5))
+    st = env.reset(jax.random.PRNGKey(0))
+    o = env.observe(st)
+    f = np.asarray(env.observe_flipped_from(o))
+    S = cfg.num_traj_samples
+    base = cfg.self_obs_dim + 2 * S
+    np.testing.assert_allclose(f[:, base:base + 2],
+                               np.asarray(st.hand_targets)[:, ::-1],
+                               atol=1e-5)
