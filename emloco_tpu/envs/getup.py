@@ -36,6 +36,11 @@ class GetupEnvConfig(EnvConfig):
 
 class GetupEnvState(EnvState):
     recovery_counter: jnp.ndarray = None   # (N,) int32
+    # curriculum probabilities live IN the traced state: the env object is a
+    # static jit argument, so host-float attributes would be baked into the
+    # first-compiled executable and later schedule updates silently ignored
+    fall_init_prob: jnp.ndarray = None          # () f32
+    recovery_episode_prob: jnp.ndarray = None   # () f32
 
 
 class PedestrianTerrainGetupEnv(PedestrianTerrainEnv):
@@ -44,17 +49,20 @@ class PedestrianTerrainGetupEnv(PedestrianTerrainEnv):
     def __init__(self, cfg: GetupEnvConfig, terrain, motion_lib, **kw):
         super().__init__(cfg, terrain, motion_lib, **kw)
         self.fall_bank = self._generate_fall_states(jax.random.PRNGKey(1234))
-        # curriculum state (host-side; mirrors update_getup_schedule)
-        self._fall_init_prob = cfg.fall_init_prob
-        self._recovery_episode_prob = cfg.recovery_episode_prob
 
-    def update_getup_schedule(self, epoch: int, update_epoch: int = 5000):
-        if epoch > update_epoch:
-            self._fall_init_prob = self.cfg.fall_init_prob
-            self._recovery_episode_prob = self.cfg.recovery_episode_prob
-        else:
-            self._fall_init_prob = 1.0
-            self._recovery_episode_prob = 0.0
+    def update_getup_schedule(self, state: "GetupEnvState", epoch: int,
+                              update_epoch: int = 5000) -> "GetupEnvState":
+        """Curriculum: always fall-init until update_epoch, then the target
+        probabilities (reference update_getup_schedule,
+        humanoid_pedestrain_terrain_getup.py:50-56). Returns a new state —
+        the probabilities are jnp scalars consumed by the compiled step, so
+        the update takes effect without retracing."""
+        early = epoch <= update_epoch
+        return state.replace(
+            fall_init_prob=jnp.float32(
+                1.0 if early else self.cfg.fall_init_prob),
+            recovery_episode_prob=jnp.float32(
+                0.0 if early else self.cfg.recovery_episode_prob))
 
     def _generate_fall_states(self, key):
         """Drop randomly-oriented humanoids and let them settle."""
@@ -87,6 +95,8 @@ class PedestrianTerrainGetupEnv(PedestrianTerrainEnv):
         return GetupEnvState(
             **{f: getattr(base, f) for f in base.__dataclass_fields__},
             recovery_counter=jnp.zeros((n,), jnp.int32),
+            fall_init_prob=jnp.float32(self.cfg.fall_init_prob),
+            recovery_episode_prob=jnp.float32(self.cfg.recovery_episode_prob),
         )
 
     def _auto_reset(self, state, done):
@@ -96,7 +106,7 @@ class PedestrianTerrainGetupEnv(PedestrianTerrainEnv):
         new_state = super()._auto_reset(state.replace(rng=key), done)
 
         # swap a fraction of resets to fall-bank states
-        use_fall = (jax.random.uniform(k_fall, (n,)) < self._fall_init_prob) \
+        use_fall = (jax.random.uniform(k_fall, (n,)) < state.fall_init_prob) \
             & done
         fall_physics = jax.tree.map(lambda a: a, self.fall_bank)
 
@@ -110,7 +120,7 @@ class PedestrianTerrainGetupEnv(PedestrianTerrainEnv):
         # on (fall or recovery) resets and decays each step
         # (_update_recovery_count, reference :176-204).
         recov = (jax.random.uniform(k_rec, (n,))
-                 < self._recovery_episode_prob) & done
+                 < state.recovery_episode_prob) & done
         counter = jnp.maximum(state.recovery_counter - 1, 0)
         counter = jnp.where((use_fall | recov) & done,
                             jnp.int32(cfg.recovery_steps), counter)

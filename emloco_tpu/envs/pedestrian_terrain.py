@@ -255,7 +255,7 @@ class PedestrianTerrainEnv:
             # re-rolls centers on every reset call, so per-env resets drift
             # groups apart over time exactly like this does)
             G = min(self.cfg.group_size, n)
-            ng = max(n // G, 1)
+            ng = -(-n // G)  # ceil: ng*G >= n so the [:n] slice is exact
             k1, k2 = jax.random.split(key)
             centers = table[jax.random.randint(k1, (ng,), 0, table.shape[0])]
             H, W = self.terrain.shape

@@ -47,15 +47,39 @@ def test_getup_env_fall_bank_and_recovery():
         assert not np.asarray(out.terminated).any()
 
 
-def test_getup_schedule_curriculum():
+def test_getup_schedule_curriculum_compiled():
+    """The curriculum must take effect in COMPILED execution: the probs are
+    jnp scalars in GetupEnvState, not host attributes baked in at trace time
+    (round-1 regression: same env object -> jit cache hit -> first-compile
+    constants forever)."""
     terrain, lib = _world()
-    cfg = GetupEnvConfig(num_envs=2, sensor_res=8, num_amp_obs_steps=3,
-                         fall_gen_steps=20)
+    n = 16
+    cfg = GetupEnvConfig(num_envs=n, sensor_res=8, episode_length=24,
+                         num_amp_obs_steps=3, fall_init_prob=0.5,
+                         recovery_episode_prob=0.2, fall_gen_steps=20)
     env = PedestrianTerrainGetupEnv(cfg, terrain, lib)
-    env.update_getup_schedule(epoch=0)
-    assert env._fall_init_prob == 1.0            # early: always fall-init
-    env.update_getup_schedule(epoch=10_000)
-    assert env._fall_init_prob == cfg.fall_init_prob
+    st = env.reset(jax.random.PRNGKey(0))
+    # schedule scalars: early epochs force fall-init, late ones use cfg
+    early = env.update_getup_schedule(st, epoch=0)
+    assert float(early.fall_init_prob) == 1.0
+    late = env.update_getup_schedule(st, epoch=10_000)
+    assert float(late.fall_init_prob) == cfg.fall_init_prob
+
+    # ONE compiled reset fn; flipping the schedule between calls must change
+    # the fall-init fraction without retracing
+    reset_all = jax.jit(lambda s: env._auto_reset(s, jnp.ones((n,), bool)))
+    bank_z = np.asarray(env.fall_bank.root_pos[:, 2])
+
+    on = reset_all(st.replace(fall_init_prob=jnp.float32(1.0)))
+    off = reset_all(st.replace(fall_init_prob=jnp.float32(0.0)))
+    np.testing.assert_allclose(np.asarray(on.physics.root_pos[:, 2]), bank_z,
+                               atol=1e-5)      # every env drew the fall bank
+    assert not np.allclose(np.asarray(off.physics.root_pos[:, 2]), bank_z)
+    # fall-inits start recovery episodes; prob-0 resets don't
+    assert np.asarray(on.recovery_counter).min() >= cfg.recovery_steps - 1
+    off2 = reset_all(st.replace(fall_init_prob=jnp.float32(0.0),
+                                recovery_episode_prob=jnp.float32(0.0)))
+    assert np.asarray(off2.recovery_counter).max() == 0
 
 
 def test_hand_env_obs_and_reward():

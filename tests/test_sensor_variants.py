@@ -148,6 +148,24 @@ def test_group_spawn_clustering():
     assert np.abs(xy - xy.mean(0)).max() <= 2 * 2.0 + 1e-3
 
 
+def test_group_spawn_nondivisible_env_count():
+    """num_envs not divisible by group_size must still yield exactly n spawn
+    rows (round-1 regression: floor-divide produced ng*G < n and a concat
+    shape error downstream)."""
+    cfg = EnvConfig(num_envs=12, group_obs=True, group_size=8,
+                    group_spawn_spread=2.0)
+    terrain = flat_terrain(extent=30.0, cell=0.1)
+    lib = ml.synthetic_walk_motions(speeds=(1.0,))
+    env = PedestrianTerrainEnv(cfg, terrain, lib,
+                               real_traj_bank=traj_gen.synthetic_real_bank(
+                                   num_paths=8))
+    xy = env._sample_spawn(jax.random.PRNGKey(0), 12)
+    assert xy.shape == (12, 2)
+    st = env.reset(jax.random.PRNGKey(1))
+    assert st.physics.root_pos.shape[0] == 12
+    assert np.isfinite(np.asarray(xy)).all()
+
+
 def test_terrain_curriculum_grades_difficulty():
     from emloco_tpu.physics import generate_mixed_terrain
     hf = generate_mixed_terrain(map_length=4.0, num_tiles=4, cell=0.1,
