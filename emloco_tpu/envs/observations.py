@@ -409,12 +409,14 @@ def build_self_obs_flip(self_dim: int):
         idx[dst:dst + 3] = np.arange(src, src + 3)
         sign[dst + 1] = -1.0
     o += (B - 1) * 3
-    # rot tan-norm, bodies 0..23, col1 (x,−y,z) col2 (−x,y,−z)
+    # rot tan-norm, bodies 0..23: the mirrored rotation is M·R·M with
+    # M = diag(1,−1,1), and M fixes both tan-norm reference axes
+    # (M·x̂ = x̂, M·ẑ = ẑ), so BOTH columns transform as M·v = (x,−y,z)
     for b in range(B):
         src = o + mi[b] * 6
         dst = o + b * 6
         idx[dst:dst + 6] = np.arange(src, src + 6)
-        sign[dst:dst + 6] = [1, -1, 1, -1, 1, -1]
+        sign[dst:dst + 6] = [1, -1, 1, 1, -1, 1]
     o += B * 6
     # body vel: mirror body, −y
     for b in range(B):
