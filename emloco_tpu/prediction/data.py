@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Iterator, Optional
+from typing import Iterator, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +33,24 @@ FPS = 2.5
 OBS_FRAMES = 9
 PRED_FRAMES = 12
 TOTAL = OBS_FRAMES + PRED_FRAMES
+NDJSON_POSE_JOINTS = 22   # JTA exports carry 22 pose joints (x0..x21)
+
+
+class SceneBatch(NamedTuple):
+    """One prediction batch.
+
+    The LocoVal inputs ride along because the reference extracts the init
+    pose from the RAW (pre-normalization) joints (train_jta.py:264-266) —
+    after reference normalization the pose tokens are deltas against the
+    last observed frame, so frame 8 is identically zero and the pose can no
+    longer be read back out of `obs`.
+    """
+
+    obs: jnp.ndarray           # (B, in_F, N, J, 4) normalized tokens
+    padding_mask: jnp.ndarray  # (B, N) True = person present
+    gt_future: jnp.ndarray     # (B, out_F, 2) primary agent, normalized
+    init_pose: jnp.ndarray     # (B, 24, 3) RAW primary pose @ last obs frame
+    init_vel: jnp.ndarray      # (B, 2) (x₈−x₇)·2.5
 
 
 def build_tokens(traj, pose3d=None, box3d=None, box2d=None, pose2d=None,
@@ -58,30 +76,37 @@ def build_tokens(traj, pose3d=None, box3d=None, box2d=None, pose2d=None,
 
 
 def normalize_scene(tokens, obs_frames=OBS_FRAMES):
-    """Translate so the primary agent's last observed position is the origin
-    (reference batch_process_coords, dataset_jta.py:38-45). Poses are
-    root-relative already; only trajectories/boxes shift."""
-    origin = tokens[:, obs_frames - 1:obs_frames, 0:1, 0:1, :2].copy()
+    """Reference-exact batch_process_coords normalization
+    (dataset_jta.py:38-45): the trajectory token of EVERY person shifts by
+    the PRIMARY agent's last observed position; box tokens (1:3) and both
+    pose blocks (3:) each shift by their OWN value at the last observed
+    frame (so cue tokens enter the model as deltas, and world/screen offsets
+    cancel on real data)."""
+    ref = tokens[:, obs_frames - 1:obs_frames].copy()    # (B,1,N,J,4)
     out = tokens.copy()
-    out[..., 0, :2] -= origin[..., 0, :2]
-    out[..., 1, :2] -= origin[..., 0, :2]  # 3d box center xy
-    return out, origin[:, 0, 0, 0]
+    out[..., 0, :2] -= ref[:, :, 0:1, 0, :2]             # primary origin
+    out[:, :, :, 1:3] -= ref[:, :, :, 1:3]               # boxes: own last obs
+    out[:, :, :, 3:] -= ref[:, :, :, 3:]                 # poses: own last obs
+    return out, ref[:, 0, 0, 0, :2]
 
 
-def extract_locoval_inputs(tokens, gt_future):
-    """Inputs for the EmLoco loss (reference train_jta.py:264-308):
-    init pose = 3d pose joints at the last obs frame with z-flip; init vel =
-    (x₈ − x₇)·2.5; pred traj gets the origin prepended.
+def extract_locoval_inputs(raw_tokens, num_3dpose: int = 24):
+    """Inputs for the EmLoco loss (reference train_jta.py:264-273): init
+    pose = RAW 3d pose joints of the primary at the last observed frame
+    (the reference reads `joints` BEFORE batch_process_coords normalizes;
+    the z-flip happens at consumption, train_jta.py:266); init vel =
+    (x₈ − x₇)·2.5 — a difference, so raw and normalized agree.
 
-    tokens (B,F,N,J,4) normalized; returns (init_pose (B,24,3),
+    raw_tokens (B,F,N,J,4) un-normalized; returns (init_pose (B,24,3) raw,
     init_vel (B,2))."""
-    pose = tokens[:, OBS_FRAMES - 1, 0, 3:3 + 24, :3]
-    # z-flip (reference flips the z axis of exported poses, train_jta.py:266)
-    pose = pose * np.array([1.0, 1.0, -1.0], np.float32)
-    x8 = tokens[:, OBS_FRAMES - 1, 0, 0, :2]
-    x7 = tokens[:, OBS_FRAMES - 2, 0, 0, :2]
+    pose = raw_tokens[:, OBS_FRAMES - 1, 0, 3:3 + num_3dpose, :3]
+    if num_3dpose < 24:
+        pad = np.zeros(pose.shape[:-2] + (24 - num_3dpose, 3), pose.dtype)
+        pose = np.concatenate([pose, pad], axis=-2)
+    x8 = raw_tokens[:, OBS_FRAMES - 1, 0, 0, :2]
+    x7 = raw_tokens[:, OBS_FRAMES - 2, 0, 0, :2]
     init_vel = (x8 - x7) * FPS
-    return pose, init_vel
+    return pose.astype(np.float32), init_vel.astype(np.float32)
 
 
 def prepend_origin(pred_traj):
@@ -109,7 +134,8 @@ class SyntheticScenes:
         self.num_2dpose = num_2dpose
 
     def _person(self, T):
-        """One pedestrian: smooth random-walk traj + gait-phase 3d pose."""
+        """One pedestrian: smooth random-walk traj + gait-phase 3d pose.
+        Returns (xy (T,2), pose (T,24,3), heading (T,))."""
         rng = self.rng
         speed = rng.uniform(0.5, 2.0)
         heading0 = rng.uniform(-np.pi, np.pi)
@@ -135,32 +161,56 @@ class SyntheticScenes:
         R = np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], -2)
         pose_xy = np.einsum("tij,tkj->tki", R, pose[..., :2])
         pose = np.concatenate([pose_xy, pose[..., 2:]], -1)
-        return xy.astype(np.float32), pose.astype(np.float32)
+        return xy.astype(np.float32), pose.astype(np.float32), \
+            heading.astype(np.float32)
 
-    def batch(self, batch_size):
+    def scene(self):
+        """One (T, N, …) multi-person scene in the export's modality layout:
+        3dbb = (h, w, l, rot_z) and 2dbb = (left, top, width, height)
+        (reference paths_to_xy entries 4..11, reader.py:215-219)."""
+        N, T = self.num_people, TOTAL
+        traj = np.zeros((T, N, 2), np.float32)
+        pose3 = np.zeros((T, N, self.num_3dpose, 3), np.float32)
+        box3 = np.zeros((T, N, 4), np.float32)
+        box2 = np.zeros((T, N, 4), np.float32)
+        pose2 = np.zeros((T, N, self.num_2dpose, 2), np.float32)
+        for n in range(N):
+            xy, pose, heading = self._person(T)
+            traj[:, n] = xy
+            pose3[:, n] = pose[:, :self.num_3dpose]
+            box3[:, n] = np.stack(
+                [np.full(T, 1.8, np.float32), np.full(T, 0.6, np.float32),
+                 np.full(T, 0.5, np.float32), heading], -1)
+            px = pose[:, :self.num_2dpose, :2] * 50 + 500
+            box2[:, n] = np.concatenate(
+                [px.min(1), px.max(1) - px.min(1)], -1)
+            pose2[:, n] = px
+        return dict(traj=traj, pose3d=pose3, box3d=box3, box2d=box2,
+                    pose2d=pose2)
+
+    def batch(self, batch_size) -> SceneBatch:
         B, N, T = batch_size, self.num_people, TOTAL
         traj = np.zeros((B, T, N, 2), np.float32)
         pose3 = np.zeros((B, T, N, self.num_3dpose, 3), np.float32)
         box3 = np.zeros((B, T, N, 4), np.float32)
+        box2 = np.zeros((B, T, N, 4), np.float32)
         pose2 = np.zeros((B, T, N, self.num_2dpose, 2), np.float32)
         for b in range(B):
-            for n in range(N):
-                xy, pose = self._person(T)
-                traj[b, :, n] = xy
-                pose3[b, :, n] = pose[:, :self.num_3dpose]
-                box3[b, :, n, :2] = xy
-                box3[b, :, n, 2] = 0.6
-                box3[b, :, n, 3] = 1.8
-                pose2[b, :, n] = pose[:, :self.num_2dpose, :2] * 50 + 500
-        tokens = build_tokens(traj, pose3d=pose3, box3d=box3, pose2d=pose2,
-                              num_3dpose=self.num_3dpose,
+            s = self.scene()
+            traj[b], pose3[b], box3[b] = s["traj"], s["pose3d"], s["box3d"]
+            box2[b], pose2[b] = s["box2d"], s["pose2d"]
+        tokens = build_tokens(traj, pose3d=pose3, box3d=box3, box2d=box2,
+                              pose2d=pose2, num_3dpose=self.num_3dpose,
                               num_2dpose=self.num_2dpose)
+        init_pose, init_vel = extract_locoval_inputs(
+            tokens, num_3dpose=min(self.num_3dpose, 24))
         tokens, origin = normalize_scene(tokens)
         padding_mask = np.ones((B, N), bool)
         obs = tokens[:, :OBS_FRAMES]
         gt_future = tokens[:, OBS_FRAMES:, 0, 0, :2]
-        return (jnp.asarray(obs), jnp.asarray(padding_mask),
-                jnp.asarray(gt_future))
+        return SceneBatch(jnp.asarray(obs), jnp.asarray(padding_mask),
+                          jnp.asarray(gt_future), jnp.asarray(init_pose),
+                          jnp.asarray(init_vel))
 
     def batches(self, batch_size, num_batches) -> Iterator:
         for _ in range(num_batches):
@@ -209,6 +259,120 @@ def read_ndjson_scenes(path: str, max_scenes: Optional[int] = None):
     return scenes
 
 
+_POSE_KEYS_3D = [[f"x{j}", f"y{j}", f"z{j}"] for j in range(NDJSON_POSE_JOINTS)]
+_POSE_KEYS_2D = [[f"xx{j}", f"yy{j}"] for j in range(NDJSON_POSE_JOINTS)]
+_BOX3_KEYS = ["h", "w", "l", "rot_z"]
+_BOX2_KEYS = ["bb_left", "bb_top", "bb_width", "bb_height"]
+
+
+def read_ndjson_scenes_all_cues(path: str, max_scenes: Optional[int] = None):
+    """All-visual-cues trajnet++ reader (reference
+    Reader_jta_all_visual_cues, reader.py:144-266, and Reader_jrdb_2dbox,
+    :10-143): 'track' rows carry x/y plus, when exported, the 3D box
+    (h,w,l,rot_z), 2D box (bb_left/top/width/height), 22 3D pose joints
+    (x0..z21) and 22 2D pose joints (xx0..yy21). Rows missing a cue leave
+    its slots NaN (the reference's paths_to_xy blank).
+
+    Returns a list of per-scene dicts {traj (T,N,2), box3d (T,N,4),
+    box2d (T,N,4), pose3d (T,N,22,3), pose2d (T,N,22,2)} with the primary
+    pedestrian at index 0 and NaN where a person/cue is absent.
+    """
+    tracks = {}
+    scene_rows = []
+    with open(path) as f:
+        for line in f:
+            row = json.loads(line)
+            if "track" in row:
+                t = row["track"]
+                rec = tracks.setdefault(t["p"], {})
+                rec[t["f"]] = t
+            elif "scene" in row:
+                scene_rows.append(row["scene"])
+
+    def cue(t, keys):
+        return [t.get(k, np.nan) for k in keys]
+
+    scenes = []
+    for s in scene_rows:
+        if max_scenes is not None and len(scenes) >= max_scenes:
+            break
+        frames = list(range(s["s"], s["e"] + 1))
+        primary = s["p"]
+        if any(f not in tracks.get(primary, {}) for f in frames):
+            continue
+        peds = [primary] + sorted(
+            p for p in tracks if p != primary
+            and any(f in tracks[p] for f in frames))
+        T, N = len(frames), len(peds)
+        out = dict(
+            traj=np.full((T, N, 2), np.nan, np.float32),
+            box3d=np.full((T, N, 4), np.nan, np.float32),
+            box2d=np.full((T, N, 4), np.nan, np.float32),
+            pose3d=np.full((T, N, NDJSON_POSE_JOINTS, 3), np.nan, np.float32),
+            pose2d=np.full((T, N, NDJSON_POSE_JOINTS, 2), np.nan, np.float32),
+        )
+        for j, p in enumerate(peds):
+            rec = tracks[p]
+            for i, f in enumerate(frames):
+                t = rec.get(f)
+                if t is None:
+                    continue
+                out["traj"][i, j] = (t["x"], t["y"])
+                out["box3d"][i, j] = cue(t, _BOX3_KEYS)
+                out["box2d"][i, j] = cue(t, _BOX2_KEYS)
+                out["pose3d"][i, j] = [cue(t, ks) for ks in _POSE_KEYS_3D]
+                out["pose2d"][i, j] = [cue(t, ks) for ks in _POSE_KEYS_2D]
+        scenes.append(out)
+    return scenes
+
+
+def write_ndjson_all_cues(path: str, scenes):
+    """Inverse of read_ndjson_scenes_all_cues — emit the reference's ndjson
+    schema (SceneRow / TrackRow_all_jta field names, trajnetplusplustools/
+    data.py:2-7). `scenes` is a list of dicts as produced by
+    SyntheticScenes.scene() or the reader; person 0 is the primary. Used by
+    the format converter and the committed test fixture."""
+    ped_base = 0
+    frame_base = 0   # scenes occupy disjoint frame windows, like the
+    sid = 0          # reference exports (one video = one growing frame axis)
+    r = lambda v: round(float(v), 4)  # noqa: E731
+    with open(path, "w") as f:
+        for sc in scenes:
+            T, N = sc["traj"].shape[:2]
+            f.write(json.dumps({"scene": {
+                "id": sid, "p": ped_base, "s": frame_base,
+                "e": frame_base + T - 1, "fps": FPS}}) + "\n")
+            for j in range(N):
+                for i in range(T):
+                    if np.isnan(sc["traj"][i, j, 0]):
+                        continue
+                    t = {"f": frame_base + i, "p": ped_base + j,
+                         "x": r(sc["traj"][i, j, 0]),
+                         "y": r(sc["traj"][i, j, 1])}
+                    if "box3d" in sc and not np.isnan(
+                            sc["box3d"][i, j]).all():
+                        t.update({k: r(v) for k, v in
+                                  zip(_BOX3_KEYS, sc["box3d"][i, j])})
+                    if "box2d" in sc and not np.isnan(
+                            sc["box2d"][i, j]).all():
+                        t.update({k: r(v) for k, v in
+                                  zip(_BOX2_KEYS, sc["box2d"][i, j])})
+                    if "pose3d" in sc and not np.isnan(
+                            sc["pose3d"][i, j]).all():
+                        for jj, ks in enumerate(_POSE_KEYS_3D):
+                            t.update({k: r(v) for k, v in
+                                      zip(ks, sc["pose3d"][i, j, jj])})
+                    if "pose2d" in sc and not np.isnan(
+                            sc["pose2d"][i, j]).all():
+                        for jj, ks in enumerate(_POSE_KEYS_2D):
+                            t.update({k: r(v) for k, v in
+                                      zip(ks, sc["pose2d"][i, j, jj])})
+                    f.write(json.dumps({"track": t}) + "\n")
+            ped_base += N
+            frame_base += T
+            sid += 1
+
+
 class NdjsonScenes:
     """Real-data dataset over trajnet++-style ndjson exports (JTA/JRDB).
 
@@ -216,20 +380,32 @@ class NdjsonScenes:
     collate_batch :11-25 pad-to-max-people + drop_ped_with_missing_frame /
     drop_distant_far, utils/data.py:34-100): scenes are windowed to
     OBS+PRED frames, neighbours beyond `max_radius` of the primary agent are
-    dropped, people are padded to a fixed count with a padding mask. 2-D-only
-    exports have no pose/box cues — those token slots stay zero (the model's
-    modality masking treats zeros as absent, like the trajectory-only
-    reference configs)."""
+    dropped, people are padded to a fixed count with a padding mask. All
+    visual cues present in the export (3D/2D boxes, 3D/2D pose) are parsed
+    into their token slots; 2-D-only exports leave those slots zero (the
+    model's modality masking treats zeros as absent, like the
+    trajectory-only reference configs). The 22 exported pose joints fill the
+    first 22 of the model's 24 3D-pose token slots — the reference's live
+    path maps JTA pose onto 24 SMPL joints in an external, uncommitted
+    preprocessing step (dataset_jta.py loads `preprocess_smpl` pkls that no
+    script in the repo produces)."""
 
     def __init__(self, path: str, max_people: int = 8, max_radius: float = 6.0,
-                 seed: int = 0, max_scenes: Optional[int] = None):
-        raw = read_ndjson_scenes(path, max_scenes=max_scenes)
+                 seed: int = 0, max_scenes: Optional[int] = None,
+                 num_3dpose: int = 24, num_2dpose: int = 22):
+        raw = read_ndjson_scenes_all_cues(path, max_scenes=max_scenes)
+        self.num_3dpose = num_3dpose
+        self.num_2dpose = num_2dpose
         self.windows = []
-        for arr in raw:                                   # (T, N, 2)
+        for sc in raw:
+            arr = sc["traj"]                              # (T, N, 2)
             for s in range(0, len(arr) - TOTAL + 1, TOTAL):
                 w = arr[s:s + TOTAL]
+                if np.isnan(w[:, 0]).any():
+                    continue
                 # drop neighbours that are far from the primary at the last
-                # obs frame or have missing frames (NaN)
+                # obs frame or have missing frames (NaN), reference
+                # drop_distant_far / drop_ped_with_missing_frame
                 ref = w[OBS_FRAMES - 1, 0]
                 keep = [0]
                 for j in range(1, w.shape[1]):
@@ -238,10 +414,11 @@ class NdjsonScenes:
                     if np.linalg.norm(w[OBS_FRAMES - 1, j] - ref) \
                             <= max_radius:
                         keep.append(j)
-                if np.isnan(w[:, 0]).any():
-                    continue
-                self.windows.append(
-                    np.nan_to_num(w[:, keep[:max_people]], nan=0.0))
+                keep = keep[:max_people]
+                sl = slice(s, s + TOTAL)
+                self.windows.append({
+                    k: np.nan_to_num(v[sl][:, keep], nan=0.0)
+                    for k, v in sc.items()})
         if not self.windows:
             raise ValueError(f"no usable scenes in {path}")
         self.max_people = max_people
@@ -250,21 +427,37 @@ class NdjsonScenes:
     def __len__(self):
         return len(self.windows)
 
-    def batch(self, batch_size):
+    def batch(self, batch_size) -> SceneBatch:
         B, N, T = batch_size, self.max_people, TOTAL
+        J3, J2 = self.num_3dpose, self.num_2dpose
         traj = np.zeros((B, T, N, 2), np.float32)
+        box3 = np.zeros((B, T, N, 4), np.float32)
+        box2 = np.zeros((B, T, N, 4), np.float32)
+        pose3 = np.zeros((B, T, N, J3, 3), np.float32)
+        pose2 = np.zeros((B, T, N, J2, 2), np.float32)
         mask = np.zeros((B, N), bool)
         idx = self.rng.randint(0, len(self.windows), B)
         for b, i in enumerate(idx):
-            w = self.windows[i]                           # (T, n, 2)
-            n = w.shape[1]
-            traj[b, :, :n] = w
+            w = self.windows[i]
+            n = w["traj"].shape[1]
+            traj[b, :, :n] = w["traj"]
+            box3[b, :, :n] = w["box3d"]
+            box2[b, :, :n] = w["box2d"]
+            pose3[b, :, :n, :min(J3, NDJSON_POSE_JOINTS)] = \
+                w["pose3d"][:, :, :J3]
+            pose2[b, :, :n, :min(J2, NDJSON_POSE_JOINTS)] = \
+                w["pose2d"][:, :, :J2]
             mask[b, :n] = True
-        tokens = build_tokens(traj)
+        tokens = build_tokens(traj, pose3d=pose3, box3d=box3, box2d=box2,
+                              pose2d=pose2, num_3dpose=J3, num_2dpose=J2)
+        init_pose, init_vel = extract_locoval_inputs(
+            tokens, num_3dpose=min(J3, 24))
         tokens, _ = normalize_scene(tokens)
         obs = tokens[:, :OBS_FRAMES]
         gt_future = tokens[:, OBS_FRAMES:, 0, 0, :2]
-        return (jnp.asarray(obs), jnp.asarray(mask), jnp.asarray(gt_future))
+        return SceneBatch(jnp.asarray(obs), jnp.asarray(mask),
+                          jnp.asarray(gt_future), jnp.asarray(init_pose),
+                          jnp.asarray(init_vel))
 
     def batches(self, batch_size, num_batches) -> Iterator:
         for _ in range(num_batches):

@@ -43,7 +43,8 @@ def evaluate_with_filter(trainer, params, dataset, batch_size, num_batches,
     """Full evaluation pass. Returns aggregate metric dict."""
     rng = rng or np.random.RandomState(0)
     rows = []
-    for obs, mask, gt in dataset.batches(batch_size, num_batches):
+    for obs, mask, gt, init_pose, init_vel in dataset.batches(batch_size,
+                                                              num_batches):
         pred = trainer.predict(params, obs, mask)        # (B,Fp,M,2)
         r = M.ade_fde(pred, gt)
         row = {k: float(v) for k, v in r.items() if not k.endswith("per_mode")}
@@ -57,11 +58,10 @@ def evaluate_with_filter(trainer, params, dataset, batch_size, num_batches,
             row[f"chi2_{k}"] = M.chi2_histogram_distance(mp_pred[k], mp_gt[k])
 
         if vnet is not None:
-            pose = obs[:, data_mod.OBS_FRAMES - 1, 0, 3:3 + 24, :3] \
-                * jnp.array([1.0, 1.0, -1.0])
-            x8 = obs[:, data_mod.OBS_FRAMES - 1, 0, 0, :2]
-            x7 = obs[:, data_mod.OBS_FRAMES - 2, 0, 0, :2]
-            vel = (x8 - x7) * data_mod.FPS
+            # raw init pose from the SceneBatch, z-flipped at consumption
+            # (reference train_jta.py:264-266 / evaluate_jta.py:298-318)
+            pose = init_pose * jnp.array([1.0, 1.0, -1.0])
+            vel = init_vel
             values = score_modes(vnet, vnet_params, pred, pose, vel)
             keep = M.locoval_filter(pred, values, threshold)   # (B,M)
 
@@ -94,7 +94,7 @@ def observation_length_sweep(trainer, params, dataset, batch_size,
     out = {}
     for L in lengths:
         rows = []
-        for obs, mask, gt in dataset.batches(batch_size, num_batches):
+        for obs, mask, gt, *_ in dataset.batches(batch_size, num_batches):
             pred = trainer.predict(params, obs, mask, limit_obs=int(L))
             rows.append(float(M.ade_fde(pred, gt)["ade_min"]))
         out[int(L)] = float(np.mean(rows))

@@ -76,13 +76,13 @@ def export_scene_dataset(dataset, path: str, num_scenes: int = 256,
     from . import data as data_mod
 
     trajs, poses, vels = [], [], []
-    for obs, mask, gt in dataset.batches(batch_size,
-                                         max(1, num_scenes // batch_size)):
+    for obs, mask, gt, init_pose, init_vel in dataset.batches(
+            batch_size, max(1, num_scenes // batch_size)):
         obs = np.asarray(obs)
         gt = np.asarray(gt)
         full = np.concatenate([obs[:, :, 0, 0, :2],
                                gt], axis=1)               # (B, 21, 2)
-        pose, vel = data_mod.extract_locoval_inputs(obs, gt)
+        pose, vel = np.asarray(init_pose), np.asarray(init_vel)
         for b in range(full.shape[0]):
             # 13 waypoints: last obs + 12 predictions (reference exports the
             # 13-waypoint window fed to the valuenet)

@@ -92,6 +92,52 @@ class EncoderLayer(nn.Module):
         return x
 
 
+class _ScanBody(nn.Module):
+    """scan body: (carry, _) with broadcast mask/det, remat'd per layer."""
+
+    nhid: int
+    nhead: int
+    dim_ff: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask, deterministic):
+        y = EncoderLayer(self.nhid, self.nhead, self.dim_ff,
+                         self.dropout)(x, key_padding_mask=key_padding_mask,
+                                       deterministic=deterministic)
+        return y, None
+
+
+class EncoderStack(nn.Module):
+    """nlayers identical encoder layers via nn.scan over stacked params.
+
+    The reference unrolls its torch encoder layers (model_jta.py:160-180);
+    unrolled XLA programs made the round-1 train step take tens of minutes
+    to compile (9 attention layers + 20 heads traced inline). Scanning over
+    a (L, …) parameter stack compiles ONE layer body regardless of depth,
+    and nn.remat keeps activation memory flat through the scan.
+    """
+
+    nlayers: int
+    nhid: int
+    nhead: int
+    dim_ff: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, deterministic=True):
+        body = nn.remat(_ScanBody, static_argnums=(3,))
+        stack = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast, nn.broadcast),
+            length=self.nlayers,
+        )(self.nhid, self.nhead, self.dim_ff, self.dropout, name="layers")
+        y, _ = stack(x, key_padding_mask, deterministic)
+        return y
+
+
 class TransMotion(nn.Module):
     cfg: TransMotionConfig
 
@@ -195,28 +241,26 @@ class TransMotion(nn.Module):
         ], axis=1)                                           # (B·N, S, D)
 
         local_in = seq
-        h = seq
-        for i in range(c.nlayers_local):
-            h = EncoderLayer(D, c.nhead, c.dim_ff, c.dropout,
-                             name=f"local_{i}")(h, deterministic=det)
+        h = EncoderStack(c.nlayers_local, D, c.nhead, c.dim_ff, c.dropout,
+                         name="local")(seq, deterministic=det)
         h = h * c.output_scale + local_in                    # local residual
 
         # ---- global (ST) former: traj tokens across people ----
         traj_tok = h[:, :F].reshape(B, N, F, D)
         g_in = traj_tok.reshape(B, N * F, D)
         mask = jnp.repeat(padding_mask, F, axis=1)           # (B, N·F)
-        g = g_in
-        for i in range(c.nlayers_global):
-            g = EncoderLayer(D, c.nhead, c.dim_ff, c.dropout,
-                             name=f"global_{i}")(g, key_padding_mask=mask,
-                                                 deterministic=det)
+        g = EncoderStack(c.nlayers_global, D, c.nhead, c.dim_ff, c.dropout,
+                         name="global")(g_in, key_padding_mask=mask,
+                                        deterministic=det)
         g = g * c.output_scale + g_in                        # global residual
 
         primary = g.reshape(B, N, F, D)[:, 0]                # (B,F,D)
 
         if c.multi_modal:
-            outs = [nn.Dense(2, name=f"head_{i}")(primary)
-                    for i in range(c.nmode)]
-            return jnp.stack(outs, axis=2)                   # (B,F,nmode,2)
+            # all nmode heads as one Dense(2·nmode): identical function
+            # family to the reference's per-mode Dense stack
+            # (model_jta.py:147-158) but a single MXU matmul to trace
+            out = nn.Dense(2 * c.nmode, name="heads")(primary)
+            return out.reshape(B, F, c.nmode, 2)             # (B,F,nmode,2)
         out = nn.Dense(2, name="fc_out_traj")(primary)
         return out[:, :, None]                               # (B,F,1,2)

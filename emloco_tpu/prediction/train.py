@@ -65,7 +65,7 @@ class PredictorTrainer:
                               optax.adam(schedule))
 
     def init(self, key, example_batch, vnet_params=None) -> PredictTrainState:
-        obs, mask, _ = example_batch
+        obs, mask = example_batch[0], example_batch[1]
         k1, k2 = jax.random.split(key)
         params = self.model.init({"params": k1, "mask": k1, "dropout": k1},
                                  obs, mask)
@@ -88,18 +88,18 @@ class PredictorTrainer:
         return jnp.stack(losses).mean()
 
     @functools.partial(jax.jit, static_argnums=0)
-    def train_step(self, ts: PredictTrainState, obs, mask, gt_future):
+    def train_step(self, ts: PredictTrainState, obs, mask, gt_future,
+                   init_pose=None, init_vel=None):
+        """init_pose/init_vel ride in from the SceneBatch: the reference
+        reads the init pose from the RAW joints before normalization
+        (train_jta.py:264-266) — after reference-exact normalization the
+        last-obs pose tokens are identically zero, so they can't be read
+        back out of `obs`. The z-flip happens here (train_jta.py:266)."""
         cfg = self.cfg
         key, k_mask, k_drop = jax.random.split(ts.key, 3)
 
-        init_pose, init_vel = None, None
-        if self.vnet is not None and (cfg.use_value_loss or cfg.valueloss_only):
-            # extract on-device from the normalized obs tokens
-            pose = obs[:, data_mod.OBS_FRAMES - 1, 0, 3:3 + 24, :3]
-            init_pose = pose * jnp.array([1.0, 1.0, -1.0])
-            x8 = obs[:, data_mod.OBS_FRAMES - 1, 0, 0, :2]
-            x7 = obs[:, data_mod.OBS_FRAMES - 2, 0, 0, :2]
-            init_vel = (x8 - x7) * data_mod.FPS
+        if init_pose is not None:
+            init_pose = init_pose * jnp.array([1.0, 1.0, -1.0])
 
         def loss_fn(p):
             out = self.model.apply(
@@ -137,7 +137,7 @@ class PredictorTrainer:
     # ------------------------------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _fit_epoch(self, ts, obs_s, mask_s, gt_s):
+    def _fit_epoch(self, ts, obs_s, mask_s, gt_s, pose_s, vel_s):
         """One epoch as a lax.scan over stacked batches (K, B, …) — ONE
         dispatch + ONE host sync per epoch. The reference's DataLoader loop
         (train_jta.py:224-384) — and our previous fit — paid a dispatch AND
@@ -147,7 +147,8 @@ class PredictorTrainer:
             ts, aux = self.train_step(ts, *b)
             return ts, aux["traj_loss"]
 
-        ts, losses = jax.lax.scan(body, ts, (obs_s, mask_s, gt_s))
+        ts, losses = jax.lax.scan(
+            body, ts, (obs_s, mask_s, gt_s, pose_s, vel_s))
         return ts, losses.mean()
 
     def fit(self, ts, dataset, epochs: int, batches_per_epoch: int,
@@ -176,11 +177,9 @@ class PredictorTrainer:
         best_params = ts.params
         for ep in range(epochs):
             bs = list(dataset.batches(batch_size, batches_per_epoch))
-            obs_s = place(np.stack([b[0] for b in bs]))
-            mask_s = place(np.stack([b[1] for b in bs]))
-            gt_s = place(np.stack([b[2] for b in bs]))
+            stacks = [place(np.stack([b[i] for b in bs])) for i in range(5)]
             with ctx:
-                ts, mean_loss = self._fit_epoch(ts, obs_s, mask_s, gt_s)
+                ts, mean_loss = self._fit_epoch(ts, *stacks)
             entry = dict(epoch=ep, traj_loss=float(mean_loss))
             if eval_dataset is not None:
                 evals = self.evaluate(ts.params, eval_dataset, batch_size,
@@ -194,7 +193,7 @@ class PredictorTrainer:
 
     def evaluate(self, params, dataset, batch_size, num_batches):
         accs = []
-        for obs, mask, gt in dataset.batches(batch_size, num_batches):
+        for obs, mask, gt, *_ in dataset.batches(batch_size, num_batches):
             pred = self.predict(params, obs, mask)
             r = M.ade_fde(pred, gt)
             accs.append({k: float(v) for k, v in r.items()

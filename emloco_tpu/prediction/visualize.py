@@ -46,19 +46,16 @@ def collect_vis_data(trainer, params, dataset, batch_size=32, num_batches=1,
     from .evaluate import score_modes
 
     obs_l, gt_l, pred_l, val_l = [], [], [], []
-    for obs, mask, gt in dataset.batches(batch_size, num_batches):
+    for obs, mask, gt, init_pose, init_vel in dataset.batches(batch_size,
+                                                              num_batches):
         pred = trainer.predict(params, obs, mask)        # (B,Fp,M,2)
         obs_l.append(np.asarray(obs[:, :, 0, 0, :2]))    # primary-agent track
         gt_l.append(np.asarray(gt))
         pred_l.append(np.asarray(pred))
         if vnet is not None:
-            pose = obs[:, data_mod.OBS_FRAMES - 1, 0, 3:3 + 24, :3] \
-                * jnp.array([1.0, 1.0, -1.0])
-            x8 = obs[:, data_mod.OBS_FRAMES - 1, 0, 0, :2]
-            x7 = obs[:, data_mod.OBS_FRAMES - 2, 0, 0, :2]
-            vel = (x8 - x7) * data_mod.FPS
+            pose = init_pose * jnp.array([1.0, 1.0, -1.0])
             val_l.append(np.asarray(
-                score_modes(vnet, vnet_params, pred, pose, vel)))
+                score_modes(vnet, vnet_params, pred, pose, init_vel)))
     out = {
         "obs": np.concatenate(obs_l),                    # (S, Fo, 2)
         "gt": np.concatenate(gt_l),                      # (S, Fp, 2)

@@ -22,7 +22,7 @@ def _trainer(**kw):
 def test_lstm_predict_shapes():
     trainer = _trainer()
     ds = SyntheticScenes(num_people=2, seed=0)
-    obs, mask, gt = next(ds.batches(4, 1))
+    obs, mask, gt, *_ = next(ds.batches(4, 1))
     ts = trainer.init(jax.random.PRNGKey(0), (obs, mask, gt))
     pred = trainer.predict(ts.params, obs, mask)
     assert pred.shape == (4, 12, 3, 2)
@@ -37,8 +37,8 @@ def test_lstm_trains():
     batch = ds.batch(8)
     ts = trainer.init(jax.random.PRNGKey(0), batch)
     losses = []
-    for obs, mask, gt in ds.batches(8, 12):
-        ts, aux = trainer.train_step(ts, obs, mask, gt)
+    for b in ds.batches(8, 12):
+        ts, aux = trainer.train_step(ts, *b)
         losses.append(float(aux["traj_loss"]))
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
 
@@ -56,6 +56,6 @@ def test_lstm_with_value_loss():
     ds = SyntheticScenes(num_people=2, seed=0)
     batch = ds.batch(4)
     ts = trainer.init(jax.random.PRNGKey(0), batch, vnet_params=vp)
-    obs, mask, gt = batch
-    ts, aux = trainer.train_step(ts, obs, mask, gt)
+    obs, mask, gt, *_ = batch
+    ts, aux = trainer.train_step(ts, *batch)
     assert "value_loss" in aux and np.isfinite(float(aux["value_loss"]))

@@ -18,7 +18,7 @@ TINY = TransMotionConfig(nhid=32, dim_ff=64, nlayers_local=1,
 
 def test_synthetic_scenes_shapes():
     ds = data_mod.SyntheticScenes(num_people=3, seed=0)
-    obs, mask, gt = ds.batch(2)
+    obs, mask, gt, *_ = ds.batch(2)
     assert obs.shape == (2, 9, 3, 49, 4)
     assert mask.shape == (2, 3)
     assert gt.shape == (2, 12, 2)
@@ -32,7 +32,7 @@ def test_synthetic_scenes_shapes():
 
 def test_model_forward_shapes():
     ds = data_mod.SyntheticScenes(num_people=2, seed=0)
-    obs, mask, gt = ds.batch(2)
+    obs, mask, gt, *_ = ds.batch(2)
     model = TransMotion(TINY)
     key = jax.random.PRNGKey(0)
     params = model.init({"params": key, "mask": key, "dropout": key},
@@ -77,10 +77,10 @@ def test_train_step_reduces_loss():
     trainer = PredictorTrainer(TINY, PredictTrainConfig(lr=1e-3))
     batch = ds.batch(4)
     ts = trainer.init(jax.random.PRNGKey(0), batch)
-    obs, mask, gt = batch
+    obs, mask, gt, *_ = batch
     losses = []
     for _ in range(12):
-        ts, aux = trainer.train_step(ts, obs, mask, gt)
+        ts, aux = trainer.train_step(ts, *batch)
         losses.append(float(aux["traj_loss"]))
     assert losses[-1] < losses[0], (losses[0], losses[-1])
 
@@ -96,8 +96,8 @@ def test_train_with_emloco_loss():
                                  valueloss_weight=0.5), vnet=vnet)
     batch = ds.batch(2)
     ts = trainer.init(key, batch, vnet_params=vp)
-    obs, mask, gt = batch
-    ts, aux = trainer.train_step(ts, obs, mask, gt)
+    obs, mask, gt, *_ = batch
+    ts, aux = trainer.train_step(ts, *batch)
     assert np.isfinite(float(aux["value_loss"]))
     assert float(aux["value_loss"]) > 0
 
@@ -257,7 +257,8 @@ def test_ndjson_scenes_dataset(tmp_path):
 
     ds = NdjsonScenes(path, max_people=4)
     assert len(ds) == 2
-    obs, mask, gt = ds.batch(3)
+    batch = ds.batch(3)
+    obs, mask, gt, *_ = batch
     assert obs.shape[:2] == (3, OBS_FRAMES)
     assert gt.shape == (3, TOTAL - OBS_FRAMES, 2)
     m = np.asarray(mask)
@@ -275,8 +276,62 @@ def test_ndjson_scenes_dataset(tmp_path):
     trainer = PredictorTrainer(TransMotionConfig(
         nhid=32, dim_ff=64, nlayers_local=1, nlayers_global=1, nmode=2))
     ts = trainer.init(jax.random.PRNGKey(0), ds.batch(3))
-    ts, aux = trainer.train_step(ts, obs, mask, gt)
+    ts, aux = trainer.train_step(ts, *batch)
     assert np.isfinite(float(aux["traj_loss"]))
+
+
+def test_all_cues_ndjson_fixture_and_training(tmp_path):
+    """All-visual-cues ndjson path (reference Reader_jta_all_visual_cues,
+    reader.py:144-266): parse the committed JTA-format fixture, check the
+    write→read round trip, reference-exact normalization, and that the
+    standard trainer + LocoVal filter run on it."""
+    import os
+    from emloco_tpu.prediction.data import (
+        NDJSON_POSE_JOINTS, NdjsonScenes, OBS_FRAMES,
+        read_ndjson_scenes_all_cues, write_ndjson_all_cues)
+
+    fixture = os.path.join(os.path.dirname(__file__), "data",
+                           "jta_all_cues_fixture.ndjson")
+    scenes = read_ndjson_scenes_all_cues(fixture)
+    assert len(scenes) == 4
+    sc = scenes[0]
+    assert sc["traj"].shape[0] == 21
+    assert sc["pose3d"].shape[-2:] == (NDJSON_POSE_JOINTS, 3)
+    assert sc["box3d"].shape[-1] == 4 and sc["box2d"].shape[-1] == 4
+    assert np.isfinite(sc["pose3d"]).all()
+
+    # write → read round trip preserves every cue
+    p2 = str(tmp_path / "rt.ndjson")
+    write_ndjson_all_cues(p2, scenes)
+    back = read_ndjson_scenes_all_cues(p2)
+    for a, b in zip(scenes, back):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], atol=2e-3, err_msg=k)
+
+    nd = NdjsonScenes(fixture, max_people=4)
+    batch = nd.batch(3)
+    obs = np.asarray(batch.obs)
+    # reference normalization (dataset_jta.py:38-45): cue tokens are deltas
+    # against their own last observed frame -> exactly zero at frame 8
+    np.testing.assert_allclose(obs[:, OBS_FRAMES - 1, :, 1:], 0.0, atol=1e-6)
+    assert np.abs(obs[:, 0, 0, 3:27, :3]).max() > 1e-3   # earlier: nonzero
+    # primary traj normalized to the origin at the last obs frame
+    np.testing.assert_allclose(obs[:, OBS_FRAMES - 1, 0, 0, :2], 0.0,
+                               atol=1e-5)
+    # the RAW init pose rides along (reference reads it pre-normalization)
+    assert np.abs(np.asarray(batch.init_pose)).max() > 0.3
+
+    trainer = PredictorTrainer(TINY)
+    ts = trainer.init(jax.random.PRNGKey(0), batch)
+    ts, aux = trainer.train_step(ts, *batch)
+    assert np.isfinite(float(aux["traj_loss"]))
+    vnet = ValuePoseNet(use_pose=True, use_vel=True)
+    vp = vnet.init(jax.random.PRNGKey(1), jnp.zeros((1, 13, 2)),
+                   jnp.zeros((1, 24, 3)), jnp.zeros((1, 2)))
+    out = evaluate_with_filter(trainer, ts.params, nd, 3, 2,
+                               vnet=vnet, vnet_params=vp)
+    for k in ("ade_min", "fde_min", "ade_filtered_min", "ade_value_pick"):
+        assert np.isfinite(out[k]), k
 
 
 def test_eqmotion_h36m_domain():
