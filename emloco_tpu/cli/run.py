@@ -119,12 +119,20 @@ def cmd_train_policy(cfg, args):
 
 
 def cmd_train_valuenet(cfg, args):
+    import dataclasses as _dc
+
     from ..learning.amp_agent import AMPAgent
     from ..learning.networks import ValuePoseNet
     from ..learning.value_train import LocoValTrainer
     from ..utils.checkpoint import load_pytree, save_valuenet
     from ..utils.logging import MetricsLogger
 
+    # hard negatives: valuenet training inverts a fraction of real-bank
+    # trajectories (reference --heading_inversion, rewards then scaled
+    # ×(−inversion_penalty) at latch time, amp_continuous_value.py:63-64)
+    traj = cfg.env.traj.replace(
+        heading_inversion_prob=cfg.value.heading_inversion_prob)
+    cfg = _dc.replace(cfg, env=cfg.env.replace(traj=traj))
     env = _build_world(cfg)
     agent = AMPAgent(env, cfg.amp)
     ts = agent.init(jax.random.PRNGKey(cfg.seed))

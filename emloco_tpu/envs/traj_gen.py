@@ -92,12 +92,20 @@ def procedural_verts(key, n, cfg: TrajConfig, init_pos, root_vel=None):
     return jnp.concatenate([first[:, None], verts], axis=1)
 
 
-def align_real_paths(paths, init_pos, root_vel=None, init_heading=True):
+def align_real_paths(paths, init_pos, root_vel=None, init_heading=True,
+                     invert=None):
     """Shift a bank sample to start at init_pos and rotate its first segment
-    to the root's heading (reference :177-234). paths (n, V, 2)."""
+    to the root's heading (reference :177-234). paths (n, V, 2).
+
+    invert (n,) bool: heading-inverted envs rotate so the path points
+    OPPOSITE the root's facing (reference rot_diff = init_heading − root_rot
+    + π, traj_generator.py:195-200) — the LocoVal hard negative: a
+    trajectory the humanoid would have to walk backward to follow."""
     p = paths - paths[:, 0:1]
     if init_heading and root_vel is not None:
         tgt = jnp.arctan2(root_vel[:, 1], root_vel[:, 0])
+        if invert is not None:
+            tgt = tgt + jnp.where(invert, jnp.pi, 0.0)
         d0 = p[:, 1] - p[:, 0]
         src = jnp.arctan2(d0[..., 1], d0[..., 0])
         a = tgt - src
@@ -120,11 +128,15 @@ def sample_traj(key, cfg: TrajConfig, init_pos, root_vel=None,
         P = real_bank.shape[0]
         idx = jax.random.randint(k_pick, (n,), 0, P)
         picked = real_bank[idx]                          # (n, V, 2)
-        inv = jax.random.uniform(k_inv, (n,)) < cfg.heading_inversion_prob
-        picked = jnp.where(inv[:, None, None], -1.0 * (picked - picked[:, 0:1])
-                           + picked[:, 0:1], picked)
+        # inversion only exists under init-heading alignment (the reference's
+        # heading_inversion branch lives inside `if flags.init_heading:`,
+        # traj_generator.py:177-200); a pre-alignment point-mirror would be
+        # cancelled by the alignment rotation
+        do_inv = cfg.init_heading and root_vel is not None
+        inv = (jax.random.uniform(k_inv, (n,)) < cfg.heading_inversion_prob) \
+            & do_inv
         aligned = align_real_paths(picked, init_pos, root_vel,
-                                   cfg.init_heading)
+                                   cfg.init_heading, invert=inv)
         aligned3 = jnp.concatenate(
             [aligned, jnp.zeros_like(aligned[..., :1])], -1)
         use_real = jax.random.uniform(k_mix, (n,)) >= cfg.hybrid_init_prob

@@ -35,6 +35,11 @@ class ValueTrainConfig(struct.PyTreeNode):
     gamma: float = struct.field(pytree_node=False, default=0.99)
     step_to_pred: int = struct.field(pytree_node=False, default=144)
     inversion_penalty: float = struct.field(pytree_node=False, default=0.3)
+    # fraction of real-bank trajectories flipped 180° as hard negatives
+    # during valuenet training (the reference trains the valuenet with
+    # --heading_inversion, which inverts half, traj_generator.py:195-200)
+    heading_inversion_prob: float = struct.field(pytree_node=False,
+                                                 default=0.5)
     max_cum: float = struct.field(pytree_node=False, default=100.0)
     min_cum: float = struct.field(pytree_node=False, default=-10.0)
     lr: float = struct.field(pytree_node=False, default=1e-3)

@@ -105,6 +105,69 @@ def test_locoval_training():
     assert np.isfinite(float(metrics["vnet_loss"]))
 
 
+def test_heading_inversion_hard_negatives():
+    """LocoVal hard negatives end-to-end (reference --heading_inversion,
+    traj_generator.py:195-200 + amp_continuous_value.py:63-64): inverted
+    trajectories point OPPOSITE the root's facing, the env exposes the
+    inverted flag, and latched value targets are depressed ×(−0.3)."""
+    from emloco_tpu.envs import traj_gen
+    from emloco_tpu.learning.value_train import LocoValTrainer, \
+        ValueTrainConfig
+
+    # geometric contract: aligned-but-inverted first segment anti-parallel
+    # to the root velocity
+    cfg = traj_gen.TrajConfig(hybrid_init_prob=0.0,
+                              heading_inversion_prob=1.0)
+    bank = traj_gen.synthetic_real_bank(num_paths=8)
+    init_pos = jnp.zeros((4, 3))
+    root_vel = jnp.tile(jnp.asarray([1.0, 0.0, 0.0]), (4, 1))
+    verts, inverted = traj_gen.sample_traj(jax.random.PRNGKey(0), cfg,
+                                           init_pos, root_vel, bank)
+    assert np.asarray(inverted).all()
+    d0 = np.asarray(verts[:, 1, :2] - verts[:, 0, :2])
+    d0 = d0 / np.linalg.norm(d0, axis=-1, keepdims=True)
+    np.testing.assert_allclose(d0 @ np.array([1.0, 0.0]), -1.0, atol=1e-4)
+    # prob-0 control: aligned WITH the root heading
+    v2, inv2 = traj_gen.sample_traj(
+        jax.random.PRNGKey(0), cfg.replace(heading_inversion_prob=0.0),
+        init_pos, root_vel, bank)
+    assert not np.asarray(inv2).any()
+    d2 = np.asarray(v2[:, 1, :2] - v2[:, 0, :2])
+    d2 = d2 / np.linalg.norm(d2, axis=-1, keepdims=True)
+    np.testing.assert_allclose(d2 @ np.array([1.0, 0.0]), 1.0, atol=1e-4)
+
+    # end-to-end: all-inverted valuenet training latches depressed targets
+    def run(inv_prob):
+        ecfg = EnvConfig(num_envs=4, sensor_res=8, episode_length=24,
+                         num_amp_obs_steps=3)
+        ecfg = ecfg.replace(traj=ecfg.traj.replace(
+            hybrid_init_prob=0.0, heading_inversion_prob=inv_prob))
+        terrain = flat_terrain(extent=20.0, cell=0.1)
+        lib = ml.synthetic_walk_motions(speeds=(1.0,), duration=2.0)
+        env = PedestrianTerrainEnv(ecfg, terrain, lib,
+                                   real_traj_bank=traj_gen
+                                   .synthetic_real_bank(num_paths=8))
+        agent = AMPAgent(env, AMPConfig(horizon=8, num_minibatches=2,
+                                        mini_epochs=2, amp_batch_size=8,
+                                        amp_replay_size=64))
+        ts = agent.init(jax.random.PRNGKey(0))
+        vnet = ValuePoseNet(use_pose=True, use_vel=True)
+        trainer = LocoValTrainer(agent, vnet,
+                                 ValueTrainConfig(horizon=8, step_to_pred=6))
+        vts = trainer.init(ts, jax.random.PRNGKey(1))
+        assert (np.asarray(vts.policy.env_state.inverted).mean()
+                == (1.0 if inv_prob else 0.0))
+        vts, m = trainer.train_epoch(vts)
+        assert float(m["num_latched"]) > 0
+        return float(m["mean_target"])
+
+    t_inv, t_pos = run(1.0), run(0.0)
+    # inverted returns are ×(−0.3): targets sit below the positive ones and
+    # below the zero-return point of the [−10,100] normalization
+    assert t_inv < t_pos
+    assert t_inv < 10.0 / 110.0 + 1e-3
+
+
 def test_cnn_network_variant():
     from emloco_tpu.learning.networks import AMPSeptCNNNet
 
