@@ -62,8 +62,16 @@ def _build_world(cfg):
         bank = traj_gen.synthetic_real_bank()
     key = jax.random.PRNGKey(cfg.seed)
     betas = jax.random.normal(key, (cfg.env.num_envs, 16)) * 0.3
-    env = PedestrianTerrainEnv(cfg.env, terrain, lib, betas=betas,
-                               real_traj_bank=bank)
+    task = getattr(cfg, "task", "terrain")
+    if task == "getup":
+        from ..envs.getup import PedestrianTerrainGetupEnv
+        env_cls = PedestrianTerrainGetupEnv
+    elif task == "hand":
+        from ..envs.hand_task import PedestrianTerrainHandEnv
+        env_cls = PedestrianTerrainHandEnv
+    else:
+        env_cls = PedestrianTerrainEnv
+    env = env_cls(cfg.env, terrain, lib, betas=betas, real_traj_bank=bank)
     return env
 
 
@@ -101,6 +109,11 @@ def cmd_train_policy(cfg, args):
     t0 = time.perf_counter()
     steps_per_epoch = cfg.amp.horizon * cfg.env.num_envs
     for ep in range(cfg.epochs):
+        if hasattr(env, "update_getup_schedule"):
+            # getup curriculum (reference update_getup_schedule hook called
+            # per epoch from the agent, amp_continuous.py:203-220)
+            ts = ts.replace(env_state=env.update_getup_schedule(
+                ts.env_state, ep, cfg.env.getup_update_epoch))
         if mesh_ctx is not None:
             with mesh_ctx:
                 ts, metrics = agent.train_epoch(ts)
@@ -199,6 +212,16 @@ def cmd_eval_policy(cfg, args):
             vts = vts.replace(vnet_params=vp)
         vts, mse, corr = trainer.evaluate(vts, num_epochs=args.games)
         print(f"[{name}] value prediction: mse={mse:.4f} corr={corr:.3f}")
+        if args.plots:
+            # qualitative observability parity: value-vs-return scatter +
+            # histograms + a rollout GIF with per-step reward overlays
+            # (reference amp_value_players.py:129-275, base_task.py:799-844)
+            from ..learning.players import save_eval_artifacts
+            vts, arts = save_eval_artifacts(trainer, vts, cfg.out_dir,
+                                            name=name,
+                                            num_epochs=args.games)
+            for k, v in arts.items():
+                print(f"[{name}] {k}: {v}")
 
 
 def _pred_dataset(cfg, seed_offset=0):
@@ -402,7 +425,9 @@ def main(argv=None):
     p.add_argument("--all-frames", action="store_true",
                    help="eval-predictor: sweep observed-frame counts 1..9")
     p.add_argument("--plots", action="store_true",
-                   help="eval-predictor: save comparison/value plots")
+                   help="eval-predictor: save comparison/value plots; "
+                        "eval-policy: value scatter/histograms + rollout "
+                        "GIF with reward overlays")
     p.add_argument("overrides", nargs="*",
                    help="dotted config overrides, e.g. env.num_envs=1024")
     # argparse stops collecting positionals once an optional appears between

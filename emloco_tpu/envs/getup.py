@@ -32,6 +32,9 @@ class GetupEnvConfig(EnvConfig):
     recovery_steps: int = struct.field(pytree_node=False, default=60)
     fall_init_prob: float = struct.field(pytree_node=False, default=0.1)
     fall_gen_steps: int = struct.field(pytree_node=False, default=150)
+    # epochs of always-fall-init before the target probabilities kick in
+    # (reference getup_udpate_epoch, humanoid_pedestrain_terrain_getup.py:50)
+    getup_update_epoch: int = struct.field(pytree_node=False, default=5000)
 
 
 class GetupEnvState(EnvState):

@@ -50,6 +50,30 @@ from . import observations as obs
 from . import traj_gen
 
 
+class DRConfig(struct.PyTreeNode):
+    """Scheduled physical-property domain randomization (reference
+    apply_randomizations, base_task.py:547-787): per-env multiplicative
+    scales on mass/PD gains/friction and an additive contact rest-offset,
+    re-sampled at env reset no more often than `frequency` env steps, with
+    a linear intensity ramp over `schedule_steps` (the reference's
+    'linear' schedule). All static so the flag set compiles into the step."""
+
+    enabled: bool = struct.field(pytree_node=False, default=False)
+    mass_range: tuple = struct.field(pytree_node=False, default=(0.8, 1.2))
+    kp_range: tuple = struct.field(pytree_node=False, default=(0.85, 1.15))
+    kd_range: tuple = struct.field(pytree_node=False, default=(0.85, 1.15))
+    friction_range: tuple = struct.field(pytree_node=False,
+                                         default=(0.7, 1.3))
+    # additive delta on capsule radius (the rigid-shape rest-offset analog)
+    rest_offset_range: tuple = struct.field(pytree_node=False,
+                                            default=(-0.005, 0.005))
+    frequency: int = struct.field(pytree_node=False, default=128)
+    schedule_steps: int = struct.field(pytree_node=False, default=0)
+
+
+NUM_DR_PROPS = 5  # [mass, kp, kd, friction, rest_offset]
+
+
 class EnvConfig(struct.PyTreeNode):
     num_envs: int = struct.field(pytree_node=False, default=64)
     episode_length: int = struct.field(pytree_node=False, default=168)
@@ -99,6 +123,7 @@ class EnvConfig(struct.PyTreeNode):
     # kick plus the lever-arm angular kick a small flying object imparts
     projectile_interval: int = struct.field(pytree_node=False, default=0)
     projectile_impulse: float = struct.field(pytree_node=False, default=3.0)
+    dr: DRConfig = struct.field(pytree_node=False, default=DRConfig())
     traj: traj_gen.TrajConfig = struct.field(
         pytree_node=False,
         default=traj_gen.TrajConfig(episode_dur=2 * 168 / 30.0))
@@ -154,6 +179,12 @@ class EnvState(struct.PyTreeNode):
     waypoint_traj: jnp.ndarray     # (N, W, 2)
     init_pose: jnp.ndarray         # (N, 24, 3)
     init_vel: jnp.ndarray          # (N, 2)
+    # scheduled DR state: per-env property scales [mass, kp, kd, friction,
+    # rest_offset(+m)], the global step clock, and each env's last-resample
+    # stamp (reference apply_randomizations frequency gating)
+    dr_scales: jnp.ndarray = None  # (N, NUM_DR_PROPS)
+    dr_clock: jnp.ndarray = None   # () int32
+    dr_last: jnp.ndarray = None    # (N,) int32
 
 
 class StepOutput(struct.PyTreeNode):
@@ -351,11 +382,14 @@ class PedestrianTerrainEnv:
     def reset(self, key) -> EnvState:
         cfg = self.cfg
         n = cfg.num_envs
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         physics, verts, inverted = self._reset_states(k1, n)
         wp, pose, vel = self._capture_locoval_inputs(physics, verts)
         amp = self._amp_obs_single(physics)
         hist = jnp.tile(amp[:, None], (1, cfg.num_amp_obs_steps, 1))
+        clock0 = jnp.zeros((), jnp.int32)
+        scales = self._sample_dr_scales(k3, n, clock0) if cfg.dr.enabled \
+            else self._neutral_dr_scales(n)
         return EnvState(
             physics=physics,
             traj_verts=verts,
@@ -368,7 +402,57 @@ class PedestrianTerrainEnv:
             waypoint_traj=wp,
             init_pose=pose,
             init_vel=vel,
+            dr_scales=scales,
+            dr_clock=clock0,
+            dr_last=jnp.zeros((n,), jnp.int32),
         )
+
+    # ------------------------------------------------------------------
+    # scheduled domain randomization (reference apply_randomizations,
+    # base_task.py:547-787)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _neutral_dr_scales(n):
+        s = jnp.ones((n, NUM_DR_PROPS))
+        return s.at[:, 4].set(0.0)          # rest offset is additive
+
+    def _sample_dr_scales(self, key, n, clock):
+        """Per-env property scales with linear intensity ramping toward the
+        configured ranges (the reference's 'linear' schedule)."""
+        dr = self.cfg.dr
+        if dr.schedule_steps > 0:
+            ramp = jnp.minimum(clock.astype(jnp.float32)
+                               / dr.schedule_steps, 1.0)
+        else:
+            ramp = jnp.float32(1.0)
+        ranges = jnp.asarray([dr.mass_range, dr.kp_range, dr.kd_range,
+                              dr.friction_range, dr.rest_offset_range])
+        u = jax.random.uniform(key, (n, NUM_DR_PROPS))
+        raw = ranges[:, 0] + u * (ranges[:, 1] - ranges[:, 0])
+        neutral = self._neutral_dr_scales(n)
+        return neutral + ramp * (raw - neutral)
+
+    def _dr_model(self, state: EnvState):
+        """Model with the env's current DR scales folded into the batched
+        body parameters — the TPU-native asset-property setter (the model's
+        base params are jit constants; per-env variation rides the state)."""
+        if not self.cfg.dr.enabled:
+            return self.model
+        s = state.dr_scales
+        p = self.model.params
+        m, kp, kd, fr, ro = (s[:, 0], s[:, 1], s[:, 2], s[:, 3], s[:, 4])
+        p = p.replace(
+            mass=p.mass * m[:, None],
+            inv_mass=p.inv_mass / m[:, None],
+            inertia=p.inertia * m[:, None, None],
+            inv_inertia=p.inv_inertia / m[:, None, None],
+            kp=p.kp * kp[:, None],
+            kd=p.kd * kd[:, None],
+            friction_scale=p.friction_scale * fr,
+            capsule_radius=p.capsule_radius + ro[:, None],
+        )
+        return self.model.replace(params=p)
 
     # ------------------------------------------------------------------
     # observations
@@ -538,8 +622,9 @@ class PedestrianTerrainEnv:
         a = actions.reshape(-1, bm.NUM_JOINTS, 3)
         pd_target = a * self.pd_action_scale[None] * self.action_mask[None]
 
-        physics = physics_step(self.model, self.terrain, state.physics,
-                               pd_target, cfg.engine, self.tree)
+        physics = physics_step(self._dr_model(state), self.terrain,
+                               state.physics, pd_target, cfg.engine,
+                               self.tree)
         # random root pushes (perturbation fault injection)
         if cfg.push_interval > 0:
             rng, k_push = jax.random.split(rng)
@@ -619,7 +704,8 @@ class PedestrianTerrainEnv:
 
         new_state = state.replace(physics=physics, progress=progress,
                                   reset_buf=done, terminate_buf=terminated,
-                                  amp_obs_hist=hist)
+                                  amp_obs_hist=hist,
+                                  dr_clock=state.dr_clock + 1)
 
         # masked auto-reset (per-env where-select of fresh states)
         new_state = self._auto_reset(new_state, done)
@@ -670,13 +756,23 @@ class PedestrianTerrainEnv:
     def _auto_reset(self, state: EnvState, done):
         cfg = self.cfg
         n = cfg.num_envs
-        key, k1 = jax.random.split(state.rng)
+        key, k1, k_dr = jax.random.split(state.rng, 3)
         physics_new, verts_new, inv_new = self._reset_states(k1, n)
         wp, pose, vel = self._capture_locoval_inputs(physics_new, verts_new)
 
         def pick(a, b):
             d = done.reshape((n,) + (1,) * (a.ndim - 1))
             return jnp.where(d, a, b)
+
+        # scheduled DR resample: resetting envs whose last randomization is
+        # at least `frequency` steps old draw fresh property scales
+        # (reference apply_randomizations frequency gate, base_task.py:556)
+        dr_scales, dr_last = state.dr_scales, state.dr_last
+        if cfg.dr.enabled:
+            due = done & (state.dr_clock - dr_last >= cfg.dr.frequency)
+            fresh = self._sample_dr_scales(k_dr, n, state.dr_clock)
+            dr_scales = jnp.where(due[:, None], fresh, dr_scales)
+            dr_last = jnp.where(due, state.dr_clock, dr_last)
 
         physics = jax.tree.map(pick, physics_new, state.physics)
         amp_new = self._amp_obs_single(physics_new)
@@ -691,6 +787,8 @@ class PedestrianTerrainEnv:
             waypoint_traj=pick(wp, state.waypoint_traj),
             init_pose=pick(pose, state.init_pose),
             init_vel=pick(vel, state.init_vel),
+            dr_scales=dr_scales,
+            dr_last=dr_last,
         )
 
     # ------------------------------------------------------------------

@@ -218,6 +218,7 @@ def build_body_params(
     kp_scale: float = 1.0,
     kd_scale: float = 1.0,
     total_mass: Optional[float] = None,
+    offsets_override: Optional[jnp.ndarray] = None,
 ) -> BodyParams:
     """betas (N, 16) → BodyParams. Fully traced/jittable (reshape-free math).
 
@@ -226,10 +227,17 @@ def build_body_params(
       beta[0]: overall scale (±0.05 per unit), beta[1]: limb-length vs torso,
       beta[2]: girth (capsule radii / mass). Remaining betas perturb
       per-segment lengths with small weights so the 16-d input stays live.
+
+    offsets_override (N, 24, 3): parent-relative rest offsets from a real
+    SMPL model (from_smpl_npz) — every derived quantity (bones, capsule
+    segments, inertia, rest height) is recomputed from them so the asset
+    stays self-consistent.
     """
     betas = jnp.asarray(betas, dtype=jnp.float32)
     if betas.ndim == 1:
         betas = betas[None]
+    if betas.shape[-1] < 16:      # real SMPL betas are 10-d; template uses 16
+        betas = jnp.pad(betas, ((0, 0), (0, 16 - betas.shape[-1])))
     N = betas.shape[0]
     B = NUM_BODIES
 
@@ -248,7 +256,13 @@ def build_body_params(
     limb_scale = jnp.where(jnp.asarray(is_limb)[None], limb, 1.0)  # (N,24)
 
     scale = overall * limb_scale * per_body                   # (N,24)
-    offsets = jnp.asarray(_MEAN_OFFSETS)[None] * scale[..., None]
+    if offsets_override is not None:
+        offsets = jnp.asarray(offsets_override, jnp.float32)
+        if offsets.ndim == 2:
+            offsets = offsets[None]
+        offsets = jnp.broadcast_to(offsets, (N, B, 3))
+    else:
+        offsets = jnp.asarray(_MEAN_OFFSETS)[None] * scale[..., None]
 
     bones = _bone_vectors(offsets)                            # (N,24,3)
     # feet: capsule spans heel→toe (heel extends behind the ankle pivot so the
@@ -417,5 +431,5 @@ def from_smpl_npz(path: str, betas: jnp.ndarray, **kw) -> BodyParams:
     for j in range(1, NUM_BODIES):
         offsets[:, j] = joints[:, j] - joints[:, PARENTS[j]]
 
-    bp = build_body_params(jnp.asarray(betas_np), **kw)
-    return dataclasses.replace(bp, local_offsets=jnp.asarray(offsets))
+    return build_body_params(jnp.asarray(betas_np),
+                             offsets_override=jnp.asarray(offsets), **kw)

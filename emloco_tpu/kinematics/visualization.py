@@ -41,6 +41,7 @@ def animate_rollout(
     fps: int = 15,
     elev: float = 20.0,
     azim: float = -60.0,
+    reward_labels: Optional[list] = None,  # per-frame component strings
 ):
     """Render a rollout to GIF (reward overlay like the reference's
     env_save_video)."""
@@ -67,9 +68,13 @@ def animate_rollout(
         ax.set_zlim(0, 2.2)
         ax.view_init(elev=elev, azim=azim)
         title = f"t={t}"
-        if rewards is not None:
+        if reward_labels is not None:
+            # per-step reward component overlay (reference env_save_video,
+            # base_task.py:799-844)
+            title += "\n" + reward_labels[t]
+        elif rewards is not None:
             title += f"  r={float(rewards[t]):+.3f}"
-        ax.set_title(title)
+        ax.set_title(title, fontsize=9)
 
     anim = animation.FuncAnimation(fig, draw, frames=len(frames),
                                    interval=1000 / fps)

@@ -418,18 +418,105 @@ def _assemble_rhs(model: Model, Jv4, W4, u, dt_Q):
 # Generalized forces
 # ---------------------------------------------------------------------------
 
-def _contact_jacobians(points, term2):
-    """Contact-point velocity Jacobians (N, C, 3, 75) from the shared pivot
-    contraction: term2 is _build_jacobians' (N, B, 3, 72) — reusing it keeps
-    body and contact Jacobians structurally identical (and saves the two
-    largest contractions a second evaluation per substep)."""
+def _point_jacobians(points, bodies, term2):
+    """Velocity Jacobians (N, C, 3, 75) of world points attached to `bodies`
+    (static index array), from the shared pivot contraction: term2 is
+    _build_jacobians' (N, B, 3, 72) — reusing it keeps body and contact
+    Jacobians structurally identical (and saves the two largest contractions
+    a second evaluation per substep)."""
     N, C = points.shape[0], points.shape[1]
-    eps_jwc = jnp.asarray(_EPS_JW[_CONTACT_BODY])        # (C,3,3,72) static
+    eps_jwc = jnp.asarray(_EPS_JW[bodies])               # (C,3,3,72) static
     term1 = jnp.einsum("ncj,cjid->ncid", points, eps_jwc)
-    term2c = term2[:, _CONTACT_BODY]                     # (N,C,3,72)
+    term2c = term2[:, bodies]                            # (N,C,3,72)
     eye = jnp.broadcast_to(jnp.eye(3), (N, C, 3, 3))
-    Jc = jnp.concatenate([eye, term1 + term2c], axis=-1)  # (N,C,3,75)
-    return Jc
+    return jnp.concatenate([eye, term1 + term2c], axis=-1)  # (N,C,3,75)
+
+
+def _contact_jacobians(points, term2):
+    return _point_jacobians(points, _CONTACT_BODY, term2)
+
+
+def _capsule_segments(model: Model, x, q, bodies):
+    """World-space segment endpoints of the capsules of `bodies`."""
+    p = model.params
+    a = p.capsule_axis[:, bodies] * p.capsule_half[:, bodies, None]
+    off = quat.rotate(q[:, bodies], a)
+    xb = x[:, bodies]
+    return xb - off, xb + off
+
+
+def _self_contact_geometry(model: Model, x, q):
+    """Closest points between the _SELF_PAIR capsule segments (branchless
+    Ericson segment-segment), outward normal n = (cA−cB)/‖·‖ and penetration
+    rA + rB − dist. Returns (cA, cB, nrm (N,K,3), pen (N,K))."""
+    pA0, pA1 = _capsule_segments(model, x, q, _SELF_A)
+    pB0, pB1 = _capsule_segments(model, x, q, _SELF_B)
+    d1 = pA1 - pA0
+    d2 = pB1 - pB0
+    r = pA0 - pB0
+    a = jnp.sum(d1 * d1, -1)
+    e = jnp.sum(d2 * d2, -1)
+    b = jnp.sum(d1 * d2, -1)
+    c = jnp.sum(d1 * r, -1)
+    f = jnp.sum(d2 * r, -1)
+    denom = a * e - b * b
+    s = jnp.where(denom > 1e-9,
+                  (b * f - c * e) / jnp.where(denom > 1e-9, denom, 1.0), 0.0)
+    s = jnp.clip(s, 0.0, 1.0)
+    t = jnp.clip((b * s + f) / jnp.maximum(e, 1e-9), 0.0, 1.0)
+    s = jnp.clip((b * t - c) / jnp.maximum(a, 1e-9), 0.0, 1.0)
+    cA = pA0 + d1 * s[..., None]
+    cB = pB0 + d2 * t[..., None]
+    delta = cA - cB
+    dist = jnp.linalg.norm(delta, axis=-1)
+    nrm = delta / jnp.maximum(dist, 1e-6)[..., None]
+    p = model.params
+    rsum = p.capsule_radius[:, _SELF_A] + p.capsule_radius[:, _SELF_B]
+    return cA, cB, nrm, rsum - dist
+
+
+def _self_contact_rows(model: Model, x, q, u, term2, cfg,
+                       speculative: bool):
+    """Self-contact solver rows in the exact shape of the ground rows: the
+    relative-velocity Jacobian Jrel = J(cA on A) − J(cB on B) (root-linear
+    columns cancel), so the same implicit spring-damper + Coulomb-capped
+    viscous friction machinery applies unchanged. Returns
+    (Jc, Jn, nrm, active, d_t, pen_f_masked, wn, wt)."""
+    dt = cfg.substep_dt
+    cA, cB, nrm, pen = _self_contact_geometry(model, x, q)
+    Jc = _point_jacobians(cA, _SELF_A, term2) \
+        - _point_jacobians(cB, _SELF_B, term2)
+    active = (pen > 0.0).astype(x.dtype)
+    vpt = jnp.einsum("ncij,nj->nci", Jc, u)
+    vn = jnp.sum(vpt * nrm, axis=-1)
+    vt = vpt - nrm * vn[..., None]
+    vt_mag = jnp.linalg.norm(vt, axis=-1)
+    k_n = cfg.contact_stiffness
+    d_n = cfg.contact_damping
+    pen_f = jnp.minimum(pen, cfg.max_depenetration)
+    mu = jnp.where(vt_mag < cfg.friction_vel_ref,
+                   cfg.static_friction, cfg.dynamic_friction)
+    mu = mu * model.params.friction_scale[:, None]
+    d_t = mu * (k_n * jnp.maximum(pen_f, 0.0)) / (vt_mag
+                                                  + cfg.friction_vel_ref)
+    d_t = jnp.minimum(d_t, cfg.max_friction_damping)
+    Jn = jnp.einsum("nci,ncij->ncj", nrm, Jc)
+    if speculative:
+        # approaching pairs get their implicit rows before touch (same
+        # reasoning as ground speculative contacts; no gravity term — the
+        # gap closes at the relative normal velocity)
+        pen_pred = pen + (-cfg.control_dt * jnp.minimum(vn, 0.0))
+        gate = (pen_pred > 0.0).astype(x.dtype)
+        d_t_lhs = mu * (k_n * jnp.clip(pen_pred, 0.0,
+                                       cfg.max_depenetration)) \
+            / (vt_mag + cfg.friction_vel_ref)
+        d_t_lhs = jnp.minimum(d_t_lhs, cfg.max_friction_damping)
+        wt = gate * dt * d_t_lhs
+    else:
+        gate = active
+        wt = gate * dt * d_t
+    wn = gate * dt * (dt * k_n + d_n)
+    return Jc, Jn, nrm, active, d_t, active * pen_f, wn, wt
 
 
 def _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv4, target_q, gvec):
@@ -497,6 +584,32 @@ _CONTACT_BODY = np.repeat(
 _CONTACT_END = np.tile(np.array([0, 1]), len(_CONTACT_BODY_NAMES))
 _CONTACT_ONEHOT = np.eye(B, dtype=np.float32)[_CONTACT_BODY]
 NC = len(_CONTACT_BODY)
+
+# --- intra-humanoid (self) contact: fixed-budget capsule-capsule pairs ---
+# (reference capability: PhysX self-collision enabled through asset options
+# and consumed in humanoid.py:643-835). Pairs picked where fall/getup
+# interpenetration is visible — forearms/hands vs trunk/thighs and legs
+# crossing. Adjacent bodies share a joint pivot (their capsules touch by
+# construction) and are excluded; each pair's rest-pose clearance is pinned
+# by tests/test_engine.py.
+_SELF_PAIR_NAMES = (
+    ("L_Elbow", "Pelvis"), ("L_Elbow", "Torso"), ("L_Elbow", "Chest"),
+    ("R_Elbow", "Pelvis"), ("R_Elbow", "Torso"), ("R_Elbow", "Chest"),
+    ("L_Wrist", "Pelvis"), ("L_Wrist", "Torso"), ("L_Wrist", "Chest"),
+    ("R_Wrist", "Pelvis"), ("R_Wrist", "Torso"), ("R_Wrist", "Chest"),
+    ("L_Hand", "Pelvis"), ("L_Hand", "Torso"), ("L_Hand", "Chest"),
+    ("R_Hand", "Pelvis"), ("R_Hand", "Torso"), ("R_Hand", "Chest"),
+    ("L_Wrist", "L_Hip"), ("R_Wrist", "R_Hip"),
+    ("L_Knee", "R_Knee"), ("L_Ankle", "R_Ankle"),
+    ("L_Knee", "R_Hip"), ("R_Knee", "L_Hip"),
+)
+_SELF_A = np.array([bm.BODY_NAMES.index(a) for a, _ in _SELF_PAIR_NAMES])
+_SELF_B = np.array([bm.BODY_NAMES.index(b) for _, b in _SELF_PAIR_NAMES])
+NSELF = len(_SELF_PAIR_NAMES)
+# signed map: +F on body A, −F reaction on body B
+_SELF_ONEHOT = (np.eye(B, dtype=np.float32)[_SELF_A]
+                - np.eye(B, dtype=np.float32)[_SELF_B])
+_COMBINED_ONEHOT = np.concatenate([_CONTACT_ONEHOT, _SELF_ONEHOT], axis=0)
 
 
 def _contact_points(model: Model, x, q):
@@ -596,9 +709,11 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
         def resolve(rhs):
             return jax.scipy.linalg.cho_solve((L, True), rhs.T)
 
+    onehot = jnp.asarray(_COMBINED_ONEHOT if cfg.self_contact
+                         else _CONTACT_ONEHOT)
     u_new = _velocity_clamp(resolve(rhs_t), cfg)
     contact_force = _readback_contact(Jc, nrm, active, d_t, k_n, pen_f,
-                                      dt, d_n, u_new)
+                                      dt, d_n, u_new, onehot)
     st = _integrate_pose(model, st, u_new, dt, tree, contact_force)
 
     # ---- remaining substeps: fresh penetrations / spring / bias, stale
@@ -608,7 +723,13 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
     # factorization) ----
     def resolve_substep(st, _):
         pts = _contact_points(model, st.body_x, st.body_q)
-        pen = (h0 + radius - pts[..., 2]) * nrm[..., 2]
+        pen = (h0 + radius - pts[..., 2]) * nrm[:, :NC, 2]
+        if cfg.self_contact:
+            # fresh pair separations along the (cheap) closest-point
+            # geometry; Jacobians/normals stay substep-1 stale like ground
+            _, _, _, pen_s = _self_contact_geometry(model, st.body_x,
+                                                    st.body_q)
+            pen = jnp.concatenate([pen, pen_s], axis=1)
         act = (pen > 0.0).astype(pen.dtype)
         pf = act * jnp.minimum(pen, cfg.max_depenetration)
         Qs = _gravity_bias_spring(model, st.body_x, st.body_q, st.body_v,
@@ -616,7 +737,8 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
         Qs = Qs + jnp.einsum("nc,ncj->nj", k_n * pf, Jn)
         rhs = _assemble_rhs(model, Jv4, W4, st.u, dt * Qs)
         u2 = _velocity_clamp(resolve(rhs), cfg)
-        cf = _readback_contact(Jc, nrm, act, d_t, k_n, pf, dt, d_n, u2)
+        cf = _readback_contact(Jc, nrm, act, d_t, k_n, pf, dt, d_n, u2,
+                               onehot)
         return _integrate_pose(model, st, u2, dt, tree, cf), None
 
     if cfg.n_substeps > 1:
@@ -687,8 +809,15 @@ def _contact_and_jacobians(model: Model, terrain, st: PhysicsState,
         / (vt_mag + cfg.friction_vel_ref)
     d_t_lhs = jnp.minimum(d_t_lhs, cfg.max_friction_damping)
     wt = active_lhs * dt * d_t_lhs
+    rows = (Jc, Jn, nrm, active, d_t, active * pen_f, wn, wt)
+    if cfg.self_contact:
+        srows = _self_contact_rows(model, x, q, u, term2, cfg,
+                                   speculative=True)
+        rows = tuple(jnp.concatenate([g, s], axis=1)
+                     for g, s in zip(rows, srows))
+    (Jc, Jn, nrm, active, d_t, pen_f_m, wn, wt) = rows
     return (Jv4, W4, Jc, Jn, nrm, active, d_t, k_n, d_n,
-            active * pen_f, diag, wn, wt, h, radius)
+            pen_f_m, diag, wn, wt, h, radius)
 
 
 def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
@@ -756,8 +885,17 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     wn = active * dt * (dt * k_n + d_n)
     # tangential projector T = E − nnᵀ folds as wt·JcᵀJc + (wn−wt)·JnᵀJn
     wt = active * dt * d_t
+    pen_f = active * pen_f
+    if cfg.self_contact:
+        # this path rebuilds geometry every substep, so plain (non-
+        # speculative) activation suffices for the pair rows
+        srows = _self_contact_rows(model, x, q, u, term2, cfg,
+                                   speculative=False)
+        (Jc, Jn, nrm, active, d_t, pen_f, wn, wt) = tuple(
+            jnp.concatenate([g, s], axis=1) for g, s in zip(
+                (Jc, Jn, nrm, active, d_t, pen_f, wn, wt), srows))
     # RHS contact: normal spring force at current penetration
-    Q = Q + jnp.einsum("nc,ncj->nj", active * k_n * pen_f, Jn)
+    Q = Q + jnp.einsum("nc,ncj->nj", k_n * pen_f, Jn)
 
     At, rhs_t = _assemble_lhs_rhs(model, Jv4, W4, u, diag, wn, wt, Jn, Jc,
                                   dt * Q)                  # env-last (·,·,N)
@@ -782,8 +920,10 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
         u_new = jax.scipy.linalg.cho_solve((L, True), rhs_t.T)
 
     u_new = _velocity_clamp(u_new, cfg)
+    onehot = jnp.asarray(_COMBINED_ONEHOT if cfg.self_contact
+                         else _CONTACT_ONEHOT)
     contact_force = _readback_contact(Jc, nrm, active, d_t, k_n, pen_f, dt,
-                                      d_n, u_new)
+                                      d_n, u_new, onehot)
     return _integrate_pose(model, state, u_new, dt, tree, contact_force)
 
 
@@ -804,13 +944,17 @@ def _velocity_clamp(u_new, cfg: EngineConfig):
     ], axis=-1)
 
 
-def _readback_contact(Jc, nrm, active, d_t, k_n, pen_f, dt, d_n, u_new):
+def _readback_contact(Jc, nrm, active, d_t, k_n, pen_f, dt, d_n, u_new,
+                      onehot=None):
     """Contact force readback (for resets/diagnostics). Deliberate
     readback/dynamics asymmetry: the linear implicit solve can transiently
     apply an adhesive ("glue") normal force on fast separation; PhysX
     contacts are unilateral, so we report the clamped force the reference
     would (keeps contact-force terminations from firing on penalty-model
-    artifacts)."""
+    artifacts). `onehot` (C, B) maps rows to per-body forces — signed for
+    self-contact pairs (+F on A, −F on B)."""
+    if onehot is None:
+        onehot = jnp.asarray(_CONTACT_ONEHOT)
     vpt_new = jnp.einsum("ncij,nj->nci", Jc, u_new)
     vn_new = jnp.sum(vpt_new * nrm, axis=-1)
     f_n = active * (k_n * pen_f - (dt * k_n + d_n) * vn_new)
@@ -818,7 +962,7 @@ def _readback_contact(Jc, nrm, active, d_t, k_n, pen_f, dt, d_n, u_new):
     vt_new = vpt_new - nrm * vn_new[..., None]
     f_t = -d_t[..., None] * vt_new * active[..., None]
     f_c = f_n[..., None] * nrm + f_t                     # (N,C,3)
-    return jnp.einsum("cb,nci->nbi", jnp.asarray(_CONTACT_ONEHOT), f_c)
+    return jnp.einsum("cb,nci->nbi", onehot, f_c)
 
 
 def _integrate_pose(model: Model, state: PhysicsState, u_new, dt, tree,

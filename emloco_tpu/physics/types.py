@@ -32,6 +32,11 @@ class EngineConfig(struct.PyTreeNode):
     contact_damping: float = struct.field(pytree_node=False, default=2000.0)
     friction_vel_ref: float = struct.field(pytree_node=False, default=0.05)
     max_friction_damping: float = struct.field(pytree_node=False, default=4000.0)
+    # intra-humanoid capsule-capsule contact over a fixed pair budget
+    # (reference capability: PhysX self-collision via asset options,
+    # humanoid.py:643-835). Off by default — locomotion rarely needs it;
+    # enable for getup/fall training where limbs land on the trunk.
+    self_contact: bool = struct.field(pytree_node=False, default=False)
     # depenetration clamp (PhysX maxDepenetrationVelocity analog): the spring
     # force sees at most this penetration, so a deep single-substep impact
     # can't inject unbounded energy through the explicit RHS term

@@ -13,7 +13,8 @@ from typing import Any, Optional
 
 import yaml
 
-from ..envs.pedestrian_terrain import EnvConfig
+from ..envs.getup import GetupEnvConfig
+from ..envs.pedestrian_terrain import DRConfig, EnvConfig
 from ..envs.traj_gen import TrajConfig
 from ..learning.amp_agent import AMPConfig
 from ..learning.value_train import ValueTrainConfig
@@ -41,6 +42,9 @@ class RunConfig:
     model: TransMotionConfig
     predict: PredictTrainConfig
     # run-level knobs
+    # env task family: "terrain" (HumanoidPedestrianTerrain), "getup"
+    # (…TerrainGetup fall-recovery variant), "hand" (…TerrainHand)
+    task: str = "terrain"
     seed: int = 0
     out_dir: str = "output/run"
     epochs: int = 1000
@@ -81,10 +85,14 @@ def load_config(yaml_path: Optional[str] = None,
 
     engine = _apply(EngineConfig, EngineConfig(), raw.get("engine", {}))
     traj = _apply(TrajConfig, TrajConfig(), raw.get("traj", {}))
+    dr = _apply(DRConfig, DRConfig(), raw.get("dr", {}))
+    task = str(raw.get("task", "terrain"))
+    env_cls = GetupEnvConfig if task == "getup" else EnvConfig
     env_over = dict(raw.get("env", {}))
-    env = _apply(EnvConfig, EnvConfig(engine=engine, traj=traj), env_over)
+    env = _apply(env_cls, env_cls(engine=engine, traj=traj, dr=dr), env_over)
     return RunConfig(
         env=env,
+        task=task,
         amp=_apply(AMPConfig, AMPConfig(), raw.get("amp", {})),
         value=_apply(ValueTrainConfig, ValueTrainConfig(),
                      raw.get("value", {})),

@@ -324,3 +324,68 @@ def test_tgs_step_matches_full_substeps():
     assert dx < 0.05, f"TGS diverged from full substeps by {dx:.3f} m"
     # still standing in both
     assert np.asarray(s_t.root_pos[:, 2]).min() > 0.5
+
+
+def test_self_contact_rest_clearance_and_pushout():
+    """Intra-humanoid capsule-capsule contact (reference capability: PhysX
+    self-collision via asset options, humanoid.py:643-835). Contract:
+    (1) the rest pose has clearance on every configured pair (no phantom
+    forces while walking); (2) with the flag on, an arm PD-held inside the
+    torso is pushed out with an equal-and-opposite force pair; with the
+    flag off it interpenetrates freely (the round-1 regression)."""
+    from emloco_tpu.physics import reduced as R
+    from emloco_tpu.physics import step as phys_step
+
+    model, terrain = make_world(2)
+    st = rest_state(model)
+    _, _, _, pen = R._self_contact_geometry(model, st.body_x, st.body_q)
+    assert np.asarray(pen).max() < -0.02   # ≥2 cm clearance at rest
+
+    # fold the left forearm into the torso (found by search: shoulder
+    # exp-map (-2.2,0,0) + elbow (0,1.2,0) -> L_Elbow/Torso overlap 0.14 m)
+    names = bm.BODY_NAMES
+    j_sh, j_el = names.index("L_Shoulder") - 1, names.index("L_Elbow") - 1
+    target = jnp.zeros((2, 23, 3))
+    target = target.at[:, j_sh, 0].set(-2.2).at[:, j_el, 1].set(1.2)
+    loc = quat.identity_like((2, bm.NUM_BODIES))
+    loc = loc.at[:, names.index("L_Shoulder")].set(
+        quat.exp_map_to_quat(target[:, j_sh]))
+    loc = loc.at[:, names.index("L_Elbow")].set(
+        quat.exp_map_to_quat(target[:, j_el]))
+    st0 = kinematic_state(model, TREE, jnp.asarray([[0., 0., 1.], [0., 0., 1.]]),
+                          quat.identity_like((2,)), loc)
+    _, _, _, pen0 = R._self_contact_geometry(model, st0.body_x, st0.body_q)
+    k = int(np.asarray(pen0)[0].argmax())
+    assert np.asarray(pen0)[:, k].min() > 0.08   # genuinely interpenetrated
+
+    for tgs in (False, True):
+        cfg_on = EngineConfig(n_substeps=2, self_contact=True, tgs_step=tgs)
+        cfg_off = EngineConfig(n_substeps=2, self_contact=False, tgs_step=tgs)
+        s_on, s_off = st0, st0
+        for _ in range(20):
+            s_on = phys_step(model, terrain, s_on, target, cfg_on, TREE)
+            s_off = phys_step(model, terrain, s_off, target, cfg_off, TREE)
+        assert np.isfinite(np.asarray(s_on.body_x)).all()
+        _, _, _, p_on = R._self_contact_geometry(model, s_on.body_x,
+                                                 s_on.body_q)
+        _, _, _, p_off = R._self_contact_geometry(model, s_off.body_x,
+                                                  s_off.body_q)
+        # contact resolves most of the overlap; without it the PD target
+        # keeps the arm buried
+        assert np.asarray(p_on)[:, k].max() < 0.03, (tgs, np.asarray(p_on)[:, k])
+        assert np.asarray(p_off)[:, k].min() > 0.08, (tgs, np.asarray(p_off)[:, k])
+
+    # reported forces: push-out on the arm, reaction into the trunk
+    cfg_on = EngineConfig(n_substeps=2, self_contact=True)
+    s1 = phys_step(model, terrain, st0, target, cfg_on, TREE)
+    f = np.asarray(s1.contact_force)
+    bA, bB = R._SELF_A[k], R._SELF_B[k]
+    assert np.abs(f[:, bA]).max() > 1.0         # arm body feels the pair force
+    # ground-only bodies unaffected by the flag at rest distances
+    s_rest = phys_step(model, terrain, rest_state(model),
+                       jnp.zeros((2, 23, 3)), cfg_on, TREE)
+    s_rest_off = phys_step(model, terrain, rest_state(model),
+                           jnp.zeros((2, 23, 3)),
+                           EngineConfig(n_substeps=2), TREE)
+    np.testing.assert_allclose(np.asarray(s_rest.body_x),
+                               np.asarray(s_rest_off.body_x), atol=1e-5)

@@ -170,3 +170,68 @@ def test_traj_bank_export_roundtrip(tmp_path):
     assert vels.shape[1:] == (2,)
     # spline endpoints interpolate the waypoints
     np.testing.assert_allclose(trajs[:, 0], 0.0, atol=1e-4)
+
+
+def test_scheduled_domain_randomization():
+    """Scheduled physical-property DR (reference apply_randomizations,
+    base_task.py:547-787): per-env scales sampled within ranges, frequency-
+    gated resampling at reset, and the scales actually reach the physics
+    (standing weight tracks the mass multiplier)."""
+    import jax
+    import jax.numpy as jnp
+    from emloco_tpu.envs import EnvConfig, PedestrianTerrainEnv
+    from emloco_tpu.envs.pedestrian_terrain import DRConfig
+    from emloco_tpu.kinematics import motion_lib as ml
+    from emloco_tpu.physics import flat_terrain
+
+    n = 8
+    cfg = EnvConfig(num_envs=n, sensor_res=8, episode_length=24,
+                    num_amp_obs_steps=3,
+                    dr=DRConfig(enabled=True, frequency=4))
+    env = PedestrianTerrainEnv(cfg, flat_terrain(extent=20.0, cell=0.1),
+                               ml.synthetic_walk_motions(speeds=(1.0,),
+                                                         duration=1.5))
+    st = env.reset(jax.random.PRNGKey(0))
+    s0 = np.asarray(st.dr_scales)
+    assert s0.shape == (n, 5)
+    assert not np.allclose(s0[:, 0], 1.0)            # sampled, not neutral
+    assert (s0[:, 0] >= 0.8 - 1e-6).all() and (s0[:, 0] <= 1.2 + 1e-6).all()
+    assert (np.abs(s0[:, 4]) <= 0.005 + 1e-6).all()  # rest offset additive
+    assert len(np.unique(s0[:, 0])) > 1              # per-env variation
+
+    # frequency gate: a reset before `frequency` steps keeps the scales
+    st1 = st.replace(dr_clock=jnp.asarray(2, jnp.int32))
+    r1 = env._auto_reset(st1, jnp.ones((n,), bool))
+    np.testing.assert_allclose(np.asarray(r1.dr_scales), s0)
+    # ... and after `frequency` steps resamples them
+    st2 = st.replace(dr_clock=jnp.asarray(10, jnp.int32))
+    r2 = env._auto_reset(st2, jnp.ones((n,), bool))
+    assert not np.allclose(np.asarray(r2.dr_scales), s0)
+    assert (np.asarray(r2.dr_last) == 10).all()
+
+    # physics effect: heavier envs press harder into the ground
+    heavy = st.replace(dr_scales=jnp.ones((n, 5)).at[:, 4].set(0.0)
+                       .at[:, 0].set(1.5))
+    light = st.replace(dr_scales=jnp.ones((n, 5)).at[:, 4].set(0.0))
+    a = jnp.zeros((n, env.cfg.num_actions))
+    fh = fl = None
+    sh, sl = heavy, light
+    for _ in range(8):          # settle
+        sh, _ = env.step(sh, a)
+        sl, _ = env.step(sl, a)
+    fh = np.asarray(sh.physics.contact_force[..., 2].sum(-1))
+    fl = np.asarray(sl.physics.contact_force[..., 2].sum(-1))
+    ratio = fh / np.maximum(fl, 1e-3)
+    assert 1.3 < np.median(ratio) < 1.7, ratio
+
+    # schedule ramp: intensity 0 at clock 0 -> neutral scales
+    cfg_r = cfg.replace(dr=DRConfig(enabled=True, schedule_steps=1000))
+    env_r = PedestrianTerrainEnv(cfg_r, flat_terrain(extent=20.0, cell=0.1),
+                                 ml.synthetic_walk_motions(speeds=(1.0,),
+                                                           duration=1.5))
+    str0 = env_r.reset(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(str0.dr_scales[:, :4]), 1.0,
+                               atol=1e-6)
+    half = env_r._sample_dr_scales(jax.random.PRNGKey(1), n,
+                                   jnp.asarray(500, jnp.int32))
+    assert np.abs(np.asarray(half[:, 0]) - 1.0).max() <= 0.1 + 1e-6

@@ -106,3 +106,22 @@ def test_hand_env_obs_and_reward():
     # targets persist within an episode, resample on done
     assert np.allclose(np.asarray(st2.hand_targets),
                        np.asarray(st.hand_targets))
+
+
+def test_getup_env_with_self_contact():
+    """Getup + intra-humanoid contact (the regime self-contact exists for):
+    fall-bank generation and recovery stepping stay finite with the flag on."""
+    from emloco_tpu.physics.types import EngineConfig
+
+    terrain, lib = _world()
+    cfg = GetupEnvConfig(num_envs=2, sensor_res=8, episode_length=12,
+                         num_amp_obs_steps=3, fall_init_prob=1.0,
+                         recovery_episode_prob=1.0, recovery_steps=6,
+                         fall_gen_steps=20,
+                         engine=EngineConfig(self_contact=True))
+    env = PedestrianTerrainGetupEnv(cfg, terrain, lib)
+    assert np.isfinite(np.asarray(env.fall_bank.body_x)).all()
+    st = env.reset(jax.random.PRNGKey(0))
+    for _ in range(3):
+        st, out = env.step(st, jnp.zeros((2, env.cfg.num_actions)))
+        assert np.isfinite(np.asarray(out.obs)).all()

@@ -109,3 +109,39 @@ def test_collect_vis_data_shapes():
     assert vis["obs"].shape == (4, 9, 2)
     assert vis["gt"].shape == (4, 12, 2)
     assert vis["pred"].shape[0] == 4 and vis["pred"].shape[2] == 3
+
+
+def test_policy_eval_artifacts(tmp_path):
+    """eval-policy observability bundle (reference amp_value_players.py:
+    129-275 scatter/histograms + base_task.py:799-844 reward-overlay video):
+    artifacts written and finite."""
+    import jax
+    from emloco_tpu.envs import EnvConfig, PedestrianTerrainEnv
+    from emloco_tpu.kinematics import motion_lib as ml
+    from emloco_tpu.learning.amp_agent import AMPAgent, AMPConfig
+    from emloco_tpu.learning.networks import ValuePoseNet
+    from emloco_tpu.learning.players import save_eval_artifacts
+    from emloco_tpu.learning.value_train import LocoValTrainer, \
+        ValueTrainConfig
+    from emloco_tpu.physics import flat_terrain
+
+    cfg = EnvConfig(num_envs=4, sensor_res=8, episode_length=12,
+                    num_amp_obs_steps=3)
+    env = PedestrianTerrainEnv(cfg, flat_terrain(extent=20.0, cell=0.1),
+                               ml.synthetic_walk_motions(speeds=(1.0,),
+                                                         duration=1.5))
+    agent = AMPAgent(env, AMPConfig(horizon=4, num_minibatches=2,
+                                    mini_epochs=1, amp_batch_size=8,
+                                    amp_replay_size=32))
+    ts = agent.init(jax.random.PRNGKey(0))
+    vnet = ValuePoseNet(use_pose=True, use_vel=True)
+    trainer = LocoValTrainer(agent, vnet,
+                             ValueTrainConfig(horizon=14, step_to_pred=8))
+    vts = trainer.init(ts, jax.random.PRNGKey(1))
+    vts, arts = save_eval_artifacts(trainer, vts, str(tmp_path),
+                                    name="test", num_epochs=2, gif_steps=6)
+    import os
+    assert os.path.exists(arts["gif"])
+    assert "scatter" in arts and os.path.exists(arts["scatter"])
+    assert os.path.exists(arts["hist"])
+    assert np.isfinite(arts["mse"])
