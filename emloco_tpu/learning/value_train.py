@@ -126,7 +126,8 @@ class LocoValTrainer:
 
             sample = dict(wp=wp[:, :self.vnet.num_waypoints], pose=pose,
                           vel=vel, target=target,
-                          valid=latch.astype(jnp.float32))
+                          valid=latch.astype(jnp.float32),
+                          inv=inverted.astype(jnp.float32))
 
             already = (already | latch) & (~out.done)
             cum = jnp.where(out.done, 0.0, cum)
@@ -167,9 +168,17 @@ class LocoValTrainer:
 
         ts = ts.replace(vnet_params=vnet_params, vnet_opt=vnet_opt,
                         epoch=ts.epoch + 1)
+        inv = s["inv"]
         metrics = dict(vnet_loss=loss, num_latched=valid.sum(),
                        mean_target=(target * valid).sum()
-                       / jnp.maximum(valid.sum(), 1.0))
+                       / jnp.maximum(valid.sum(), 1.0),
+                       # hard-negative visibility: what fraction of latched
+                       # episodes were heading-inverted, and how depressed
+                       # their latched targets are vs the positives
+                       inverted_frac=(inv * valid).sum()
+                       / jnp.maximum(valid.sum(), 1.0),
+                       inverted_target=(target * valid * inv).sum()
+                       / jnp.maximum((valid * inv).sum(), 1.0))
         return ts, metrics
 
     @functools.partial(jax.jit, static_argnums=0)
