@@ -21,6 +21,131 @@ except Exception:
     pass
 
 
+def _timed(fn, *args):
+    """Compile + warm, then time one call (trust large scanned programs over
+    microbenchmarks through the tunnel — CLAUDE.md)."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
+
+
+def breakdown():
+    """Device-time attribution (physics / sensor / full step / PPO update)
+    via ablation timings at bench scale, an XLA-cost-analysis MFU estimate
+    for the compiled training epoch, and sensor-variant step rates.
+    Prints one JSON line per row; rows land in RESULTS.md."""
+    num_envs = int(os.environ.get("BENCH_ENVS", 4096))
+    steps = int(os.environ.get("BENCH_STEPS", 32))
+
+    import jax.numpy as jnp
+
+    from emloco_tpu.envs import EnvConfig, PedestrianTerrainEnv
+    from emloco_tpu.kinematics import motion_lib as ml
+    from emloco_tpu.learning.amp_agent import AMPAgent, AMPConfig
+    from emloco_tpu.physics import generate_mixed_terrain
+    from emloco_tpu.physics.reduced import step as physics_step
+
+    terrain = generate_mixed_terrain(map_length=8.0, num_tiles=2,
+                                     difficulty=0.5)
+    lib = ml.synthetic_walk_motions(speeds=(1.0, 1.5), duration=2.0)
+    rows = []
+
+    def env_step_rate(tag, cfg):
+        env = PedestrianTerrainEnv(cfg, terrain, lib)
+        state = env.reset(jax.random.PRNGKey(0))
+        actions = jax.random.uniform(
+            jax.random.PRNGKey(1), (cfg.num_envs, cfg.num_actions),
+            minval=-0.3, maxval=0.3)
+
+        @jax.jit
+        def roll(s):
+            def body(c, _):
+                c, out = env.step(c, actions)
+                return c, out.reward.sum()
+            return jax.lax.scan(body, s, None, length=steps)
+
+        dt = _timed(roll, state)
+        rows.append(dict(metric=tag, value=round(cfg.num_envs * steps / dt, 1),
+                         unit="env_steps/s"))
+        return env, state
+
+    base_cfg = EnvConfig(num_envs=num_envs, sensor_res=32,
+                         episode_length=168, num_amp_obs_steps=15)
+    env, state = env_step_rate("full env step", base_cfg)
+
+    # physics only (fixed PD targets, no obs/reward/reset)
+    import emloco_tpu.kinematics.body_model as bm
+    tgt = jnp.zeros((num_envs, bm.NUM_JOINTS, 3))
+
+    @jax.jit
+    def phys_roll(ph):
+        def body(p, _):
+            return physics_step(env.model, env.terrain, p, tgt,
+                                base_cfg.engine, env.tree), ()
+        return jax.lax.scan(body, ph, None, length=steps)[0]
+
+    dt_phys = _timed(phys_roll, state.physics)
+    rows.append(dict(metric="physics only", value=round(
+        num_envs * steps / dt_phys, 1), unit="env_steps/s"))
+
+    # sensor/obs only — the carry perturbs the state so the scan body can't
+    # be hoisted as loop-invariant
+    @jax.jit
+    def obs_roll(s):
+        def body(c, _):
+            st = s.replace(physics=s.physics.replace(
+                body_x=s.physics.body_x + c * 1e-20))
+            o = env.observe(st)
+            return o.sum() * 1e-20, ()
+        return jax.lax.scan(body, jnp.float32(0.0), None, length=steps)[0]
+
+    dt_obs = _timed(obs_roll, state)
+    rows.append(dict(metric="sensor/obs only", value=round(
+        num_envs * steps / dt_obs, 1), unit="env_steps/s"))
+
+    # sensor variants (velocity map, self-contact) at the same scale
+    env_step_rate("velocity-map sensor variant",
+                  base_cfg.replace(velocity_map=True))
+    env_step_rate("self-contact enabled",
+                  base_cfg.replace(engine=base_cfg.engine.replace(
+                      self_contact=True)))
+
+    # PPO training epoch at reference scale: wall time + XLA flop count
+    tr_envs = int(os.environ.get("BENCH_TRAIN_ENVS", 1600))
+    tcfg = EnvConfig(num_envs=tr_envs, sensor_res=32, episode_length=168,
+                     num_amp_obs_steps=15)
+    tenv = PedestrianTerrainEnv(tcfg, terrain, lib)
+    agent = AMPAgent(tenv, AMPConfig(horizon=32, num_minibatches=20,
+                                     mini_epochs=6, amp_batch_size=512))
+    ts = agent.init(jax.random.PRNGKey(0))
+    dt_ep = _timed(lambda t: agent.train_epoch(t)[0], ts)
+    steps_per_epoch = 32 * tr_envs
+    rows.append(dict(metric=f"train epoch at {tr_envs} envs", value=round(
+        steps_per_epoch / dt_ep, 1), unit="env_steps/s incl. update"))
+
+    # MFU: XLA-counted flops for the whole fused epoch / measured wall /
+    # v5e bf16 peak (197 TFLOP/s; f32 matmuls run the MXU at half rate, so
+    # this is a conservative denominator)
+    try:
+        lowered = jax.jit(lambda t: agent.train_epoch(t)[0]).lower(ts)
+        cost = lowered.compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+        peak = 197e12
+        rows.append(dict(metric="train epoch MFU (vs v5e bf16 peak)",
+                         value=round(flops / dt_ep / peak, 4), unit="",
+                         flops_per_epoch=flops, epoch_seconds=round(dt_ep, 3)))
+    except Exception as e:  # cost analysis unsupported through the tunnel
+        rows.append(dict(metric="train epoch MFU", value=None,
+                         error=f"cost_analysis unavailable: {e}"))
+
+    for r in rows:
+        print(json.dumps(r))
+
+
 def main():
     num_envs = int(__import__("os").environ.get("BENCH_ENVS", 4096))
     steps = int(__import__("os").environ.get("BENCH_STEPS", 32))
@@ -67,4 +192,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--breakdown" in sys.argv:
+        breakdown()
+    else:
+        main()

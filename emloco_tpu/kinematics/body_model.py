@@ -50,6 +50,7 @@ PARENTS = np.array([
 
 NUM_BODIES = len(BODY_NAMES)     # 24
 NUM_JOINTS = NUM_BODIES - 1      # 23 actuated spherical joints
+MESH_K = 6                       # collision spheres per body (mesh variant)
 NUM_DOF = NUM_JOINTS * 3         # 69
 
 # Mean-shape local joint offsets in parent frame (meters, z-up, x forward).
@@ -180,6 +181,13 @@ class BodyParams(struct.PyTreeNode):
     betas: jnp.ndarray            # (N, 16) the generating shape params
     height_offset: jnp.ndarray    # (N,) rest pelvis height above ground
     friction_scale: jnp.ndarray   # (N,) per-env friction multiplier (DR)
+    # mesh-geom collision variant (reference get_joint_geometries,
+    # smpl_local_robot.py:83-146 builds per-beta vertex colliders): MESH_K
+    # inscribed-sphere centers per body in the COM frame + radii. Static
+    # shapes so the contact table compiles; consumed when
+    # EngineConfig.mesh_contacts is on.
+    mesh_points: jnp.ndarray = None        # (N, 24, MESH_K, 3)
+    mesh_point_radius: jnp.ndarray = None  # (N, 24, MESH_K)
 
     @property
     def num_envs(self) -> int:
@@ -323,12 +331,23 @@ def build_body_params(
     end_lo = jnp.minimum(seg0_z, seg0_z + bone_z) - radius
     height_offset = -jnp.min(end_lo, axis=-1) + 0.01
 
+    # default mesh colliders: MESH_K spheres along the capsule axis — exactly
+    # the capsule's support on flat ground (the segment's inscribed spheres),
+    # denser sampling than the two end spheres on rough terrain.
+    # from_smpl_npz replaces these with spheres fit to the skinned verts.
+    ts = jnp.linspace(-1.0, 1.0, MESH_K)
+    mesh_points = (axis[:, :, None, :]
+                   * (half[:, :, None] * ts[None, None, :])[..., None])
+    mesh_radius = jnp.broadcast_to(radius[:, :, None], (N, B, MESH_K))
+
     return BodyParams(
         local_offsets=offsets,
         capsule_radius=radius,
         capsule_half=half,
         capsule_axis=axis,
         capsule_start=start,
+        mesh_points=mesh_points,
+        mesh_point_radius=mesh_radius,
         mass=mass,
         inv_mass=1.0 / mass,
         inertia=inertia,
@@ -431,5 +450,43 @@ def from_smpl_npz(path: str, betas: jnp.ndarray, **kw) -> BodyParams:
     for j in range(1, NUM_BODIES):
         offsets[:, j] = joints[:, j] - joints[:, PARENTS[j]]
 
-    return build_body_params(jnp.asarray(betas_np),
-                             offsets_override=jnp.asarray(offsets), **kw)
+    bp = build_body_params(jnp.asarray(betas_np),
+                           offsets_override=jnp.asarray(offsets), **kw)
+
+    # mesh-geom colliders from the real skinned vertex cloud (reference
+    # get_joint_geometries, smpl_local_robot.py:83-146 builds per-beta vertex
+    # colliders): per body, farthest-point-sample MESH_K verts (owner = argmax
+    # skinning weight) and fit tangent inscribed spheres — center at γ·v in
+    # the COM frame, radius (1−γ)·‖v‖, so each sphere surface passes through
+    # its vert. Static shapes; sample indices chosen on env 0 and shared.
+    wkey = "weights" if "weights" in data else "lbs_weights"
+    if wkey in data:
+        w = np.asarray(data[wkey], np.float32)                 # (V,24)
+        verts = v @ R.T                                        # (N,V,3) z-up
+        owner = np.argmax(w, axis=-1)                          # (V,)
+        com_off = np.asarray(bp.capsule_start
+                             + bp.capsule_axis * bp.capsule_half[..., None])
+        com_rest = joints + com_off                            # (N,24,3)
+        gamma = 0.8
+        Nn = verts.shape[0]
+        centers = np.zeros((Nn, NUM_BODIES, MESH_K, 3), np.float32)
+        radii = np.zeros((Nn, NUM_BODIES, MESH_K), np.float32)
+        for b in range(NUM_BODIES):
+            sel = np.nonzero(owner == b)[0]
+            if sel.size == 0:          # unskinned body: keep capsule spheres
+                centers[:, b] = np.asarray(bp.mesh_points[:, b])
+                radii[:, b] = np.asarray(bp.mesh_point_radius[:, b])
+                continue
+            loc0 = verts[0, sel] - com_rest[0, b]              # env-0 cloud
+            picks = [int(np.argmax(np.linalg.norm(loc0, axis=-1)))]
+            d = np.linalg.norm(loc0 - loc0[picks[0]], axis=-1)
+            while len(picks) < MESH_K:
+                picks.append(int(np.argmax(d)))
+                d = np.minimum(
+                    d, np.linalg.norm(loc0 - loc0[picks[-1]], axis=-1))
+            vloc = verts[:, sel[picks]] - com_rest[:, b:b + 1]  # (N,K,3)
+            centers[:, b] = gamma * vloc
+            radii[:, b] = (1.0 - gamma) * np.linalg.norm(vloc, axis=-1)
+        bp = bp.replace(mesh_points=jnp.asarray(centers),
+                        mesh_point_radius=jnp.asarray(radii))
+    return bp

@@ -432,10 +432,6 @@ def _point_jacobians(points, bodies, term2):
     return jnp.concatenate([eye, term1 + term2c], axis=-1)  # (N,C,3,75)
 
 
-def _contact_jacobians(points, term2):
-    return _point_jacobians(points, _CONTACT_BODY, term2)
-
-
 def _capsule_segments(model: Model, x, q, bodies):
     """World-space segment endpoints of the capsules of `bodies`."""
     p = model.params
@@ -611,6 +607,39 @@ _SELF_ONEHOT = (np.eye(B, dtype=np.float32)[_SELF_A]
                 - np.eye(B, dtype=np.float32)[_SELF_B])
 _COMBINED_ONEHOT = np.concatenate([_CONTACT_ONEHOT, _SELF_ONEHOT], axis=0)
 
+# --- mesh-geom ground-contact variant (reference get_joint_geometries,
+# smpl_local_robot.py:83-146: per-beta mesh colliders): same contact bodies,
+# MESH_K inscribed spheres each from BodyParams.mesh_points (capsule-axis
+# spheres by default; SMPL-vert-fit spheres via from_smpl_npz) ---
+_MESH_BODY_U = np.array([bm.BODY_NAMES.index(n) for n in _CONTACT_BODY_NAMES])
+_MESH_BODY = np.repeat(_MESH_BODY_U, bm.MESH_K)
+_MESH_ONEHOT = np.eye(B, dtype=np.float32)[_MESH_BODY]
+NC_MESH = len(_MESH_BODY)
+
+
+def _readback_onehot(cfg):
+    ground = _MESH_ONEHOT if cfg.mesh_contacts else _CONTACT_ONEHOT
+    if cfg.self_contact:
+        return jnp.asarray(np.concatenate([ground, _SELF_ONEHOT], axis=0))
+    return jnp.asarray(ground)
+
+
+def _ground_geometry(model: Model, x, q, cfg):
+    """Ground-contact sample set: (points (N,C,3), per-row radius (N,C),
+    static row→body index). Capsule end-spheres by default; the mesh variant
+    swaps in the per-beta collision spheres with identical row semantics."""
+    if cfg.mesh_contacts:
+        mp = model.params.mesh_points[:, _MESH_BODY_U]       # (N,14,K,3)
+        mr = model.params.mesh_point_radius[:, _MESH_BODY_U]
+        N = x.shape[0]
+        pts = (x[:, _MESH_BODY_U, None]
+               + quat.rotate(q[:, _MESH_BODY_U, None], mp))
+        return (pts.reshape(N, NC_MESH, 3), mr.reshape(N, NC_MESH),
+                _MESH_BODY)
+    pts = _contact_points(model, x, q)
+    radius = model.params.capsule_radius[:, _CONTACT_BODY]
+    return pts, radius, _CONTACT_BODY
+
 
 def _contact_points(model: Model, x, q):
     """Capsule end-sphere centers: body_x is the capsule center (COM), so the
@@ -709,8 +738,7 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
         def resolve(rhs):
             return jax.scipy.linalg.cho_solve((L, True), rhs.T)
 
-    onehot = jnp.asarray(_COMBINED_ONEHOT if cfg.self_contact
-                         else _CONTACT_ONEHOT)
+    onehot = _readback_onehot(cfg)
     u_new = _velocity_clamp(resolve(rhs_t), cfg)
     contact_force = _readback_contact(Jc, nrm, active, d_t, k_n, pen_f,
                                       dt, d_n, u_new, onehot)
@@ -721,9 +749,11 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
     # and the reused factorization — the PhysX-per-step staleness envelope,
     # at half the per-substep cost (no Jacobian rebuild, no assembly, no
     # factorization) ----
+    ng = radius.shape[1]          # ground rows (capsule or mesh table)
+
     def resolve_substep(st, _):
-        pts = _contact_points(model, st.body_x, st.body_q)
-        pen = (h0 + radius - pts[..., 2]) * nrm[:, :NC, 2]
+        pts, _, _ = _ground_geometry(model, st.body_x, st.body_q, cfg)
+        pen = (h0 + radius - pts[..., 2]) * nrm[:, :ng, 2]
         if cfg.self_contact:
             # fresh pair separations along the (cheap) closest-point
             # geometry; Jacobians/normals stay substep-1 stale like ground
@@ -767,12 +797,11 @@ def _contact_and_jacobians(model: Model, terrain, st: PhysicsState,
         jnp.repeat(diag_joint, 3, axis=-1),
     ], axis=-1)
 
-    pts = _contact_points(model, x, q)
-    radius = p.capsule_radius[:, _CONTACT_BODY]
+    pts, radius, ground_body = _ground_geometry(model, x, q, cfg)
     h, nrm = height_and_normal_at(terrain, pts[..., :2])
     pen = (h + radius - pts[..., 2]) * nrm[..., 2]
     active = (pen > 0.0).astype(x.dtype)
-    Jc = _contact_jacobians(pts, term2)
+    Jc = _point_jacobians(pts, ground_body, term2)
     vpt = jnp.einsum("ncij,nj->nci", Jc, u)
     vn = jnp.sum(vpt * nrm, axis=-1)
     vt = vpt - nrm * vn[..., None]
@@ -850,13 +879,12 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
 
     # ---- contacts: implicit spring-damper normal + Coulomb-capped viscous
     # friction, active-set masked ----
-    pts = _contact_points(model, x, q)                   # (N,48,3)
-    radius = p.capsule_radius[:, _CONTACT_BODY]          # (N,48)
+    pts, radius, ground_body = _ground_geometry(model, x, q, cfg)
     h, nrm = height_and_normal_at(terrain, pts[..., :2])  # one packed gather
     pen = (h + radius - pts[..., 2]) * nrm[..., 2]
     active = (pen > 0.0).astype(x.dtype)
 
-    Jc = _contact_jacobians(pts, term2)                  # (N,C,3,75)
+    Jc = _point_jacobians(pts, ground_body, term2)       # (N,C,3,75)
     # point velocities
     vpt = jnp.einsum("ncij,nj->nci", Jc, u)
     vn = jnp.sum(vpt * nrm, axis=-1)
@@ -920,10 +948,8 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
         u_new = jax.scipy.linalg.cho_solve((L, True), rhs_t.T)
 
     u_new = _velocity_clamp(u_new, cfg)
-    onehot = jnp.asarray(_COMBINED_ONEHOT if cfg.self_contact
-                         else _CONTACT_ONEHOT)
     contact_force = _readback_contact(Jc, nrm, active, d_t, k_n, pen_f, dt,
-                                      d_n, u_new, onehot)
+                                      d_n, u_new, _readback_onehot(cfg))
     return _integrate_pose(model, state, u_new, dt, tree, contact_force)
 
 

@@ -37,6 +37,12 @@ class EngineConfig(struct.PyTreeNode):
     # humanoid.py:643-835). Off by default — locomotion rarely needs it;
     # enable for getup/fall training where limbs land on the trunk.
     self_contact: bool = struct.field(pytree_node=False, default=False)
+    # mesh-geom ground contact (reference get_joint_geometries,
+    # smpl_local_robot.py:83-146 per-beta mesh colliders): sample the ground
+    # against BodyParams.mesh_points inscribed spheres (MESH_K per contact
+    # body) instead of the two capsule end-spheres. Off by default — the
+    # capsule table is the PD-locomotion workhorse at 1/3 the contact rows.
+    mesh_contacts: bool = struct.field(pytree_node=False, default=False)
     # depenetration clamp (PhysX maxDepenetrationVelocity analog): the spring
     # force sees at most this penetration, so a deep single-substep impact
     # can't inject unbounded energy through the explicit RHS term

@@ -389,3 +389,62 @@ def test_self_contact_rest_clearance_and_pushout():
                            EngineConfig(n_substeps=2), TREE)
     np.testing.assert_allclose(np.asarray(s_rest.body_x),
                                np.asarray(s_rest_off.body_x), atol=1e-5)
+
+
+def test_mesh_contact_variant():
+    """Mesh-geom ground contact (reference capability: per-beta mesh
+    colliders, smpl_local_robot.py:83-146 get_joint_geometries). Contract:
+    (1) with the default capsule-derived collision spheres, the standing
+    humanoid carries its weight and holds pose like the capsule table;
+    (2) mesh rows attribute force to the same bodies (feet); (3) the TGS
+    path runs the variant too."""
+    model, terrain = make_world(1)
+    st0 = rest_state(model)
+    weight = float(model.params.mass[0].sum() * 9.81)
+
+    for tgs in (False, True):
+        cfg = EngineConfig(n_substeps=4, mesh_contacts=True, tgs_step=tgs)
+        st = st0
+        for _ in range(20):
+            st = step(model, terrain, st, jnp.zeros((1, 23, 3)), cfg)
+        total_fz = float(st.contact_force[0, :, 2].sum())
+        assert abs(total_fz - weight) / weight < 0.1, (tgs, total_fz, weight)
+        # force lands on the feet, not the trunk, at rest
+        feet = [bm.BODY_NAMES.index(n)
+                for n in ("L_Ankle", "R_Ankle", "L_Toe", "R_Toe")]
+        fz = np.asarray(st.contact_force[0, :, 2])
+        assert fz[feet].sum() > 0.9 * total_fz, fz
+        # still standing, joints near rest
+        assert float(st.root_pos[0, 2]) > 0.5 * float(
+            model.params.height_offset[0])
+
+
+def test_mesh_points_from_smpl_fixture():
+    """from_smpl_npz fits per-beta collision spheres to the skinned verts:
+    static (N, 24, MESH_K) shapes, every sphere inside ~the body's capsule
+    ball, and the sphere surfaces touch their generating verts (tangent
+    construction)."""
+    import os
+
+    from emloco_tpu.kinematics.body_model import from_smpl_npz
+
+    path = os.path.join(os.path.dirname(__file__), "data", "smpl_fixture.npz")
+    betas = jnp.zeros((2, 10)).at[1, 0].set(1.0)
+    bp = from_smpl_npz(path, betas)
+    assert bp.mesh_points.shape == (2, bm.NUM_BODIES, bm.MESH_K, 3)
+    assert bp.mesh_point_radius.shape == (2, bm.NUM_BODIES, bm.MESH_K)
+    r = np.asarray(bp.mesh_point_radius)
+    assert (r >= 0.0).all() and r.max() < 0.3, (r.min(), r.max())
+    # center + radius reaches the generating vert: ‖c‖ + r = ‖v‖ by
+    # construction (γ-shrink tangent spheres), so the farthest support
+    # distance stays within the vert cloud's extent
+    c = np.linalg.norm(np.asarray(bp.mesh_points), axis=-1)
+    assert (c + r < 1.2).all()
+    # the mesh variant runs end-to-end with real-weights params
+    model = build_model(bp)
+    terrain = flat_terrain(extent=20.0, cell=0.1)
+    st = rest_state(model)
+    cfg = EngineConfig(n_substeps=2, mesh_contacts=True)
+    for _ in range(5):
+        st = step(model, terrain, st, jnp.zeros((2, 23, 3)), cfg)
+    assert np.isfinite(np.asarray(st.body_x)).all()
