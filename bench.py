@@ -126,6 +126,17 @@ def breakdown():
     rows.append(dict(metric=f"train epoch at {tr_envs} envs", value=round(
         steps_per_epoch / dt_ep, 1), unit="env_steps/s incl. update"))
 
+    # mixed-precision variant: bf16 hidden matmuls in actor/critic/disc
+    # (f32 params/heads) — the MXU-bound half of the epoch at scale
+    agent16 = AMPAgent(tenv, AMPConfig(horizon=32, num_minibatches=20,
+                                       mini_epochs=6, amp_batch_size=512,
+                                       hidden_bf16=True))
+    ts16 = agent16.init(jax.random.PRNGKey(0))
+    dt16 = _timed(lambda t: agent16.train_epoch(t)[0], ts16)
+    rows.append(dict(metric=f"train epoch at {tr_envs} envs (hidden_bf16)",
+                     value=round(steps_per_epoch / dt16, 1),
+                     unit="env_steps/s incl. update"))
+
     # MFU: XLA-counted flops for the whole fused epoch / measured wall /
     # v5e bf16 peak (197 TFLOP/s; f32 matmuls run the MXU at half rate, so
     # this is a conservative denominator)

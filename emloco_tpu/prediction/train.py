@@ -189,6 +189,10 @@ class PredictorTrainer:
                     best_ade = evals["ade_min"]
                     best_params = ts.params
             history.append(entry)
+            # stream progress: multi-hour chip phases must be observable
+            # before fit() returns (the jsonl logger only writes at the end)
+            print({k: round(v, 4) if isinstance(v, float) else v
+                   for k, v in entry.items()}, flush=True)
         return ts, history, best_params
 
     def evaluate(self, params, dataset, batch_size, num_batches):

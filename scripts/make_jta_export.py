@@ -16,9 +16,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # force CPU — the ambient env binds the axon TPU tunnel otherwise, and this
-# is host-side data generation that must not contend with chip jobs
+# is host-side data generation that must not contend with chip jobs. The
+# axon sitecustomize runs before this file, so the env vars alone are too
+# late: the in-process config update is the authoritative switch.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 from emloco_tpu.prediction.data import SyntheticScenes, write_ndjson_all_cues  # noqa: E402
 

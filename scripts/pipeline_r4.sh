@@ -50,18 +50,12 @@ phase "$OUT/eval_grid.done" "eval grid" \
     --games 4 out_dir=$OUT env.num_envs=1024 \
   && touch $OUT/eval_grid.done"
 
-# 4. predictor trained on-chip with the EmLoco value loss against the NEW
-#    valuenet (scanned encoder stacks keep the compile tractable)
-phase "$OUT/predictor_best.ckpt" "predictor (EmLoco loss, scanned)" \
-  $RUN train-predictor --config configs/jta_predictor.yaml \
-    --valuenet $OUT/valuenet_00000399.ckpt \
-    --batch-size 16 --batches 100 out_dir=$OUT epochs=30
-
-# 5. filter eval: value-pick vs random vs oracle ADE + plots + obs-length sweep
-phase "$OUT/eval_pred.done" "eval predictor (LocoVal filter)" \
-  bash -c "$RUN eval-predictor --config configs/jta_predictor.yaml \
-    --predictor $OUT/predictor_best.ckpt --valuenet $OUT/valuenet_00000399.ckpt \
-    --batch-size 16 --batches 40 --plots --all-frames out_dir=$OUT \
-  && touch $OUT/eval_pred.done"
+# 4/5. predictor training + filter eval moved to pipeline_r4b.sh: the
+# in-memory SyntheticScenes dataset regenerates every scene host-side each
+# epoch (FK-heavy, ~minutes/epoch of pure data gen), while the ndjson path
+# pre-windows the faithful-format exports once and samples from memory —
+# and it exercises the real-data ingestion the reference's results run on.
+# pipeline_r4d.sh re-runs the r3 synthetic filter eval against this round's
+# valuenet for the hard-negative comparison.
 
 echo "=== pipeline_r4 complete $(date -u)" >> "$LOG"
