@@ -451,6 +451,7 @@ class PedestrianTerrainEnv:
             kd=p.kd * kd[:, None],
             friction_scale=p.friction_scale * fr,
             capsule_radius=p.capsule_radius + ro[:, None],
+            mesh_point_radius=p.mesh_point_radius + ro[:, None, None],
         )
         return self.model.replace(params=p)
 

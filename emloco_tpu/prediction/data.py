@@ -208,9 +208,10 @@ class SyntheticScenes:
         padding_mask = np.ones((B, N), bool)
         obs = tokens[:, :OBS_FRAMES]
         gt_future = tokens[:, OBS_FRAMES:, 0, 0, :2]
-        return SceneBatch(jnp.asarray(obs), jnp.asarray(padding_mask),
-                          jnp.asarray(gt_future), jnp.asarray(init_pose),
-                          jnp.asarray(init_vel))
+        # host numpy, not device arrays: fit() stacks a whole epoch of
+        # batches and transfers once — per-batch device_put through the
+        # remote-TPU tunnel costs a round-trip per field (250/epoch)
+        return SceneBatch(obs, padding_mask, gt_future, init_pose, init_vel)
 
     def batches(self, batch_size, num_batches) -> Iterator:
         for _ in range(num_batches):
@@ -455,9 +456,9 @@ class NdjsonScenes:
         tokens, _ = normalize_scene(tokens)
         obs = tokens[:, :OBS_FRAMES]
         gt_future = tokens[:, OBS_FRAMES:, 0, 0, :2]
-        return SceneBatch(jnp.asarray(obs), jnp.asarray(mask),
-                          jnp.asarray(gt_future), jnp.asarray(init_pose),
-                          jnp.asarray(init_vel))
+        # host numpy (see SyntheticScenes.batch): one device transfer per
+        # stacked epoch in fit(), not five per batch through the tunnel
+        return SceneBatch(obs, mask, gt_future, init_pose, init_vel)
 
     def batches(self, batch_size, num_batches) -> Iterator:
         for _ in range(num_batches):

@@ -126,9 +126,12 @@ class EncoderStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):
-        body = nn.remat(_ScanBody, static_argnums=(3,))
+        # no nn.remat: at this model size (S=453, D=128) saved activations
+        # are tens of MB/layer, while remat's custom-VJP scan bodies
+        # multiplied XLA compile time (measured ~5 min on XLA:CPU for the
+        # full train epoch — hours through the remote-TPU compile service)
         stack = nn.scan(
-            body,
+            _ScanBody,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(nn.broadcast, nn.broadcast),

@@ -78,14 +78,21 @@ class PredictorTrainer:
         )
 
     def _value_loss(self, vnet_params, pred_modes, init_pose, init_vel):
-        """EmLoco loss, averaged over heads (train_jta.py:288-308)."""
+        """EmLoco loss, averaged over heads (train_jta.py:288-308).
+
+        All nmode heads fold into the batch axis for ONE vnet apply — the
+        round-1 per-head Python loop traced 20 separate MLP applies (plus
+        their gradients) into the train step and dominated its XLA compile
+        time."""
         B, Fp, Mm, _ = pred_modes.shape
-        losses = []
-        for m in range(Mm):
-            traj = data_mod.prepend_origin(pred_modes[:, :, m])  # (B,Fp+1,2)
-            v = self.vnet.apply(vnet_params, traj, init_pose, init_vel)
-            losses.append(jnp.mean((v - 1.0) ** 2))
-        return jnp.stack(losses).mean()
+        flat = jnp.moveaxis(pred_modes, 2, 1).reshape(B * Mm, Fp, 2)
+        traj = data_mod.prepend_origin(flat)                 # (B·M,Fp+1,2)
+        pose = (None if init_pose is None
+                else jnp.repeat(init_pose, Mm, axis=0))
+        vel = (None if init_vel is None
+               else jnp.repeat(init_vel, Mm, axis=0))
+        v = self.vnet.apply(vnet_params, traj, pose, vel)
+        return jnp.mean((v - 1.0) ** 2)
 
     @functools.partial(jax.jit, static_argnums=0)
     def train_step(self, ts: PredictTrainState, obs, mask, gt_future,

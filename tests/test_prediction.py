@@ -102,6 +102,28 @@ def test_train_with_emloco_loss():
     assert float(aux["value_loss"]) > 0
 
 
+def test_value_loss_fold_matches_per_head_loop():
+    """The mode-folded single vnet apply must equal the reference's per-head
+    loop (train_jta.py:288-308): mean over heads of mean-squared (v-1)."""
+    vnet = ValuePoseNet(use_pose=True, use_vel=True)
+    key = jax.random.PRNGKey(3)
+    vp = vnet.init(key, jnp.zeros((1, 13, 2)), jnp.zeros((1, 24, 3)),
+                   jnp.zeros((1, 2)))
+    trainer = PredictorTrainer(TINY, PredictTrainConfig(), vnet=vnet)
+    B, Fp, Mm = 3, 12, 4
+    ks = jax.random.split(key, 3)
+    pred = jax.random.normal(ks[0], (B, Fp, Mm, 2))
+    pose = jax.random.normal(ks[1], (B, 24, 3)) * 0.3
+    vel = jax.random.normal(ks[2], (B, 2))
+    folded = float(trainer._value_loss(vp, pred, pose, vel))
+    per_head = []
+    for m in range(Mm):
+        traj = data_mod.prepend_origin(pred[:, :, m])
+        v = vnet.apply(vp, traj, pose, vel)
+        per_head.append(float(jnp.mean((v - 1.0) ** 2)))
+    np.testing.assert_allclose(folded, np.mean(per_head), rtol=1e-5)
+
+
 def test_evaluate_with_filter():
     ds = data_mod.SyntheticScenes(num_people=2, seed=1)
     vnet = ValuePoseNet(use_pose=True, use_vel=True)
