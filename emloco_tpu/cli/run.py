@@ -247,11 +247,18 @@ def cmd_train_predictor(cfg, args):
     if args.valuenet:
         vnet = ValuePoseNet(use_pose=True, use_vel=True)
         vp, _ = load_pytree(args.valuenet)
+    import time
+    t0 = time.time()
     trainer = PredictorTrainer(cfg.model, cfg.predict, vnet=vnet)
     ds = _pred_dataset(cfg)
     eval_ds = _pred_dataset(cfg, seed_offset=1)
+    nw = lambda d: len(d) if hasattr(d, "__len__") else -1  # noqa: E731
+    print(f"[train-predictor] datasets ready ({nw(ds)}/{nw(eval_ds)} "
+          f"windows, {time.time() - t0:.0f}s)", flush=True)
     batch = ds.batch(args.batch_size)
     ts = trainer.init(jax.random.PRNGKey(cfg.seed), batch, vnet_params=vp)
+    print(f"[train-predictor] params initialized "
+          f"({time.time() - t0:.0f}s)", flush=True)
     if args.resume:
         # reference train_jta.py --resume (:430-440)
         blob = trainer.load_checkpoint(args.resume)

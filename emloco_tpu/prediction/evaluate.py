@@ -27,61 +27,88 @@ FILTER_THRESHOLD = 0.7  # evaluate_jta.py:526
 
 def score_modes(vnet: ValuePoseNet, vnet_params, pred_modes, init_pose,
                 init_vel):
-    """Plausibility value per head: (B,Fp,M,2) → (B,M)."""
+    """Plausibility value per head: (B,Fp,M,2) → (B,M). Heads fold into the
+    batch axis for one vnet apply (a per-head loop dispatches M eager MLP
+    applies — one RPC per op on the remote-TPU backend)."""
     B, Fp, Mm, _ = pred_modes.shape
-    vals = []
-    for m in range(Mm):
-        traj = data_mod.prepend_origin(pred_modes[:, :, m])
-        vals.append(vnet.apply(vnet_params, traj, init_pose, init_vel))
-    return jnp.stack(vals, -1)
+    flat = jnp.moveaxis(pred_modes, 2, 1).reshape(B * Mm, Fp, 2)
+    traj = data_mod.prepend_origin(flat)
+    pose = None if init_pose is None else jnp.repeat(init_pose, Mm, axis=0)
+    vel = None if init_vel is None else jnp.repeat(init_vel, Mm, axis=0)
+    v = vnet.apply(vnet_params, traj, pose, vel)
+    return v.reshape(B, Mm)
 
 
 def evaluate_with_filter(trainer, params, dataset, batch_size, num_batches,
                          vnet: Optional[ValuePoseNet] = None,
                          vnet_params=None, threshold=FILTER_THRESHOLD,
                          rng=None):
-    """Full evaluation pass. Returns aggregate metric dict."""
+    """Full evaluation pass. Returns aggregate metric dict.
+
+    One jitted dispatch + one device_get per batch: the metric/scoring math
+    used to run eagerly between predict calls, which on the remote-TPU
+    backend costs a round-trip per jnp op."""
     rng = rng or np.random.RandomState(0)
-    rows = []
-    for obs, mask, gt, init_pose, init_vel in dataset.batches(batch_size,
-                                                              num_batches):
-        pred = trainer.predict(params, obs, mask)        # (B,Fp,M,2)
-        r = M.ade_fde(pred, gt)
-        row = {k: float(v) for k, v in r.items() if not k.endswith("per_mode")}
-        row["des_final"] = float(M.des(pred[:, :, 0], gt)[-1])
-        row["iye"] = float(M.initial_yaw_error(pred[:, :, 0], gt))
 
-        # χ² motion-primitive distances vs ground truth
-        mp_pred = M.motion_primitives(data_mod.prepend_origin(pred[:, :, 0]))
-        mp_gt = M.motion_primitives(data_mod.prepend_origin(gt))
-        for k in ("speed", "acc", "ang_vel", "ang_acc"):
-            row[f"chi2_{k}"] = M.chi2_histogram_distance(mp_pred[k], mp_gt[k])
-
+    @jax.jit
+    def batch_eval(p, vp, obs, mask, gt, init_pose, init_vel):
+        out = trainer.model.apply(p, obs, mask, train=False)
+        pred = out[:, data_mod.OBS_FRAMES:]              # (B,Fp,M,2)
+        d = jnp.linalg.norm(pred - gt[:, :, None], axis=-1)   # (B,Fp,M)
+        res = dict(
+            ade_m=d.mean(1), fde_m=d[:, -1],
+            des_final=M.des(pred[:, :, 0], gt)[-1],
+            iye=M.initial_yaw_error(pred[:, :, 0], gt),
+            mp_pred=M.motion_primitives(
+                data_mod.prepend_origin(pred[:, :, 0])),
+            mp_gt=M.motion_primitives(data_mod.prepend_origin(gt)),
+        )
         if vnet is not None:
             # raw init pose from the SceneBatch, z-flipped at consumption
             # (reference train_jta.py:264-266 / evaluate_jta.py:298-318)
             pose = init_pose * jnp.array([1.0, 1.0, -1.0])
-            vel = init_vel
-            values = score_modes(vnet, vnet_params, pred, pose, vel)
-            keep = M.locoval_filter(pred, values, threshold)   # (B,M)
+            values = score_modes(vnet, vp, pred, pose, init_vel)
+            res["values"] = values
+            res["keep"] = M.locoval_filter(pred, values, threshold)
+            res["gt_value_mean"] = vnet.apply(
+                vp, data_mod.prepend_origin(gt), pose, init_vel).mean()
+        return res
 
-            ade_m = np.asarray(r["ade_per_mode"])
-            fde_m = np.asarray(r["fde_per_mode"])
-            keep_np = np.asarray(keep)
-            big = np.where(keep_np, ade_m, np.inf)
+    rows = []
+    for obs, mask, gt, init_pose, init_vel in dataset.batches(batch_size,
+                                                              num_batches):
+        o = jax.device_get(batch_eval(params, vnet_params, obs, mask, gt,
+                                      init_pose, init_vel))
+        ade_m, fde_m = o["ade_m"], o["fde_m"]
+        row = {
+            "ade_mean": float(ade_m.mean()),
+            "ade_min": float(ade_m.min(-1).mean()),
+            "ade_worst": float(ade_m.max(-1).mean()),
+            "fde_mean": float(fde_m.mean()),
+            "fde_min": float(fde_m.min(-1).mean()),
+            "fde_worst": float(fde_m.max(-1).mean()),
+            "des_final": float(o["des_final"]),
+            "iye": float(o["iye"]),
+        }
+        # χ² motion-primitive distances vs ground truth (host: histogram
+        # range is data-dependent)
+        for k in ("speed", "acc", "ang_vel", "ang_acc"):
+            row[f"chi2_{k}"] = M.chi2_histogram_distance(
+                o["mp_pred"][k], o["mp_gt"][k])
+
+        if vnet is not None:
+            values, keep = o["values"], o["keep"]
+            big = np.where(keep, ade_m, np.inf)
             row["ade_filtered_min"] = float(big.min(-1).mean())
-            bigf = np.where(keep_np, fde_m, np.inf)
+            bigf = np.where(keep, fde_m, np.inf)
             row["fde_filtered_min"] = float(bigf.min(-1).mean())
             # value-sampled single head (argmax value) and random baseline
-            amax = np.asarray(values.argmax(-1))
+            amax = values.argmax(-1)
             bidx = np.arange(len(amax))
             row["ade_value_pick"] = float(ade_m[bidx, amax].mean())
             rnd = rng.randint(0, ade_m.shape[1], len(amax))
             row["ade_random_pick"] = float(ade_m[bidx, rnd].mean())
-            # GT trajectory plausibility for reference
-            gt_val = vnet.apply(vnet_params, data_mod.prepend_origin(gt),
-                                pose, vel)
-            row["gt_value_mean"] = float(gt_val.mean())
+            row["gt_value_mean"] = float(o["gt_value_mean"])
             row["pred_value_mean"] = float(values.mean())
         rows.append(row)
     return {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}

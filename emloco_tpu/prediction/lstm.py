@@ -30,9 +30,12 @@ class LSTMPredictor(nn.Module):
         B, in_F, N, J, K = tokens.shape
         out_F = c.total_frames - in_F
         xy = tokens[:, :, 0, 0, :2]                      # (B, in_F, 2)
-        if limit_obs:
-            keep = jnp.arange(in_F) >= (in_F - limit_obs)
-            xy = jnp.where(keep[None, :, None], xy, 0.0)
+        # traced like TransMotion's limit_obs (≤0 → keep all); one compiled
+        # program serves the whole observation-length sweep
+        lim = jnp.asarray(limit_obs, jnp.int32)
+        lim = jnp.where(lim > 0, lim, in_F)
+        keep = jnp.arange(in_F) >= (in_F - lim)
+        xy = jnp.where(keep[None, :, None], xy, 0.0)
 
         H = c.nhid
         enc = nn.OptimizedLSTMCell(H)

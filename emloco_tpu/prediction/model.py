@@ -193,19 +193,23 @@ class TransMotion(nn.Module):
             tgt_2dpose = tgt_2dpose * (jax.random.uniform(
                 ks[7], (B, 1, N, 1, 1)) > c.mask_modality)
 
-        if limit_obs:
-            # keep only the last `limit_obs` observed frames
-            # (evaluate_jta.py --all_frames sweep; model_jta.py:266-275)
-            t_idx = jnp.arange(F)
-            keep = (t_idx >= (in_F - limit_obs)) | (t_idx >= in_F)
-            keep = keep.astype(tgt_traj.dtype)[None, :, None, None]
-            tgt_traj = tgt_traj * keep
-            # cue tensors are already padded to F frames; frames ≥ in_F stay
-            # (they replicate the last observed frame, which limit_obs keeps)
-            tgt_3dbb = tgt_3dbb * keep
-            tgt_2dbb = tgt_2dbb * keep
-            tgt_3dpose = tgt_3dpose * keep[..., None]
-            tgt_2dpose = tgt_2dpose * keep[..., None]
+        # keep only the last `limit_obs` observed frames (evaluate_jta.py
+        # --all_frames sweep; model_jta.py:266-275). Traced, not static: the
+        # sweep evaluates 9 lengths and a static arg would compile 9 separate
+        # programs (each minutes through the remote-TPU compile service);
+        # limit_obs ≤ 0 means "keep all" and folds to a multiply-by-ones.
+        lim = jnp.asarray(limit_obs, jnp.int32)
+        lim = jnp.where(lim > 0, lim, in_F)
+        t_idx = jnp.arange(F)
+        keep = (t_idx >= (in_F - lim)) | (t_idx >= in_F)
+        keep = keep.astype(tgt_traj.dtype)[None, :, None, None]
+        tgt_traj = tgt_traj * keep
+        # cue tensors are already padded to F frames; frames ≥ in_F stay
+        # (they replicate the last observed frame, which limit_obs keeps)
+        tgt_3dbb = tgt_3dbb * keep
+        tgt_2dbb = tgt_2dbb * keep
+        tgt_3dpose = tgt_3dpose * keep[..., None]
+        tgt_2dpose = tgt_2dpose * keep[..., None]
 
         det = not train
 

@@ -67,8 +67,11 @@ class PredictorTrainer:
     def init(self, key, example_batch, vnet_params=None) -> PredictTrainState:
         obs, mask = example_batch[0], example_batch[1]
         k1, k2 = jax.random.split(key)
-        params = self.model.init({"params": k1, "mask": k1, "dropout": k1},
-                                 obs, mask)
+        # jit the flax init: eager init dispatches every op separately,
+        # which on the remote-TPU backend is one RPC round-trip per op
+        params = jax.jit(self.model.init)(
+            {"params": k1, "mask": k1, "dropout": k1},
+            jnp.asarray(obs), jnp.asarray(mask))
         return PredictTrainState(
             params=params,
             opt_state=self.tx.init(params),
@@ -135,8 +138,10 @@ class PredictorTrainer:
         aux["total"] = loss
         return ts, aux
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
-    def predict(self, params, obs, mask, limit_obs: int = 0):
+    @functools.partial(jax.jit, static_argnums=0)
+    def predict(self, params, obs, mask, limit_obs=0):
+        # limit_obs is traced (one compiled program serves the whole
+        # observation-length sweep); ≤0 means "all observed frames"
         out = self.model.apply(params, obs, mask, train=False,
                                limit_obs=limit_obs)
         return out[:, data_mod.OBS_FRAMES:]                 # (B,Fp,M,2)

@@ -107,4 +107,6 @@ def load_config(yaml_path: Optional[str] = None,
         terrain=raw.get("terrain", {}),
         motions=raw.get("motions"),
         real_traj_pkl=raw.get("real_traj_pkl"),
+        ndjson=raw.get("ndjson"),
+        ndjson_val=raw.get("ndjson_val"),
     )
