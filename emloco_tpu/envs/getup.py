@@ -111,13 +111,37 @@ class PedestrianTerrainGetupEnv(PedestrianTerrainEnv):
         # swap a fraction of resets to fall-bank states
         use_fall = (jax.random.uniform(k_fall, (n,)) < state.fall_init_prob) \
             & done
-        fall_physics = jax.tree.map(lambda a: a, self.fall_bank)
+
+        # translate each bank state to the env's freshly-sampled spawn (the
+        # trajectory, LocoVal inputs and AMP window are all anchored there).
+        # Without this, fall-init episodes started at the bank's original
+        # spawn while their trajectory targets stayed at the new one — the
+        # location reward collapsed to ~0 and first-contact violence at the
+        # mismatched terrain drove power |τ·q̇| two orders of magnitude up,
+        # NaN-ing the 1024-env training run within ten epochs.
+        from ..physics import height_at
+        bank = self.fall_bank
+        bank_xy = bank.root_pos[:, :2]
+        new_xy = new_state.physics.root_pos[:, :2]
+        dz = height_at(self.terrain, new_xy) - height_at(self.terrain,
+                                                         bank_xy)
+        delta = jnp.concatenate([new_xy - bank_xy, dz[:, None]], -1)
+        fall_physics = bank.replace(
+            root_pos=bank.root_pos + delta,
+            body_x=bank.body_x + delta[:, None])
 
         def pick(a, b):
             d = use_fall.reshape((n,) + (1,) * (a.ndim - 1))
             return jnp.where(d, a, b)
 
         physics = jax.tree.map(pick, fall_physics, new_state.physics)
+
+        # fall-init episodes: AMP window and LocoVal init pose/vel must
+        # describe the FALL state, not the discarded standing reset
+        amp_fall = self._amp_obs_single(physics)
+        hist_fall = jnp.tile(amp_fall[:, None], (1, cfg.num_amp_obs_steps, 1))
+        wp, pose, vel = self._capture_locoval_inputs(physics,
+                                                     new_state.traj_verts)
 
         # recovery episodes: grace period without termination. Counter is set
         # on (fall or recovery) resets and decays each step
@@ -128,7 +152,13 @@ class PedestrianTerrainGetupEnv(PedestrianTerrainEnv):
         counter = jnp.where((use_fall | recov) & done,
                             jnp.int32(cfg.recovery_steps), counter)
         counter = jnp.where(done & ~(use_fall | recov), 0, counter)
-        return new_state.replace(physics=physics, recovery_counter=counter)
+        return new_state.replace(
+            physics=physics,
+            amp_obs_hist=pick(hist_fall, new_state.amp_obs_hist),
+            waypoint_traj=pick(wp, new_state.waypoint_traj),
+            init_pose=pick(pose, new_state.init_pose),
+            init_vel=pick(vel, new_state.init_vel),
+            recovery_counter=counter)
 
     def _termination_allowed(self, state):
         return state.recovery_counter <= 0

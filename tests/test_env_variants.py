@@ -82,6 +82,36 @@ def test_getup_schedule_curriculum_compiled():
     assert np.asarray(off2.recovery_counter).max() == 0
 
 
+def test_getup_fall_init_anchored_to_spawn():
+    """Fall-bank states must be translated to the freshly-sampled spawn:
+    the trajectory, LocoVal inputs and AMP window are anchored there.
+    Regression: bank states used to keep their original spawn, so fall-init
+    episodes started meters from their trajectory targets (loc reward ~0)
+    and the 1024-env getup run NaN'd within ten epochs."""
+    terrain, lib = _world()
+    n = 8
+    cfg = GetupEnvConfig(num_envs=n, sensor_res=8, episode_length=24,
+                         num_amp_obs_steps=3, fall_gen_steps=20)
+    env = PedestrianTerrainGetupEnv(cfg, terrain, lib)
+    st = env.reset(jax.random.PRNGKey(7))
+    reset_all = jax.jit(lambda s: env._auto_reset(s, jnp.ones((n,), bool)))
+
+    on = reset_all(st.replace(fall_init_prob=jnp.float32(1.0)))
+    off = reset_all(st.replace(fall_init_prob=jnp.float32(0.0)))
+    # same rng path → same spawn sample; the fall-init root must sit AT the
+    # normal reset's root xy (trajectory anchor), not at the bank's spawn
+    np.testing.assert_allclose(np.asarray(on.physics.root_pos[:, :2]),
+                               np.asarray(off.physics.root_pos[:, :2]),
+                               atol=1e-4)
+    bank_xy = np.asarray(env.fall_bank.root_pos[:, :2])
+    assert not np.allclose(np.asarray(on.physics.root_pos[:, :2]), bank_xy)
+    # the fall pose (not the discarded standing pose) feeds LocoVal + AMP
+    assert not np.allclose(np.asarray(on.init_pose), np.asarray(off.init_pose))
+    assert not np.allclose(np.asarray(on.amp_obs_hist),
+                           np.asarray(off.amp_obs_hist))
+    assert np.isfinite(np.asarray(on.init_pose)).all()
+
+
 def test_hand_env_obs_and_reward():
     terrain, lib = _world()
     cfg = EnvConfig(num_envs=4, sensor_res=8, episode_length=24,
