@@ -749,6 +749,11 @@ class PedestrianTerrainEnv:
         dof_pos, dof_vel = joint_state(self.model, physics)
         tau = (self.params.kp[..., None] * (pd_target - dof_pos)
                - self.params.kd[..., None] * dof_vel)
+        # actuator saturation, matching the engine's drive-torque clamp
+        # (reference GAINS torque limits): |τ| per joint ≤ torque_limit
+        nrm = jnp.linalg.norm(tau, axis=-1, keepdims=True)
+        cap = self.params.torque_limit[..., None]
+        tau = tau * (jnp.minimum(nrm, cap) / jnp.maximum(nrm, 1e-9))
         power = jnp.abs(tau * dof_vel).sum((-2, -1))
         pow_reward = -cfg.power_coefficient * power
         reward = loc_reward + (pow_reward if cfg.power_reward else 0.0)

@@ -236,7 +236,11 @@ class AMPAgent:
         def loss_fn(p):
             mu, sigma = self.net.apply(p, mb["obs_n"], method=self.net.actor)
             logp = self._logp(mu, sigma, mb["action"])
-            ratio = jnp.exp(logp - mb["logp"])
+            # overflow guard: a tail state can move the policy far enough
+            # within one epoch's mini-updates that exp(Δlogp) exceeds f32
+            # range (inf·0 → NaN params); exp(16) ≈ 9e6 keeps the clipped
+            # surrogate's gradients intact (clip range is ±e_clip ≈ 0.2)
+            ratio = jnp.exp(jnp.clip(logp - mb["logp"], -16.0, 16.0))
             surr1 = ratio * mb["adv"]
             surr2 = jnp.clip(ratio, 1 - cfg.e_clip, 1 + cfg.e_clip) * mb["adv"]
             a_loss = -jnp.minimum(surr1, surr2).mean()

@@ -556,7 +556,18 @@ def _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv4, target_q, gvec):
     q_rel = quat.mul(quat.conjugate(qp), q[:, 1:])
     q_err = quat.mul(q_rel, quat.conjugate(target_q))
     theta = quat.rotate(qp, quat.to_exp_map(q_err))      # (N,23,3)
-    Q = Q.at[:, 6:].add((-p.kp[..., None] * theta).reshape(N, -1))
+    spring = -p.kp[..., None] * theta                    # (N,23,3)
+    # actuator saturation: clamp the drive torque per joint to the GAINS
+    # torque limit (reference skeleton_mesh_local.py:14-38 column 4, applied
+    # by PhysX as the drive's maxForce / MJCF motor gear). Without it a
+    # fallen pose with θ≈π and kp≈500 commands kNm torques — the power
+    # penalty Σ|τ·q̇| then reaches tens of kW and getup training diverges.
+    # Norm clamp (slerp-drive semantics); the implicit kd/kp LHS terms stay,
+    # so a saturated joint errs toward overdamping, never instability.
+    nrm = jnp.linalg.norm(spring, axis=-1, keepdims=True)
+    cap = p.torque_limit[..., None]
+    spring = spring * (jnp.minimum(nrm, cap) / jnp.maximum(nrm, 1e-9))
+    Q = Q.at[:, 6:].add(spring.reshape(N, -1))
     return Q
 
 

@@ -448,3 +448,27 @@ def test_mesh_points_from_smpl_fixture():
     for _ in range(5):
         st = step(model, terrain, st, jnp.zeros((2, 23, 3)), cfg)
     assert np.isfinite(np.asarray(st.body_x)).all()
+
+
+def test_actuator_torque_saturation():
+    """Drive torques saturate at the GAINS torque limits (reference
+    skeleton_mesh_local.py:14-38 column 4 / PhysX drive maxForce). A target
+    error of ~pi at kp up to 1000 would otherwise command multi-kNm torques;
+    the saturated step must accelerate joints strictly less than an
+    unsaturated one with the limits lifted."""
+    model, terrain = make_world(2)
+    st = rest_state(model)
+    # extreme target: every joint driven hard toward a far pose
+    tgt = jnp.full((2, bm.NUM_JOINTS, 3), 2.5)
+    st1 = step(model, terrain, st, tgt, CFG, TREE)
+    _, dof_vel_capped = joint_state(model, st1)
+
+    uncapped = model.replace(params=model.params.replace(
+        torque_limit=jnp.full_like(model.params.torque_limit, 1e9)))
+    st2 = step(uncapped, terrain, st, tgt, CFG, TREE)
+    _, dof_vel_free = joint_state(uncapped, st2)
+
+    v_cap = float(jnp.abs(dof_vel_capped).max())
+    v_free = float(jnp.abs(dof_vel_free).max())
+    assert np.isfinite(v_cap) and np.isfinite(v_free)
+    assert v_cap < v_free * 0.75, (v_cap, v_free)
