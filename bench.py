@@ -91,20 +91,15 @@ def breakdown():
     rows.append(dict(metric="physics only", value=round(
         num_envs * steps / dt_phys, 1), unit="env_steps/s"))
 
-    # sensor/obs only — the carry perturbs the state so the scan body can't
-    # be hoisted as loop-invariant
-    @jax.jit
-    def obs_roll(s):
-        def body(c, _):
-            st = s.replace(physics=s.physics.replace(
-                body_x=s.physics.body_x + c * 1e-20))
-            o = env.observe(st)
-            return o.sum() * 1e-20, ()
-        return jax.lax.scan(body, jnp.float32(0.0), None, length=steps)[0]
-
-    dt_obs = _timed(obs_roll, state)
-    rows.append(dict(metric="sensor/obs only", value=round(
-        num_envs * steps / dt_obs, 1), unit="env_steps/s"))
+    # obs/reward/reset share by subtraction (full − physics-only). A
+    # standalone obs-only scan measures an unrepresentative program (nothing
+    # to overlap the gather latency with), and its rate came out BELOW the
+    # full step's — parts must not exceed the whole in a breakdown.
+    dt_full = num_envs * steps / rows[0]["value"]
+    dt_rest = max(dt_full - dt_phys, 1e-9)
+    rows.append(dict(
+        metric="obs/reward/reset share (full minus physics)",
+        value=round(100.0 * dt_rest / dt_full, 1), unit="% of step"))
 
     # sensor variants (velocity map, self-contact) at the same scale
     env_step_rate("velocity-map sensor variant",
