@@ -32,7 +32,7 @@ from flax import struct
 
 from ..envs import observations as obs_mod
 from ..envs.pedestrian_terrain import PedestrianTerrainEnv
-from .networks import AMPSeptValueNet
+from .networks import AMPSeptCNNNet, AMPSeptValueNet
 from .running_norm import RunningNorm
 
 
@@ -67,6 +67,10 @@ class AMPConfig(struct.PyTreeNode):
     # bf16 hidden matmuls in actor/critic/disc (heads stay f32); the PPO
     # update is the MXU-bound half of the epoch at scale
     hidden_bf16: bool = struct.field(pytree_node=False, default=False)
+    # network builder: "sept" (flat task MLP, reference
+    # amp_network_sept_value_builder.py) or "sept_cnn" (conv encoder over
+    # the sensor image, reference amp_network_sept_cnn_builder.py:17-164)
+    network: str = struct.field(pytree_node=False, default="sept")
     normalize_input: bool = struct.field(pytree_node=False, default=True)
     normalize_value: bool = struct.field(pytree_node=False, default=True)
     normalize_advantage: bool = struct.field(pytree_node=False, default=True)
@@ -97,7 +101,7 @@ class AMPAgent:
         self.cfg = cfg
         ecfg = env.cfg
         self.amp_dim = ecfg.num_amp_obs_steps * ecfg.amp_obs_per_step
-        self.net = AMPSeptValueNet(
+        net_kwargs = dict(
             num_actions=ecfg.num_actions,
             self_obs_dim=ecfg.self_obs_dim,
             traj_obs_dim=ecfg.num_traj_samples * 2,
@@ -106,6 +110,20 @@ class AMPAgent:
             people_obs_dim=5 * 11 * 3 if ecfg.group_obs else 0,
             hidden_bf16=cfg.hidden_bf16,
         )
+        if cfg.network == "sept_cnn":
+            if ecfg.sensor_shape != "square" or not ecfg.terrain_obs:
+                raise ValueError(
+                    "sept_cnn needs the square res² sensor image "
+                    f"(sensor_shape={ecfg.sensor_shape!r}, "
+                    f"terrain_obs={ecfg.terrain_obs})")
+            self.net = AMPSeptCNNNet(
+                sensor_res=ecfg.sensor_res,
+                sensor_channels=3 if ecfg.velocity_map else 1,
+                **net_kwargs)
+        elif cfg.network == "sept":
+            self.net = AMPSeptValueNet(**net_kwargs)
+        else:
+            raise ValueError(f"unknown network {cfg.network!r}")
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_norm),
             optax.adam(cfg.lr),

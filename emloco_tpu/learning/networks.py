@@ -117,15 +117,17 @@ class AMPSeptValueNet(nn.Module):
         # of a learned per-person MLP, absorbed by the first Dense.
         head = task_obs[..., :-self.people_obs_dim]
         people = task_obs[..., -self.people_obs_dim:]
+        return jnp.concatenate([_run_mlp(self.task_mlp, head),
+                                self._people_feat(people)], -1)
+
+    def _people_feat(self, people):
         per = self.people_obs_dim // self.pointnet_topk
         p = people.reshape(people.shape[:-1] + (self.pointnet_topk, per))
         for i, layer in enumerate(self.point_net):
             p = layer(p)
             if i < len(self.point_net) - 1:
                 p = nn.relu(p)
-        point_feat = p.max(-2)
-        return jnp.concatenate([_run_mlp(self.task_mlp, head), point_feat],
-                               -1)
+        return p.max(-2)
 
     def actor(self, obs):
         self_obs, task_obs = self._split(obs)
@@ -177,6 +179,13 @@ class AMPSeptCNNNet(AMPSeptValueNet):
         self.cnn_proj = nn.Dense(self.task_units[-1], name="cnn_proj")
 
     def task_embed(self, task_obs):
+        # layout: [traj | sensor image | group obs] (PedestrianTerrainEnv.
+        # _task_obs ordering); the crowd slice goes through the pointnet
+        point_feat = None
+        if self.people_obs_dim:
+            point_feat = self._people_feat(
+                task_obs[..., -self.people_obs_dim:])
+            task_obs = task_obs[..., :-self.people_obs_dim]
         traj = task_obs[..., :self.traj_obs_dim]
         hm = task_obs[..., self.traj_obs_dim:
                       self.traj_obs_dim
@@ -191,7 +200,10 @@ class AMPSeptCNNNet(AMPSeptValueNet):
         h = h.reshape(h.shape[:-3] + (-1,))
         cnn_feat = nn.relu(self.cnn_proj(h))
         mlp_feat = _run_mlp(self.task_mlp, jnp.concatenate([traj, rest], -1))
-        return jnp.concatenate([mlp_feat, cnn_feat], -1)
+        feats = [mlp_feat, cnn_feat]
+        if point_feat is not None:
+            feats.append(point_feat)
+        return jnp.concatenate(feats, -1)
 
 
 class ValuePoseNet(nn.Module):

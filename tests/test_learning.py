@@ -309,3 +309,35 @@ def test_train_epoch_hidden_bf16():
     ts, m = agent.train_epoch(ts)
     for key, v in m.items():
         assert np.isfinite(float(v)), f"{key} not finite"
+
+
+def test_cnn_agent_trains_end_to_end():
+    """amp.network=sept_cnn wires the conv sensor encoder into the full
+    agent (reference amp_network_sept_cnn_builder.py consumed via the
+    network name in the train config): one compiled epoch on the 3-channel
+    velocity-map image must run finite, and the conv params must exist."""
+    cfg = EnvConfig(num_envs=4, sensor_res=8, episode_length=24,
+                    num_amp_obs_steps=3, velocity_map=True)
+    terrain = flat_terrain(extent=20.0, cell=0.1)
+    lib = ml.synthetic_walk_motions(speeds=(1.0,), duration=2.0)
+    env = PedestrianTerrainEnv(cfg, terrain, lib)
+    acfg = AMPConfig(horizon=4, num_minibatches=2, mini_epochs=2,
+                     amp_batch_size=8, amp_replay_size=64,
+                     network="sept_cnn")
+    agent = AMPAgent(env, acfg)
+    ts = agent.init(jax.random.PRNGKey(0))
+    assert any("cnn" in k for k in ts.params["params"])
+    ts, m = agent.train_epoch(ts)
+    assert all(np.isfinite(float(v)) for v in m.values()), m
+
+
+def test_cnn_agent_rejects_non_square_sensor():
+    import pytest
+
+    cfg = EnvConfig(num_envs=4, sensor_res=8, episode_length=24,
+                    num_amp_obs_steps=3, sensor_shape="fov")
+    terrain = flat_terrain(extent=20.0, cell=0.1)
+    lib = ml.synthetic_walk_motions(speeds=(1.0,), duration=2.0)
+    env = PedestrianTerrainEnv(cfg, terrain, lib)
+    with pytest.raises(ValueError):
+        AMPAgent(env, AMPConfig(network="sept_cnn"))
