@@ -37,6 +37,10 @@ class PredictTrainConfig(struct.PyTreeNode):
     valueloss_weight: float = struct.field(pytree_node=False, default=0.3)
     valueloss_only: bool = struct.field(pytree_node=False, default=False)
     use_value_loss: bool = struct.field(pytree_node=False, default=False)
+    # noisy-traj augmentation (reference train_jta.py:115-117 --add_noise):
+    # gaussian jitter on the OBSERVED trajectory tokens only, teaching the
+    # predictor to denoise perception jitter; ground truth stays clean
+    traj_noise_std: float = struct.field(pytree_node=False, default=0.0)
 
 
 class PredictTrainState(struct.PyTreeNode):
@@ -106,7 +110,12 @@ class PredictorTrainer:
         last-obs pose tokens are identically zero, so they can't be read
         back out of `obs`. The z-flip happens here (train_jta.py:266)."""
         cfg = self.cfg
-        key, k_mask, k_drop = jax.random.split(ts.key, 3)
+        key, k_mask, k_drop, k_noise = jax.random.split(ts.key, 4)
+
+        if cfg.traj_noise_std > 0.0:
+            jitter = cfg.traj_noise_std * jax.random.normal(
+                k_noise, obs[..., 0:1, :2].shape, obs.dtype)
+            obs = obs.at[..., 0:1, :2].add(jitter)
 
         if init_pose is not None:
             init_pose = init_pose * jnp.array([1.0, 1.0, -1.0])

@@ -394,3 +394,26 @@ def test_fit_scanned_epochs():
     assert all(np.isfinite(h["traj_loss"]) for h in history)
     assert "ade_min" in history[0]
     assert int(ts.step) == 12
+
+
+def test_traj_noise_augmentation():
+    """traj_noise_std jitters only the observed trajectory tokens
+    (reference --add_noise, train_jta.py:115-117): with noise on, the same
+    batch + rng state yields a different loss than the clean run, training
+    still converges, and predictions at eval time are untouched (predict()
+    has no noise path)."""
+    ds = data_mod.SyntheticScenes(num_people=2, seed=0)
+    batch = ds.batch(4)
+    clean = PredictorTrainer(TINY, PredictTrainConfig(lr=1e-3))
+    noisy = PredictorTrainer(TINY, PredictTrainConfig(lr=1e-3,
+                                                      traj_noise_std=0.1))
+    ts_c = clean.init(jax.random.PRNGKey(0), batch)
+    ts_n = noisy.init(jax.random.PRNGKey(0), batch)
+    _, aux_c = clean.train_step(ts_c, *batch)
+    ts_n2, aux_n = noisy.train_step(ts_n, *batch)
+    assert float(aux_c["traj_loss"]) != float(aux_n["traj_loss"])
+    losses = []
+    for _ in range(12):
+        ts_n2, aux = noisy.train_step(ts_n2, *batch)
+        losses.append(float(aux["traj_loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
