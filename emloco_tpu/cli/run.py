@@ -210,16 +210,19 @@ def cmd_eval_policy(cfg, args):
         if args.valuenet:
             vp, _ = load_pytree(args.valuenet)
             vts = vts.replace(vnet_params=vp)
-        vts, mse, corr = trainer.evaluate(vts, num_epochs=args.games)
+        vts, preds, targets = trainer.collect_predictions(
+            vts, num_epochs=args.games)
+        mse, corr = trainer.prediction_stats(preds, targets)
         print(f"[{name}] value prediction: mse={mse:.4f} corr={corr:.3f}")
         if args.plots:
             # qualitative observability parity: value-vs-return scatter +
             # histograms + a rollout GIF with per-step reward overlays
             # (reference amp_value_players.py:129-275, base_task.py:799-844)
+            # — plotted from the SAME rollouts as the printed mse/corr
             from ..learning.players import save_eval_artifacts
             vts, arts = save_eval_artifacts(trainer, vts, cfg.out_dir,
                                             name=name,
-                                            num_epochs=args.games)
+                                            preds=preds, targets=targets)
             for k, v in arts.items():
                 print(f"[{name}] {k}: {v}")
 
@@ -294,9 +297,18 @@ def cmd_eval_predictor(cfg, args):
         vnet = ValuePoseNet(use_pose=True, use_vel=True)
         vp, _ = load_pytree(args.valuenet)
     out = evaluate_with_filter(trainer, blob["params"], ds, args.batch_size,
-                               args.batches, vnet=vnet, vnet_params=vp)
+                               args.batches, vnet=vnet, vnet_params=vp,
+                               threshold=args.threshold)
     for k, v in sorted(out.items()):
         print(f"{k}: {v:.4f}")
+    if args.sweep_thresholds and vnet is not None:
+        from ..prediction.evaluate import filter_threshold_sweep
+        sweep = filter_threshold_sweep(trainer, blob["params"], ds,
+                                       args.batch_size, args.batches,
+                                       vnet=vnet, vnet_params=vp)
+        for t, row in sweep.items():
+            print(f"threshold={t:.2f}: " + "  ".join(
+                f"{k}={v:.4f}" for k, v in row.items()))
     if args.all_frames:
         # observation-length sweep (reference evaluate_jta.py --all_frames)
         from ..prediction.evaluate import observation_length_sweep
@@ -431,6 +443,12 @@ def main(argv=None):
                    help="train-policy: dump a one-epoch device trace")
     p.add_argument("--all-frames", action="store_true",
                    help="eval-predictor: sweep observed-frame counts 1..9")
+    p.add_argument("--threshold", type=float, default=0.7,
+                   help="eval-predictor: LocoVal filter threshold "
+                        "(reference evaluate_jta.py:526)")
+    p.add_argument("--sweep-thresholds", action="store_true",
+                   help="eval-predictor: calibrate the filter threshold "
+                        "(one forward pass, host-side sweep)")
     p.add_argument("--plots", action="store_true",
                    help="eval-predictor: save comparison/value plots; "
                         "eval-policy: value scatter/histograms + rollout "

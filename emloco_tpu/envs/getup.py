@@ -54,12 +54,15 @@ class PedestrianTerrainGetupEnv(PedestrianTerrainEnv):
         self.fall_bank = self._generate_fall_states(jax.random.PRNGKey(1234))
 
     def update_getup_schedule(self, state: "GetupEnvState", epoch: int,
-                              update_epoch: int = 5000) -> "GetupEnvState":
-        """Curriculum: always fall-init until update_epoch, then the target
-        probabilities (reference update_getup_schedule,
-        humanoid_pedestrain_terrain_getup.py:50-56). Returns a new state —
-        the probabilities are jnp scalars consumed by the compiled step, so
-        the update takes effect without retracing."""
+                              update_epoch: int | None = None
+                              ) -> "GetupEnvState":
+        """Curriculum: always fall-init until update_epoch (default:
+        cfg.getup_update_epoch), then the target probabilities (reference
+        update_getup_schedule, humanoid_pedestrain_terrain_getup.py:50-56).
+        Returns a new state — the probabilities are jnp scalars consumed by
+        the compiled step, so the update takes effect without retracing."""
+        if update_epoch is None:
+            update_epoch = self.cfg.getup_update_epoch
         early = epoch <= update_epoch
         return state.replace(
             fall_init_prob=jnp.float32(

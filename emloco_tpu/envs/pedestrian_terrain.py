@@ -747,12 +747,15 @@ class PedestrianTerrainEnv:
         loc_reward = cfg.location_coefficient * jnp.exp(-2.0 * err)
 
         dof_pos, dof_vel = joint_state(self.model, physics)
-        tau = (self.params.kp[..., None] * (pd_target - dof_pos)
-               - self.params.kd[..., None] * dof_vel)
+        # power must price the torques the sim actually applied: under DR the
+        # engine drives with the per-env-scaled gains, not the nominal ones
+        p = self._dr_model(state).params
+        tau = (p.kp[..., None] * (pd_target - dof_pos)
+               - p.kd[..., None] * dof_vel)
         # actuator saturation, matching the engine's drive-torque clamp
         # (reference GAINS torque limits): |τ| per joint ≤ torque_limit
         nrm = jnp.linalg.norm(tau, axis=-1, keepdims=True)
-        cap = self.params.torque_limit[..., None]
+        cap = p.torque_limit[..., None]
         tau = tau * (jnp.minimum(nrm, cap) / jnp.maximum(nrm, 1e-9))
         power = jnp.abs(tau * dof_vel).sum((-2, -1))
         pow_reward = -cfg.power_coefficient * power

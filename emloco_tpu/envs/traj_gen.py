@@ -124,6 +124,11 @@ def sample_traj(key, cfg: TrajConfig, init_pos, root_vel=None,
     k_proc, k_pick, k_mix, k_inv = jax.random.split(key, 4)
     verts = procedural_verts(k_proc, n, cfg, init_pos, root_vel)
     inverted = jnp.zeros((n,), bool)
+    if real_bank is None and cfg.heading_inversion_prob > 0.0:
+        raise ValueError(
+            "heading_inversion_prob > 0 requires a real trajectory bank "
+            "(inversion is defined on real-path resets, "
+            "traj_generator.py:121-200)")
     if real_bank is not None:
         P = real_bank.shape[0]
         idx = jax.random.randint(k_pick, (n,), 0, P)
@@ -133,6 +138,15 @@ def sample_traj(key, cfg: TrajConfig, init_pos, root_vel=None,
         # traj_generator.py:177-200); a pre-alignment point-mirror would be
         # cancelled by the alignment rotation
         do_inv = cfg.init_heading and root_vel is not None
+        if cfg.heading_inversion_prob > 0.0 and not do_inv:
+            # fail loudly at trace time: a valuenet run that configures hard
+            # negatives but disables init-heading (or has no root velocity)
+            # would otherwise silently train with zero inverted episodes
+            raise ValueError(
+                "heading_inversion_prob > 0 requires traj.init_heading=True "
+                "and a root velocity at reset (the reference's inversion "
+                "branch lives inside the init-heading alignment, "
+                "traj_generator.py:177-200)")
         inv = (jax.random.uniform(k_inv, (n,)) < cfg.heading_inversion_prob) \
             & do_inv
         aligned = align_real_paths(picked, init_pos, root_vel,

@@ -22,29 +22,42 @@ def rollout_with_rewards(agent, ts, steps: int, env_index: int = 0,
     """Roll the (frozen) policy and record body positions + reward
     components for one env (the reference player's per-game capture).
 
-    Returns (frames (T, 24, 3), rewards dict of (T,) arrays, traj (V, 3))."""
+    Returns (frames (T, 24, 3), rewards dict of (T,) arrays, traj (V, 3)).
+
+    The whole rollout is one lax.scan under jit — a per-step eager loop
+    dispatches the full physics+obs graph op-by-op, which on the remote-TPU
+    backend costs a round-trip per op (minutes per GIF)."""
     from ..physics import body_frame_state
 
     env = agent.env
-    state = ts.env_state
-    key = jax.random.PRNGKey(seed)
-    frames, rew, raw = [], [], []
-    for _ in range(steps):
-        key, k_act = jax.random.split(key)
-        obs = env.observe(state)
-        a, mu, *_ = agent._policy(ts.params, ts.obs_norm, obs, k_act)
-        act = mu if deterministic else a
-        state, out = env.step(state, act)
-        pos, _, _, _ = body_frame_state(env.model, state.physics)
-        frames.append(np.asarray(pos[env_index]))
-        rew.append(float(out.reward[env_index]))
-        raw.append(np.asarray(out.reward_raw[env_index]))
-    raw = np.stack(raw)                                   # (T, 2+)
-    rewards = {"total": np.asarray(rew), "loc": raw[:, 0]}
+
+    @jax.jit
+    def _rollout(params, obs_norm, state, key):
+        def body(carry, _):
+            state, key = carry
+            key, k_act = jax.random.split(key)
+            obs = env.observe(state)
+            a, mu, *_ = agent._policy(params, obs_norm, obs, k_act)
+            act = mu if deterministic else a
+            state, out = env.step(state, act)
+            pos, _, _, _ = body_frame_state(env.model, state.physics)
+            return (state, key), (pos[env_index], out.reward[env_index],
+                                  out.reward_raw[env_index])
+        (state, _), outs = jax.lax.scan(body, (state, key), None,
+                                        length=steps)
+        return state, outs
+
+    state, (frames, rew, raw) = _rollout(ts.params, ts.obs_norm,
+                                         ts.env_state,
+                                         jax.random.PRNGKey(seed))
+    frames = np.asarray(frames)                           # (T, 24, 3)
+    rew = np.asarray(rew)
+    raw = np.asarray(raw)                                 # (T, 2+)
+    rewards = {"total": rew, "loc": raw[:, 0]}
     if raw.shape[1] > 1:
         rewards["power"] = raw[:, 1]
     traj = np.asarray(state.traj_verts[env_index])
-    return np.stack(frames), rewards, traj
+    return frames, rewards, traj
 
 
 def save_rollout_gif(agent, ts, out_path: str, steps: int = 90,
@@ -112,23 +125,19 @@ def plot_value_histograms(preds: np.ndarray, targets: np.ndarray,
 
 
 def save_eval_artifacts(trainer, vts, out_dir: str, name: str = "default",
-                        num_epochs: int = 4, gif_steps: int = 90):
+                        num_epochs: int = 4, gif_steps: int = 90,
+                        preds: Optional[np.ndarray] = None,
+                        targets: Optional[np.ndarray] = None):
     """Full qualitative eval bundle: scatter + histograms + one rollout GIF.
+    Pass (preds, targets) from a prior trainer.collect_predictions to reuse
+    its rollouts; otherwise collects num_epochs fresh eval epochs.
     Returns (vts, dict of artifact paths + metrics)."""
     os.makedirs(out_dir, exist_ok=True)
-    preds, targets = [], []
-    for _ in range(num_epochs):
-        vts, (p, t, v) = trainer.eval_epoch(vts)
-        m = np.asarray(v) > 0
-        preds.append(np.asarray(p)[m])
-        targets.append(np.asarray(t)[m])
-    preds = np.concatenate(preds)
-    targets = np.concatenate(targets)
+    if preds is None or targets is None:
+        vts, preds, targets = trainer.collect_predictions(vts, num_epochs)
     out = {}
     if len(preds):
-        mse = float(((preds - targets) ** 2).mean())
-        corr = float(np.corrcoef(preds, targets)[0, 1]) \
-            if preds.std() > 1e-6 and targets.std() > 1e-6 else 0.0
+        mse, corr = trainer.prediction_stats(preds, targets)
         out["mse"], out["corr"] = mse, corr
         out["scatter"] = plot_value_scatter(
             preds, targets, os.path.join(out_dir, f"value_scatter_{name}.png"),

@@ -189,12 +189,11 @@ class LocoValTrainer:
         pred = self.vnet.apply(ts.vnet_params, s["wp"], s["pose"], s["vel"])
         return ts, (pred, s["target"], s["valid"])
 
-    def evaluate(self, ts: ValueTrainState, num_epochs: int = 4):
-        """Value-prediction quality over LATCHED episodes only: prediction
-        from the episode's (waypoints, init pose, init vel) vs the realized
-        normalized return at done/step_to_pred (reference
-        AMPPlayerContinuousValue.run, amp_value_players.py:37-275).
-        Returns (ts, mse, correlation)."""
+    def collect_predictions(self, ts: ValueTrainState, num_epochs: int = 4):
+        """Valid (prediction, realized target) pairs over num_epochs
+        read-only rollout epochs, concatenated. Returns (ts, preds, targets)
+        as host numpy — the single collection loop behind evaluate() and the
+        qualitative eval artifacts (players.save_eval_artifacts)."""
         import numpy as np
         preds, targets = [], []
         for _ in range(num_epochs):
@@ -202,10 +201,25 @@ class LocoValTrainer:
             m = np.asarray(v) > 0
             preds.append(np.asarray(p)[m])
             targets.append(np.asarray(t)[m])
-        p = np.concatenate(preds)
-        t = np.concatenate(targets)
-        if len(p) == 0:
-            return ts, float("nan"), 0.0
-        mse = float(((p - t) ** 2).mean())
-        corr = float(np.corrcoef(p, t)[0, 1]) if p.std() > 1e-6 else 0.0
+        return ts, np.concatenate(preds), np.concatenate(targets)
+
+    @staticmethod
+    def prediction_stats(preds, targets):
+        """(mse, correlation) of valuenet predictions vs realized returns."""
+        import numpy as np
+        if len(preds) == 0:
+            return float("nan"), 0.0
+        mse = float(((preds - targets) ** 2).mean())
+        corr = (float(np.corrcoef(preds, targets)[0, 1])
+                if preds.std() > 1e-6 and targets.std() > 1e-6 else 0.0)
+        return mse, corr
+
+    def evaluate(self, ts: ValueTrainState, num_epochs: int = 4):
+        """Value-prediction quality over LATCHED episodes only: prediction
+        from the episode's (waypoints, init pose, init vel) vs the realized
+        normalized return at done/step_to_pred (reference
+        AMPPlayerContinuousValue.run, amp_value_players.py:37-275).
+        Returns (ts, mse, correlation)."""
+        ts, p, t = self.collect_predictions(ts, num_epochs)
+        mse, corr = self.prediction_stats(p, t)
         return ts, mse, corr

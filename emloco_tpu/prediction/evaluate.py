@@ -54,9 +54,9 @@ def evaluate_with_filter(trainer, params, dataset, batch_size, num_batches,
     def batch_eval(p, vp, obs, mask, gt, init_pose, init_vel):
         out = trainer.model.apply(p, obs, mask, train=False)
         pred = out[:, data_mod.OBS_FRAMES:]              # (B,Fp,M,2)
-        d = jnp.linalg.norm(pred - gt[:, :, None], axis=-1)   # (B,Fp,M)
+        af = M.ade_fde(pred, gt)                         # jit-safe jnp math
         res = dict(
-            ade_m=d.mean(1), fde_m=d[:, -1],
+            ade_m=af["ade_per_mode"], fde_m=af["fde_per_mode"],
             des_final=M.des(pred[:, :, 0], gt)[-1],
             iye=M.initial_yaw_error(pred[:, :, 0], gt),
             mp_pred=M.motion_primitives(
@@ -112,6 +112,56 @@ def evaluate_with_filter(trainer, params, dataset, batch_size, num_batches,
             row["pred_value_mean"] = float(values.mean())
         rows.append(row)
     return {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+
+
+def filter_threshold_sweep(trainer, params, dataset, batch_size, num_batches,
+                           vnet, vnet_params,
+                           thresholds=(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)):
+    """Filter-threshold calibration: per-sample (ade, fde, value) collected in
+    ONE forward pass, then the LocoVal keep-mask swept over thresholds on
+    host (the model/vnet outputs don't depend on the threshold, so re-running
+    evaluate_with_filter per candidate would redo the expensive part). The
+    reference hardcodes 0.7 (evaluate_jta.py:526); calibrating on a held-out
+    val split is how to pick it for a new valuenet.
+
+    Returns {threshold: {"ade_filtered_min", "fde_filtered_min",
+    "kept_frac"}}."""
+
+    @jax.jit
+    def batch_scores(p, vp, obs, mask, gt, init_pose, init_vel):
+        out = trainer.model.apply(p, obs, mask, train=False)
+        pred = out[:, data_mod.OBS_FRAMES:]
+        af = M.ade_fde(pred, gt)
+        pose = init_pose * jnp.array([1.0, 1.0, -1.0])
+        v = score_modes(vnet, vp, pred, pose, init_vel)
+        return af["ade_per_mode"], af["fde_per_mode"], v
+
+    ades, fdes, values = [], [], []
+    for obs, mask, gt, init_pose, init_vel in dataset.batches(batch_size,
+                                                              num_batches):
+        ade_m, fde_m, v = batch_scores(params, vnet_params, obs, mask, gt,
+                                       init_pose, init_vel)
+        ades.append(np.asarray(ade_m))
+        fdes.append(np.asarray(fde_m))
+        values.append(np.asarray(v))
+    ade_m = np.concatenate(ades)                          # (S, M)
+    fde_m = np.concatenate(fdes)
+    vals = np.concatenate(values)
+    amax = vals.argmax(-1)
+    bidx = np.arange(len(amax))
+    out = {}
+    for t in thresholds:
+        keep = vals >= t
+        none = ~keep.any(-1)
+        keep[none, amax[none]] = True                     # argmax fallback
+        big = np.where(keep, ade_m, np.inf)
+        bigf = np.where(keep, fde_m, np.inf)
+        out[float(t)] = {
+            "ade_filtered_min": float(big.min(-1).mean()),
+            "fde_filtered_min": float(bigf.min(-1).mean()),
+            "kept_frac": float(keep.mean()),
+        }
+    return out
 
 
 def observation_length_sweep(trainer, params, dataset, batch_size,

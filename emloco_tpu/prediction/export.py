@@ -42,10 +42,16 @@ def export_traj_bank(
     init_vels: Optional[Sequence[np.ndarray]] = None,    # (2,) each
 ):
     """Write a sim-consumable bank pkl: dict with 'trajs' (P, V, 2) plus
-    optional 'init_pose' (P, 24, 3) and 'init_vel' (P, 2)."""
+    optional 'init_pose' (P, 24, 3) and 'init_vel' (P, 2).
+
+    Pose frame convention: init poses are stored in the RAW dataset frame
+    (same as the reference's exporters, load_jta_3dpose.py:44-51, which dump
+    `person[0][:, 3:25]` unmodified) and stamped `pose_frame` so consumers
+    can tell; anything feeding a ValuePoseNet must z-flip at consumption
+    (×[1,1,−1], reference train_jta.py:264-266)."""
     bank = np.stack([spline_to_vertices(np.asarray(t), num_verts, waypoint_dt)
                      for t in trajectories])
-    blob = {"trajs": bank}
+    blob = {"trajs": bank, "pose_frame": "dataset_raw"}
     if init_poses is not None:
         blob["init_pose"] = np.stack([np.asarray(p) for p in init_poses])
     if init_vels is not None:
@@ -58,7 +64,8 @@ def export_traj_bank(
 def load_traj_bank(path: str):
     """Load a bank pkl → (trajs (P,V,2) np, init_pose or None, init_vel or
     None). Also accepts the reference's format (dict of per-scene arrays or a
-    raw array)."""
+    raw array). Returned init poses are in the raw dataset frame (see
+    export_traj_bank) — z-flip before feeding a ValuePoseNet."""
     with open(path, "rb") as f:
         blob = pickle.load(f)
     if isinstance(blob, dict) and "trajs" in blob:

@@ -235,3 +235,64 @@ def test_scheduled_domain_randomization():
     half = env_r._sample_dr_scales(jax.random.PRNGKey(1), n,
                                    jnp.asarray(500, jnp.int32))
     assert np.abs(np.asarray(half[:, 0]) - 1.0).max() <= 0.1 + 1e-6
+
+
+def test_dr_power_penalty_uses_randomized_gains():
+    """The power penalty must price the torques the sim actually applied:
+    under DR the engine drives with per-env-scaled kp/kd (via _dr_model), so
+    a high-gain env producing 30% more torque must see a correspondingly
+    larger |tau*qd| penalty — not the nominal-gain one (reference computes
+    power from the randomized sim's dof forces)."""
+    from emloco_tpu.envs.pedestrian_terrain import DRConfig
+
+    n = 4
+    cfg = EnvConfig(num_envs=n, sensor_res=8, episode_length=24,
+                    num_amp_obs_steps=3, dr=DRConfig(enabled=True))
+    env = PedestrianTerrainEnv(cfg, flat_terrain(extent=20.0, cell=0.1),
+                               ml.synthetic_walk_motions(speeds=(1.0,),
+                                                         duration=1.5))
+    from emloco_tpu.physics import joint_state
+
+    st = env.reset(jax.random.PRNGKey(0))
+    # develop joint velocities so power |tau*qd| is nonzero
+    a = jnp.full((n, env.cfg.num_actions), 0.5)
+    for _ in range(4):
+        st, _ = env.step(st, a)
+    # identical physics + PD target, only the DR gain scales differ: the
+    # unsaturated torque is exactly gain-proportional, so the penalty must be
+    # strictly larger for the high-gain draw (pre-fix it read nominal gains
+    # and was identical for both)
+    dof_pos, _ = joint_state(env.model, st.physics)
+    pd_target = dof_pos + 0.2
+    progress = st.progress
+    neutral = jnp.ones((n, 5)).at[:, 4].set(0.0)
+    hi = st.replace(dr_scales=neutral.at[:, 1:3].set(1.3))
+    lo = st.replace(dr_scales=neutral.at[:, 1:3].set(0.7))
+    _, raw_hi = env._reward(hi, st.physics, progress, pd_target)
+    _, raw_lo = env._reward(lo, st.physics, progress, pd_target)
+    p_hi = np.asarray(raw_hi[:, 1])              # power reward (negative)
+    p_lo = np.asarray(raw_lo[:, 1])
+    assert (p_hi < p_lo).all(), (p_hi, p_lo)
+
+
+def test_heading_inversion_misconfiguration_raises():
+    """heading_inversion_prob > 0 without init-heading alignment (or without
+    a real bank) silently produced ZERO hard negatives; it must raise."""
+    import pytest
+
+    key = jax.random.PRNGKey(0)
+    init_pos = jnp.zeros((4, 3))
+    vel = jnp.ones((4, 2))
+    bank = traj_gen.synthetic_real_bank(num_paths=4)
+    bad = traj_gen.TrajConfig(init_heading=False, heading_inversion_prob=0.5)
+    with pytest.raises(ValueError, match="init_heading"):
+        traj_gen.sample_traj(key, bad, init_pos, root_vel=vel,
+                             real_bank=bank)
+    nobank = traj_gen.TrajConfig(heading_inversion_prob=0.5)
+    with pytest.raises(ValueError, match="real trajectory bank"):
+        traj_gen.sample_traj(key, nobank, init_pos, root_vel=vel,
+                             real_bank=None)
+    # no root velocity at reset -> alignment (and inversion) can't fire
+    with pytest.raises(ValueError, match="root velocity"):
+        traj_gen.sample_traj(key, nobank, init_pos, root_vel=None,
+                             real_bank=bank)

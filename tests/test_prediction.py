@@ -417,3 +417,38 @@ def test_traj_noise_augmentation():
         ts_n2, aux = noisy.train_step(ts_n2, *batch)
         losses.append(float(aux["traj_loss"]))
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_filter_threshold_sweep():
+    """Threshold calibration (one forward pass, host sweep): at threshold 0
+    every mode is kept so filtered-min == oracle min; raising the threshold
+    can only shrink the kept set (monotone kept_frac) and the filtered-min
+    ADE is always >= the oracle min; each row must match an
+    evaluate_with_filter run at the same threshold."""
+    from emloco_tpu.prediction.evaluate import (evaluate_with_filter,
+                                                filter_threshold_sweep)
+
+    trainer = PredictorTrainer(TINY, PredictTrainConfig(lr=1e-3))
+    ts = trainer.init(jax.random.PRNGKey(0),
+                      data_mod.SyntheticScenes(num_people=2, seed=7).batch(4))
+    vnet = ValuePoseNet(use_pose=True, use_vel=True)
+    vp = vnet.init(jax.random.PRNGKey(1), jnp.zeros((1, 13, 2)),
+                   jnp.zeros((1, 24, 3)), jnp.zeros((1, 2)))
+    ths = (0.0, 0.5, 0.9)
+    # identically-seeded datasets: the generator's rng advances per batch, so
+    # the sweep and the reference eval must each get a fresh stream
+    sweep = filter_threshold_sweep(
+        trainer, ts.params, data_mod.SyntheticScenes(num_people=2, seed=0),
+        4, 2, vnet=vnet, vnet_params=vp, thresholds=ths)
+    kept = [sweep[t]["kept_frac"] for t in ths]
+    assert kept[0] == 1.0
+    assert kept[0] >= kept[1] >= kept[2] > 0.0
+    ref = evaluate_with_filter(
+        trainer, ts.params, data_mod.SyntheticScenes(num_people=2, seed=0),
+        4, 2, vnet=vnet, vnet_params=vp, threshold=0.5)
+    np.testing.assert_allclose(sweep[0.5]["ade_filtered_min"],
+                               ref["ade_filtered_min"], rtol=1e-5)
+    np.testing.assert_allclose(sweep[0.0]["ade_filtered_min"],
+                               ref["ade_min"], rtol=1e-5)
+    for t in ths:
+        assert sweep[t]["ade_filtered_min"] >= ref["ade_min"] - 1e-6
