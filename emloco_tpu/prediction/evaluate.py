@@ -98,6 +98,9 @@ def evaluate_with_filter(trainer, params, dataset, batch_size, num_batches,
 
         if vnet is not None:
             values, keep = o["values"], o["keep"]
+            # kept fraction disambiguates filtered-min comparisons: a laxer
+            # filter trivially lowers the kept-set min
+            row["kept_frac"] = float(np.asarray(keep).mean())
             big = np.where(keep, ade_m, np.inf)
             row["ade_filtered_min"] = float(big.min(-1).mean())
             bigf = np.where(keep, fde_m, np.inf)
