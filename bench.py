@@ -21,6 +21,23 @@ except Exception:
     pass
 
 
+def _wait_for_backend(attempts: int = 4, delay_s: float = 120.0):
+    """The axon TPU tunnel drops transiently (CLAUDE.md: 'transient TPU
+    backend error can kill long chip jobs'); retry backend init a few times
+    before letting the bench die so a blip doesn't blank the round's
+    numbers."""
+    for i in range(attempts):
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if i == attempts - 1:
+                raise
+            print(json.dumps({"warn": f"backend init failed "
+                              f"(attempt {i + 1}/{attempts}): {e}"}))
+            time.sleep(delay_s)
+
+
 def _timed(fn, *args):
     """Compile + warm, then time one call (trust large scanned programs over
     microbenchmarks through the tunnel — CLAUDE.md)."""
@@ -37,6 +54,7 @@ def breakdown():
     via ablation timings at bench scale, an XLA-cost-analysis MFU estimate
     for the compiled training epoch, and sensor-variant step rates.
     Prints one JSON line per row; rows land in RESULTS.md."""
+    _wait_for_backend()
     num_envs = int(os.environ.get("BENCH_ENVS", 4096))
     steps = int(os.environ.get("BENCH_STEPS", 32))
 
@@ -153,6 +171,7 @@ def breakdown():
 
 
 def main():
+    _wait_for_backend()
     num_envs = int(__import__("os").environ.get("BENCH_ENVS", 4096))
     steps = int(__import__("os").environ.get("BENCH_STEPS", 32))
 
