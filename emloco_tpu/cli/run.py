@@ -282,6 +282,73 @@ def cmd_train_predictor(cfg, args):
     logger.close()
 
 
+def cmd_train_eqmotion(cfg, args):
+    """EqMotion ETH-UCY baseline with the LocoVal loss and test-time filter
+    (reference main_eth_diverse.py:145-230): train on raw ETH-UCY txt
+    annotations (`ethucy=path`, `ethucy_val=path`) or synthetic scenes,
+    report WTA + per-mode value loss per epoch, then ADE/FDE + filter
+    metrics on the held-out data."""
+    import jax.numpy as jnp
+
+    from ..learning.networks import ValuePoseNet
+    from ..prediction.eqmotion import (EqMotionTrainer, ethucy_batches,
+                                       ethucy_windows, synthetic_eth_batch)
+    from ..utils.checkpoint import load_pytree, save_pytree
+    from ..utils.logging import MetricsLogger
+
+    vnet, vp = None, None
+    if args.valuenet:
+        vnet = ValuePoseNet(use_pose=False, use_vel=True)  # :172-177
+        vp, _ = load_pytree(args.valuenet)
+    trainer = EqMotionTrainer(cfg.eqmotion, vnet=vnet,
+                              valueloss_w=0.5 if vnet else 0.0)
+    key = jax.random.PRNGKey(cfg.seed)
+    if cfg.ethucy:
+        tr_past, tr_future = ethucy_windows(cfg.ethucy)
+        ev_past, ev_future = ethucy_windows(cfg.ethucy_val or cfg.ethucy)
+        print(f"[train-eqmotion] {tr_past.shape[0]} train / "
+              f"{ev_past.shape[0]} eval windows", flush=True)
+        example = jnp.asarray(tr_past[:args.batch_size])
+    else:
+        tr_past = tr_future = None
+        example, _ = synthetic_eth_batch(key, batch=args.batch_size)
+    ts, vp = trainer.init(key, example, vnet_params=vp)
+    logger = MetricsLogger(cfg.out_dir, "eqmotion")
+    for ep in range(cfg.epochs):
+        key, k_ep = jax.random.split(key)
+        aux = {}
+        if tr_past is not None:
+            for past, future in ethucy_batches(tr_past, tr_future,
+                                               args.batch_size, k_ep):
+                ts, aux = trainer.train_step(ts, vp, past, future)
+        else:
+            for b in range(args.batches):
+                past, future = synthetic_eth_batch(
+                    jax.random.fold_in(k_ep, b), batch=args.batch_size)
+                ts, aux = trainer.train_step(ts, vp, past, future)
+        m = {k: float(v) for k, v in aux.items()}
+        logger.log(ep, m)
+        if ep % 10 == 0 or ep == cfg.epochs - 1:
+            print(f"epoch {ep}: " + "  ".join(f"{k}={v:.4f}"
+                                              for k, v in m.items()),
+                  flush=True)
+    if cfg.ethucy:
+        ev = trainer.evaluate(ts.params, jnp.asarray(ev_past),
+                              jnp.asarray(ev_future), vnet_params=vp,
+                              threshold=args.threshold)
+    else:
+        past, future = synthetic_eth_batch(jax.random.fold_in(key, -1),
+                                           batch=256)
+        ev = trainer.evaluate(ts.params, past, future, vnet_params=vp,
+                              threshold=args.threshold)
+    for k, v in sorted(ev.items()):
+        print(f"{k}: {v:.4f}")
+    save_pytree(os.path.join(cfg.out_dir, "eqmotion.ckpt"),
+                {"params": ts.params},
+                metadata={"cfg": str(cfg.eqmotion)})
+    logger.close()
+
+
 def cmd_eval_predictor(cfg, args):
     from ..learning.networks import ValuePoseNet
     from ..prediction.data import SyntheticScenes
@@ -420,7 +487,7 @@ def main(argv=None):
     p.add_argument("command", choices=[
         "train-policy", "train-valuenet", "eval-policy", "train-predictor",
         "eval-predictor", "optimize-traj", "tune-predictor",
-        "visualize-pred"])
+        "visualize-pred", "train-eqmotion"])
     p.add_argument("--config", default=None)
     p.add_argument("--policy", default=None)
     p.add_argument("--valuenet", default=None)
@@ -474,6 +541,7 @@ def main(argv=None):
         "optimize-traj": cmd_optimize_traj,
         "tune-predictor": cmd_tune_predictor,
         "visualize-pred": cmd_visualize_pred,
+        "train-eqmotion": cmd_train_eqmotion,
     }[args.command](cfg, args)
 
 

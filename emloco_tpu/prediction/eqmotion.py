@@ -299,3 +299,78 @@ def h36m_config(past=10, future=10, nmode=1) -> EqMotionConfig:
     return EqMotionConfig(past_length=past, future_length=future,
                           hidden_nf=64, hid_channel=32, n_layers=4,
                           nmode=nmode)
+
+
+# ---------------------------------------------------------------------------
+# ETH-UCY raw annotation ingestion (real-data path for the EqMotion baseline)
+# ---------------------------------------------------------------------------
+
+def read_ethucy_txt(path: str):
+    """ETH-UCY raw annotation reader: one row per observation,
+    whitespace-separated ``frame_id ped_id x y`` in world meters, annotated
+    every 10 video frames (2.5 Hz) — the format consumed by the reference's
+    `eth_dataset` loader (main_eth_diverse.py:160; the loader module itself
+    is not in the reference mount, but the public ETH/UCY release format is
+    fixed). Returns (sorted frame ids (F,), {frame_id: {ped_id: (x, y)}})."""
+    data = np.loadtxt(path, dtype=np.float64)
+    if data.ndim == 1:
+        data = data[None]
+    frames = np.unique(data[:, 0])
+    table = {f: {} for f in frames}
+    for f, p, x, y in data:
+        table[f][int(p)] = (float(x), float(y))
+    return frames, table
+
+
+def ethucy_windows(path: str, past: int = 8, future: int = 12,
+                   num_agents: int = 4, stride: int = 1,
+                   pad_offset: float = 1e3):
+    """Slide a (past+future)-frame window over the annotated frames and emit
+    one sample per fully-present pedestrian (the reference drops peds with
+    missing frames in the window): ego at agent index 0, the remaining slots
+    filled with the nearest co-present peds at the last observed frame.
+    Windows with fewer than num_agents peds are padded with static far-away
+    dummies (+pad_offset m — outside any interaction radius, so the
+    equivariant message weights vanish; the reference instead carries a
+    validity mask, get_valid_mask2, main_eth_diverse.py:258).
+
+    Returns (past (S, A, Tp, 2), future (S, A, Tf, 2)) float32 arrays."""
+    frames, table = read_ethucy_txt(path)
+    T = past + future
+    past_out, future_out = [], []
+    for i in range(0, len(frames) - T + 1, stride):
+        window = frames[i:i + T]
+        present = set(table[window[0]].keys())
+        for f in window[1:]:
+            present &= set(table[f].keys())
+        if not present:
+            continue
+        tracks = {p: np.asarray([table[f][p] for f in window])
+                  for p in present}                        # (T, 2) each
+        for ego in sorted(present):
+            anchor = tracks[ego][past - 1]
+            others = sorted(
+                (p for p in present if p != ego),
+                key=lambda p: np.hypot(*(tracks[p][past - 1] - anchor)))
+            arr = np.empty((num_agents, T, 2), np.float32)
+            arr[0] = tracks[ego]
+            for k in range(1, num_agents):
+                if k - 1 < len(others):
+                    arr[k] = tracks[others[k - 1]]
+                else:
+                    arr[k] = anchor + pad_offset * k       # static dummy
+            past_out.append(arr[:, :past])
+            future_out.append(arr[:, past:])
+    if not past_out:
+        raise ValueError(f"no complete {T}-frame windows in {path}")
+    return np.stack(past_out), np.stack(future_out)
+
+
+def ethucy_batches(past_arr, future_arr, batch_size: int, key):
+    """Shuffled full batches over the windowed samples (drop_last=True, as
+    the reference's train DataLoader, main_eth_diverse.py:163)."""
+    S = past_arr.shape[0]
+    perm = np.asarray(jax.random.permutation(key, S))
+    for i in range(0, S - batch_size + 1, batch_size):
+        idx = perm[i:i + batch_size]
+        yield jnp.asarray(past_arr[idx]), jnp.asarray(future_arr[idx])

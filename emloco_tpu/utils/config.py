@@ -19,6 +19,7 @@ from ..envs.traj_gen import TrajConfig
 from ..learning.amp_agent import AMPConfig
 from ..learning.value_train import ValueTrainConfig
 from ..physics.types import EngineConfig
+from ..prediction.eqmotion import EqMotionConfig
 from ..prediction.model import TransMotionConfig
 from ..prediction.train import PredictTrainConfig
 
@@ -31,6 +32,7 @@ _SECTIONS = {
     "value": ValueTrainConfig,
     "model": TransMotionConfig,
     "predict": PredictTrainConfig,
+    "eqmotion": EqMotionConfig,
 }
 
 
@@ -54,6 +56,11 @@ class RunConfig:
     real_traj_pkl: Optional[str] = None  # real-path bank (None → synthetic)
     ndjson: Optional[str] = None         # real JTA/JRDB ndjson scenes for the
     ndjson_val: Optional[str] = None     # predictor (None → synthetic)
+    # EqMotion baseline (reference main_eth_diverse.py): raw ETH-UCY txt
+    # annotations (frame ped x y @2.5 Hz); None → synthetic scenes
+    eqmotion: "EqMotionConfig" = None
+    ethucy: Optional[str] = None
+    ethucy_val: Optional[str] = None
 
 
 def _apply(cls, base, overrides: dict):
@@ -100,6 +107,8 @@ def load_config(yaml_path: Optional[str] = None,
                      raw.get("model", {})),
         predict=_apply(PredictTrainConfig, PredictTrainConfig(),
                        raw.get("predict", {})),
+        eqmotion=_apply(EqMotionConfig, EqMotionConfig(),
+                        raw.get("eqmotion", {})),
         seed=int(raw.get("seed", 0)),
         out_dir=str(raw.get("out_dir", "output/run")),
         epochs=int(raw.get("epochs", 1000)),
@@ -109,4 +118,6 @@ def load_config(yaml_path: Optional[str] = None,
         real_traj_pkl=raw.get("real_traj_pkl"),
         ndjson=raw.get("ndjson"),
         ndjson_val=raw.get("ndjson_val"),
+        ethucy=raw.get("ethucy"),
+        ethucy_val=raw.get("ethucy_val"),
     )
