@@ -301,7 +301,7 @@ def cmd_train_eqmotion(cfg, args):
         vnet = ValuePoseNet(use_pose=False, use_vel=True)  # :172-177
         vp, _ = load_pytree(args.valuenet)
     trainer = EqMotionTrainer(cfg.eqmotion, vnet=vnet,
-                              valueloss_w=0.5 if vnet else 0.0)
+                              valueloss_w=args.valueloss_w if vnet else 0.0)
     key = jax.random.PRNGKey(cfg.seed)
     if cfg.ethucy:
         tr_past, tr_future = ethucy_windows(cfg.ethucy)
@@ -510,6 +510,10 @@ def main(argv=None):
                    help="train-policy: dump a one-epoch device trace")
     p.add_argument("--all-frames", action="store_true",
                    help="eval-predictor: sweep observed-frame counts 1..9")
+    p.add_argument("--valueloss-w", type=float, default=0.1,
+                   help="train-eqmotion: EmLoco value-loss weight "
+                        "(reference main_eth_diverse.py per-mode loss; too "
+                        "high and non-winning heads chase pure value)")
     p.add_argument("--threshold", type=float, default=0.7,
                    help="eval-predictor: LocoVal filter threshold "
                         "(reference evaluate_jta.py:526)")

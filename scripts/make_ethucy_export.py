@@ -44,6 +44,27 @@ def write_split(path, num_peds, num_frames, seed):
     return len(rows)
 
 
+def write_bank(txt_path, pkl_path, max_paths=2048, seed=0):
+    """Trajectory bank for LocoVal training from the train-split windows:
+    ego last-obs + 12 future waypoints (@0.4 s) splined to the sim's
+    101-vertex chains (the reference trains its valuenet on real-path pkls
+    from the prediction datasets, traj_generator.py:40-54 — matched
+    trajectory statistics are what make the EmLoco value loss useful)."""
+    import pickle
+
+    from emloco_tpu.prediction.eqmotion import ethucy_windows
+    from emloco_tpu.prediction.export import spline_to_vertices
+
+    past, future = ethucy_windows(txt_path)
+    wp = np.concatenate([past[:, 0, -1:], future[:, 0]], 1)   # (S, 13, 2)
+    rng = np.random.RandomState(seed)
+    idx = rng.permutation(len(wp))[:max_paths]
+    bank = {f"w{i}": spline_to_vertices(wp[i]) for i in idx}
+    with open(pkl_path, "wb") as f:
+        pickle.dump(bank, f)
+    return len(bank)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", default="output/data")
@@ -56,6 +77,9 @@ def main():
                         args.peds if split == "train" else args.peds // 4,
                         args.frames, seed)
         print(split, n, "rows")
+    nb = write_bank(os.path.join(args.out_dir, "ethucy_train.txt"),
+                    os.path.join(args.out_dir, "ethucy_bank.pkl"))
+    print("bank", nb, "paths")
 
 
 if __name__ == "__main__":
