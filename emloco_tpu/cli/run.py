@@ -111,9 +111,12 @@ def cmd_train_policy(cfg, args):
     for ep in range(cfg.epochs):
         if hasattr(env, "update_getup_schedule"):
             # getup curriculum (reference update_getup_schedule hook called
-            # per epoch from the agent, amp_continuous.py:203-220)
+            # per epoch from the agent, amp_continuous.py:203-220): fall-bank
+            # reset probabilities + disc-only reward during the fall phase
             ts = ts.replace(env_state=env.update_getup_schedule(
                 ts.env_state, ep, cfg.env.getup_update_epoch))
+            ts = agent.update_getup_reward_schedule(
+                ts, ep, cfg.env.getup_update_epoch)
         if mesh_ctx is not None:
             with mesh_ctx:
                 ts, metrics = agent.train_epoch(ts)

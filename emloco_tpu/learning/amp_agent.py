@@ -91,6 +91,12 @@ class TrainState(struct.PyTreeNode):
     replay_filled: jnp.ndarray
     key: jnp.ndarray
     epoch: jnp.ndarray
+    # reward-combine weights as TRACED scalars: the getup curriculum flips
+    # them per epoch (reference pre_epoch, amp_continuous.py:212-220:
+    # disc-only during the fall phase, 0.5/0.5 after) — static cfg fields
+    # would be baked into the first-compiled epoch
+    task_reward_w: jnp.ndarray = None    # () f32
+    disc_reward_w: jnp.ndarray = None    # () f32
 
 
 class AMPAgent:
@@ -150,6 +156,8 @@ class AMPAgent:
             replay_filled=jnp.zeros((), jnp.int32),
             key=k3,
             epoch=jnp.zeros((), jnp.int32),
+            task_reward_w=jnp.float32(self.cfg.task_reward_w),
+            disc_reward_w=jnp.float32(self.cfg.disc_reward_w),
         )
 
     # ------------------------------------------------------------------
@@ -200,8 +208,8 @@ class AMPAgent:
         cfg = self.cfg
         # combined reward
         disc_r = self._disc_reward(ts.params, ts.amp_norm, batch["amp_obs"])
-        reward = (cfg.task_reward_w * batch["reward"]
-                  + cfg.disc_reward_w * disc_r)
+        reward = (ts.task_reward_w * batch["reward"]
+                  + ts.disc_reward_w * disc_r)
 
         o_n = ts.obs_norm.normalize(last_obs) if cfg.normalize_input else last_obs
         last_value = self.net.apply(ts.params, o_n, method=self.net.critic)
@@ -320,6 +328,20 @@ class AMPAgent:
         params = optax.apply_updates(params, updates)
         metrics["total"] = loss
         return params, opt_state, metrics
+
+    def update_getup_reward_schedule(self, ts: TrainState, epoch: int,
+                                     update_epoch: int) -> TrainState:
+        """Getup reward-weight curriculum (reference pre_epoch,
+        amp_continuous.py:212-220): disc-only reward while the policy learns
+        to get up from the fall bank, the configured task/disc mix after.
+        Weights are traced TrainState scalars, so the flip reaches the
+        already-compiled epoch without retracing."""
+        early = epoch <= update_epoch
+        return ts.replace(
+            task_reward_w=jnp.float32(
+                0.0 if early else self.cfg.task_reward_w),
+            disc_reward_w=jnp.float32(
+                1.0 if early else self.cfg.disc_reward_w))
 
     # ------------------------------------------------------------------
     # epoch

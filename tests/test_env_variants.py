@@ -155,3 +155,34 @@ def test_getup_env_with_self_contact():
     for _ in range(3):
         st, out = env.step(st, jnp.zeros((2, env.cfg.num_actions)))
         assert np.isfinite(np.asarray(out.obs)).all()
+
+
+def test_getup_reward_weight_schedule_compiled():
+    """Getup reward-weight curriculum (reference pre_epoch,
+    amp_continuous.py:212-220): flipping the schedule on the SAME agent
+    object (cached compiled epoch) must change the reward combine actually
+    used — disc-only during the fall phase, cfg mix after. Pre-fix the
+    weights were static cfg fields baked in at first compile."""
+    from emloco_tpu.learning.amp_agent import AMPAgent, AMPConfig
+
+    terrain, lib = _world()
+    cfg = GetupEnvConfig(num_envs=4, sensor_res=8, episode_length=12,
+                         num_amp_obs_steps=3, getup_update_epoch=5)
+    env = PedestrianTerrainGetupEnv(cfg, terrain, lib)
+    agent = AMPAgent(env, AMPConfig(horizon=4, num_minibatches=2,
+                                    mini_epochs=1, amp_batch_size=8,
+                                    amp_replay_size=32))
+    ts = agent.init(jax.random.PRNGKey(0))
+
+    early = agent.update_getup_reward_schedule(ts, epoch=0, update_epoch=5)
+    assert float(early.task_reward_w) == 0.0
+    assert float(early.disc_reward_w) == 1.0
+    late = agent.update_getup_reward_schedule(ts, epoch=6, update_epoch=5)
+    assert float(late.task_reward_w) == agent.cfg.task_reward_w
+
+    # compiled-path check: same jitted epoch, same rng/state, only the
+    # traced weights differ -> the combined-reward metric must differ
+    _, m_early = agent.train_epoch(early)
+    _, m_late = agent.train_epoch(late)
+    assert float(m_early["combined_reward"]) != float(
+        m_late["combined_reward"])
