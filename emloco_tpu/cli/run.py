@@ -483,6 +483,34 @@ def cmd_optimize_traj(cfg, args):
           f"after: {float(np.asarray(hist[-1]).mean()):.4f}")
 
 
+def cmd_serve_viewer(cfg, args):
+    """Live interactive viewer over HTTP (reference Isaac Gym viewer loop +
+    server mode, base_task.py:135-211, 351-430 — pause/reset/push/follow/
+    env-switch as POST /control commands, frames at GET /frame.png)."""
+    from ..envs.viewer_server import ViewerServer, ViewerSession
+    from ..learning.amp_agent import AMPAgent
+    from ..utils.checkpoint import load_pytree
+
+    env = _build_world(cfg)
+    agent = AMPAgent(env, cfg.amp)
+    ts = agent.init(jax.random.PRNGKey(cfg.seed))
+    if args.policy:
+        tree, _ = load_pytree(args.policy)
+        ts = ts.replace(params=tree["params"], obs_norm=tree["obs_norm"],
+                        amp_norm=tree["amp_norm"])
+    session = ViewerSession(agent, ts)
+    server = ViewerServer(session, port=args.port, fps=args.fps).start()
+    print(f"viewer at http://127.0.0.1:{server.port}/ (ctrl-c to stop)",
+          flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
+
+
 def main(argv=None):
     from ..utils.config import load_config
 
@@ -490,7 +518,7 @@ def main(argv=None):
     p.add_argument("command", choices=[
         "train-policy", "train-valuenet", "eval-policy", "train-predictor",
         "eval-predictor", "optimize-traj", "tune-predictor",
-        "visualize-pred", "train-eqmotion"])
+        "visualize-pred", "train-eqmotion", "serve-viewer"])
     p.add_argument("--config", default=None)
     p.add_argument("--policy", default=None)
     p.add_argument("--valuenet", default=None)
@@ -527,6 +555,10 @@ def main(argv=None):
                    help="eval-predictor: save comparison/value plots; "
                         "eval-policy: value scatter/histograms + rollout "
                         "GIF with reward overlays")
+    p.add_argument("--port", type=int, default=8703,
+                   help="serve-viewer: HTTP port (0 = ephemeral)")
+    p.add_argument("--fps", type=float, default=10.0,
+                   help="serve-viewer: sim-chunk pacing")
     p.add_argument("overrides", nargs="*",
                    help="dotted config overrides, e.g. env.num_envs=1024")
     # argparse stops collecting positionals once an optional appears between
@@ -549,6 +581,7 @@ def main(argv=None):
         "tune-predictor": cmd_tune_predictor,
         "visualize-pred": cmd_visualize_pred,
         "train-eqmotion": cmd_train_eqmotion,
+        "serve-viewer": cmd_serve_viewer,
     }[args.command](cfg, args)
 
 

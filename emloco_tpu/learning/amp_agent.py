@@ -324,9 +324,25 @@ class AMPAgent:
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        # Nonfinite-update guard: one pathological minibatch (physics tail
+        # event in the getup/self-contact regime) must not permanently NaN
+        # the params — global-norm clipping propagates NaN instead of
+        # rejecting it. Skip the update (params AND optimizer state) when any
+        # grad is nonfinite and count it, so a diverging run degrades into a
+        # visible `nonfinite_grad` rate instead of a dead policy
+        # (pipeline_r4c3: params NaNed by epoch 10, loc_reward flat at the
+        # reset baseline for the remaining 290 epochs).
+        finite = jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(g))
+             for g in jax.tree_util.tree_leaves(grads)]))
+        updates, new_opt = self.tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        keep = lambda n, o: jnp.where(finite, n, o) \
+            if isinstance(n, jnp.ndarray) else n
+        params = jax.tree_util.tree_map(keep, new_params, params)
+        opt_state = jax.tree_util.tree_map(keep, new_opt, opt_state)
         metrics["total"] = loss
+        metrics["nonfinite_grad"] = 1.0 - finite.astype(jnp.float32)
         return params, opt_state, metrics
 
     def update_getup_reward_schedule(self, ts: TrainState, epoch: int,

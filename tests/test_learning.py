@@ -341,3 +341,50 @@ def test_cnn_agent_rejects_non_square_sensor():
     env = PedestrianTerrainEnv(cfg, terrain, lib)
     with pytest.raises(ValueError):
         AMPAgent(env, AMPConfig(network="sept_cnn"))
+
+
+def test_nonfinite_update_guard():
+    """A minibatch whose gradients are nonfinite must not move params or
+    optimizer state (pipeline_r4c3 regression: one pathological getup
+    minibatch NaNed the params at epoch ~10 and the remaining 290 epochs
+    trained a dead policy)."""
+    agent = tiny_agent()
+    ts = agent.init(jax.random.PRNGKey(0))
+    obs = agent.env.observe(ts.env_state)
+    m = 8
+    k = jax.random.PRNGKey(1)
+    mb = dict(
+        obs_n=jnp.tile(obs[:1], (m, 1)),
+        flip_obs_n=jnp.tile(obs[:1], (m, 1)),
+        action=jnp.zeros((m, agent.env.cfg.num_actions)),
+        logp=jnp.zeros((m,)),
+        adv=jnp.ones((m,)),
+        ret_n=jnp.zeros((m,)),
+        ret_01=0.5 * jnp.ones((m,)),
+        amp_n=jnp.tile(ts.replay_amp[:1], (m, 1)),
+    )
+    demo = jnp.zeros((4, agent.amp_dim))
+    replay = jnp.zeros((2, agent.amp_dim))
+
+    # clean minibatch: update applies
+    p1, o1, met1 = agent._update_minibatch(ts.params, ts.opt_state, mb,
+                                           demo, replay, k)
+    assert float(met1["nonfinite_grad"]) == 0.0
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(ts.params)))
+    assert moved
+
+    # poisoned minibatch: NaN advantage → nonfinite grads → skipped update
+    mb_bad = dict(mb, adv=mb["adv"].at[0].set(jnp.nan))
+    p2, o2, met2 = agent._update_minibatch(ts.params, ts.opt_state, mb_bad,
+                                           demo, replay, k)
+    assert float(met2["nonfinite_grad"]) == 1.0
+    for a, b in zip(jax.tree_util.tree_leaves(p2),
+                    jax.tree_util.tree_leaves(ts.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(o2),
+                    jax.tree_util.tree_leaves(ts.opt_state)):
+        if hasattr(a, "shape"):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
