@@ -692,6 +692,8 @@ class PedestrianTerrainEnv:
         # fall/fail checks and would poison every batch statistic forever
         bad = (~jnp.isfinite(physics.u).all(-1)
                | ~jnp.isfinite(physics.root_pos).all(-1)
+               | ~jnp.isfinite(physics.joint_rot).all((-1, -2))
+               | ~jnp.isfinite(physics.body_x).all((-1, -2))
                | (jnp.abs(physics.root_pos) > 1e4).any(-1))
         terminated = terminated | bad
         truncated = progress >= cfg.episode_length - 1

@@ -393,7 +393,12 @@ class AMPAgent:
             return (new_env_state, out.obs, key), data
 
         key, k_roll, k_demo, k_perm, k_replay = jax.random.split(ts.key, 5)
-        obs0 = self.env.observe(ts.env_state)
+        # obs0 is the one learning-facing tensor that does NOT pass through
+        # StepOutput's sanitizer (it is computed straight from the carried
+        # env_state) — a diverged-but-unrecycled env here would poison the
+        # first policy call's grads
+        obs0 = jnp.nan_to_num(self.env.observe(ts.env_state),
+                              nan=0.0, posinf=0.0, neginf=0.0)
         (env_state, last_obs, _), batch = jax.lax.scan(
             step_fn, (ts.env_state, obs0, k_roll), None, length=T)
         ts = ts.replace(env_state=env_state, key=key)

@@ -296,3 +296,20 @@ def test_heading_inversion_misconfiguration_raises():
     with pytest.raises(ValueError, match="root velocity"):
         traj_gen.sample_traj(key, nobank, init_pos, root_vel=None,
                              real_bank=bank)
+
+
+def test_diverged_joint_rot_recycles():
+    """An env whose joint_rot (or body cache) goes NaN while u/root_pos stay
+    finite must still trip the divergence recycle — pre-fix it survived the
+    finiteness check, and the epoch's first obs (the one learning-facing
+    tensor that skips the StepOutput sanitizer) poisoned the update."""
+    env = make_env(4)
+    st = env.reset(jax.random.PRNGKey(0))
+    bad_rot = st.physics.joint_rot.at[1, 3, :].set(jnp.nan)
+    st = st.replace(physics=st.physics.replace(joint_rot=bad_rot))
+    st2, out = env.step(st, jnp.zeros((4, env.cfg.num_actions)))
+    assert bool(out.done[1])                      # recycled this step
+    assert np.all(np.isfinite(np.asarray(out.obs)))
+    assert np.all(np.isfinite(np.asarray(out.amp_obs)))
+    # the recycled env's fresh state is finite again
+    assert np.all(np.isfinite(np.asarray(st2.physics.joint_rot[1])))
