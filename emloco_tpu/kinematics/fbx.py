@@ -1,0 +1,317 @@
+"""FBX (ASCII 7.x) mocap import → motion dicts.
+
+Counterpart of poselib's fbx backend
+(/root/reference/pacer/poselib/poselib/skeleton/backend/fbx/
+fbx_read_wrapper.py — a python-2.7 subprocess around the proprietary
+Autodesk FBX SDK returning (joint_names, parents, transforms, fps), consumed
+by SkeletonMotion.from_fbx, skeleton3d.py:1195+). The SDK only reads the
+binary container; the same scene graph serializes to the documented ASCII
+form, which this module parses with no external dependency:
+
+  Objects/Model ("LimbNode") nodes   → joints (name, id)
+  Connections "OO" model→model       → parent tree
+  Properties70 "Lcl Translation"     → rest-pose local offsets
+  AnimationCurveNode —"OP"→ model    → which local property animates
+  AnimationCurve (KeyTime/KeyValueFloat) —"OP" d|X/Y/Z→ curve node
+                                     → per-axis keyframes (KTIME ticks)
+
+Curves are sampled on a uniform clock (linear interpolation between keys,
+constant extrapolation), Euler degrees composed per the model's
+RotationOrder property (default eOrderXYZ), then conformed onto the
+canonical 24-joint SMPL skeleton exactly like the BVH door (bvh.load_bvh):
+the result is a motion dict {pose_aa (F,72), root_trans_offset (F,3), beta,
+fps} ready for kinematics.motion_lib.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+# FBX time unit: 1/46186158000 s (FbxTime ktime)
+KTIME_PER_SECOND = 46_186_158_000
+
+# FBX ERotationOrder enum → channel sequence for INTRINSIC post-multiply
+# composition (bvh._euler_to_aa). eOrderXYZ applies X first extrinsically,
+# i.e. R = Rz·Ry·Rx — intrinsic composition of the REVERSED sequence.
+_ROTATION_ORDERS = {
+    0: "ZYX",  # eOrderXYZ
+    1: "YZX",  # eOrderXZY
+    2: "XZY",  # eOrderYZX
+    3: "ZXY",  # eOrderYXZ
+    4: "YXZ",  # eOrderZXY
+    5: "XYZ",  # eOrderZYX
+}
+
+_TOKEN = re.compile(
+    r'"(?:[^"\\]|\\.)*"'      # quoted string
+    r"|[{}:,]"                # structure
+    r"|[^\s{}:,\"]+"          # bare word / number
+)
+
+
+class FbxNode:
+    __slots__ = ("name", "values", "children")
+
+    def __init__(self, name: str, values: List, children: List["FbxNode"]):
+        self.name = name
+        self.values = values
+        self.children = children
+
+    def find(self, name: str) -> List["FbxNode"]:
+        return [c for c in self.children if c.name == name]
+
+    def first(self, name: str) -> Optional["FbxNode"]:
+        for c in self.children:
+            if c.name == name:
+                return c
+        return None
+
+
+def _strip_comments(text: str) -> str:
+    return "\n".join(line.split(";", 1)[0] for line in text.splitlines())
+
+
+def _atom(tok: str):
+    if tok.startswith('"'):
+        return tok[1:-1]
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        return tok
+
+
+def parse_fbx_ascii(text: str) -> FbxNode:
+    """ASCII FBX document → root FbxNode (name ''), recursive descent over
+    the `Name: v, v { children }` grammar (arrays appear as an `a:` child)."""
+    toks = _TOKEN.findall(_strip_comments(text))
+    i = 0
+
+    def parse_block(closing: bool):
+        nonlocal i
+        children = []
+        while i < len(toks):
+            if toks[i] == "}":
+                if not closing:
+                    raise ValueError("FBX parse: unbalanced '}'")
+                i += 1
+                return children
+            name = toks[i]
+            i += 1
+            if i >= len(toks) or toks[i] != ":":
+                raise ValueError(f"FBX parse: expected ':' after {name!r}")
+            i += 1
+            values: List = []
+            # values: atoms separated by commas, until '{', '}', or the next
+            # `ident :` pair
+            while i < len(toks):
+                t = toks[i]
+                if t in ("{", "}"):
+                    break
+                if t == ",":
+                    i += 1
+                    continue
+                if (i + 1 < len(toks) and toks[i + 1] == ":"
+                        and values and toks[i - 1] != ","):
+                    break                      # next sibling node
+                values.append(_atom(t))
+                i += 1
+            kids = []
+            if i < len(toks) and toks[i] == "{":
+                i += 1
+                kids = parse_block(True)
+            children.append(FbxNode(name, values, kids))
+        if closing:
+            raise ValueError("FBX parse: missing '}'")
+        return children
+
+    return FbxNode("", [], parse_block(False))
+
+
+def _array_values(node: FbxNode) -> np.ndarray:
+    """KeyTime/KeyValueFloat node → flat array (handles both the `*N { a: }`
+    form and inline values)."""
+    a = node.first("a")
+    vals = a.values if a is not None else [
+        v for v in node.values if isinstance(v, (int, float))]
+    return np.asarray(vals, dtype=np.float64)
+
+
+def _prop70(node: FbxNode, name: str) -> Optional[List]:
+    props = node.first("Properties70")
+    if props is None:
+        return None
+    for p in props.find("P"):
+        if p.values and p.values[0] == name:
+            return p.values
+    return None
+
+
+def _model_name(raw: str) -> str:
+    # "Model::Hips" (ASCII uses '::'; binary uses \x00\x01)
+    return raw.split("::", 1)[-1]
+
+
+def _sample_curve(times: np.ndarray, values: np.ndarray,
+                  clock: np.ndarray) -> np.ndarray:
+    if len(times) == 0:
+        return np.zeros_like(clock)
+    return np.interp(clock, times, values)
+
+
+def load_fbx(path_or_text: str, scale: float = 0.01, y_up: bool = True,
+             fps: Optional[float] = None) -> Dict:
+    """ASCII FBX file/text → motion dict {pose_aa (F,72), root_trans_offset
+    (F,3), beta, fps} (same contract as bvh.load_bvh). `scale` converts FBX
+    units (commonly cm) to meters; `fps` overrides the sampling clock
+    (default: inferred from the median key spacing, falling back to 30)."""
+    from .bvh import _euler_to_aa, canonical_name
+    from .curation import _UPRIGHT_R, conform_joints
+
+    text = path_or_text
+    if "\n" not in path_or_text:
+        with open(path_or_text) as f:
+            text = f.read()
+    root = parse_fbx_ascii(text)
+    objects = root.first("Objects")
+    conns = root.first("Connections")
+    if objects is None or conns is None:
+        raise ValueError("FBX: missing Objects/Connections sections")
+
+    # joints
+    models: Dict[int, FbxNode] = {}
+    order: List[int] = []
+    for m in objects.find("Model"):
+        mid, raw_name = m.values[0], str(m.values[1])
+        kind = str(m.values[2]) if len(m.values) > 2 else ""
+        if kind in ("LimbNode", "Root", "Null", ""):
+            models[int(mid)] = m
+            order.append(int(mid))
+    if not models:
+        raise ValueError("FBX: no skeleton Model nodes")
+
+    # connections
+    oo: Dict[int, int] = {}                    # child model → parent model
+    op_anim: Dict[int, Tuple[int, str]] = {}   # curvenode → (model, prop)
+    op_curve: Dict[Tuple[int, str], int] = {}  # (curvenode, axis) → curve
+    for c in conns.find("C"):
+        kind = c.values[0]
+        if kind == "OO":
+            child, parent = int(c.values[1]), int(c.values[2])
+            if child in models and parent in models:
+                oo[child] = parent
+        elif kind == "OP":
+            src, dst, prop = int(c.values[1]), int(c.values[2]), \
+                str(c.values[3])
+            if dst in models and prop in ("Lcl Rotation", "Lcl Translation"):
+                op_anim[src] = (dst, prop)
+            elif prop in ("d|X", "d|Y", "d|Z"):
+                op_curve[(dst, prop[2])] = src
+
+    curves: Dict[int, FbxNode] = {
+        int(c.values[0]): c for c in objects.find("AnimationCurve")}
+
+    # sampling clock from the union of rotation-curve key times
+    all_times: List[np.ndarray] = []
+    for (cn, _axis), cid in op_curve.items():
+        if cn in op_anim and cid in curves:
+            kt = _array_values(curves[cid].first("KeyTime")
+                               or FbxNode("KeyTime", [], []))
+            if len(kt):
+                all_times.append(kt / KTIME_PER_SECOND)
+    if fps is None:
+        if all_times:
+            cat = np.unique(np.concatenate(all_times))
+            dt = np.median(np.diff(cat)) if len(cat) > 1 else 1.0 / 30.0
+            fps = float(round(1.0 / dt))
+        else:
+            fps = 30.0
+    t_end = max((t[-1] for t in all_times), default=0.0)
+    F = max(int(round(t_end * fps)) + 1, 1)
+    clock = np.arange(F) / fps
+
+    # per-model sampled channels
+    rot = {mid: np.zeros((F, 3)) for mid in models}
+    pos = {mid: None for mid in models}
+    for cn, (mid, prop) in op_anim.items():
+        chans = np.zeros((F, 3))
+        for k, axis in enumerate("XYZ"):
+            cid = op_curve.get((cn, axis))
+            if cid is None or cid not in curves:
+                continue
+            kt = _array_values(curves[cid].first("KeyTime")
+                               or FbxNode("KeyTime", [], []))
+            kv = _array_values(curves[cid].first("KeyValueFloat")
+                               or FbxNode("KeyValueFloat", [], []))
+            n = min(len(kt), len(kv))
+            chans[:, k] = _sample_curve(kt[:n] / KTIME_PER_SECOND,
+                                        kv[:n], clock)
+        if prop == "Lcl Rotation":
+            rot[mid] = chans
+        else:
+            pos[mid] = chans
+
+    # static rest values fill the unanimated channels
+    aa = np.zeros((F, len(order), 3), np.float32)
+    trans = np.zeros((F, 3), np.float32)
+    root_mid = next((m for m in order if oo.get(m) is None), order[0])
+    for j, mid in enumerate(order):
+        node = models[mid]
+        ro_prop = _prop70(node, "RotationOrder")
+        ro = _ROTATION_ORDERS.get(
+            int(ro_prop[-1]) if ro_prop else 0, "ZYX")
+        static_rot = _prop70(node, "Lcl Rotation")
+        degs = rot[mid]
+        if not np.any(degs) and static_rot is not None:
+            degs = np.tile(np.asarray(static_rot[-3:], np.float64), (F, 1))
+        # compose in the (reversed) order sequence; degs columns follow it
+        cols = {"X": 0, "Y": 1, "Z": 2}
+        axes = [f"{c}rotation" for c in ro]
+        aa[:, j] = _euler_to_aa(axes, degs[:, [cols[c] for c in ro]])
+        if mid == root_mid:
+            p = pos[mid]
+            if p is None:
+                static_pos = _prop70(node, "Lcl Translation")
+                p = np.tile(np.asarray(static_pos[-3:], np.float64),
+                            (F, 1)) if static_pos is not None \
+                    else np.zeros((F, 3))
+            trans = (p * scale).astype(np.float32)
+
+    names = [canonical_name(_model_name(str(models[m].values[1])))
+             or f"__{_model_name(str(models[m].values[1]))}" for m in order]
+    pose_aa = conform_joints(aa.reshape(F, -1), names).reshape(F, 24, 3)
+    if y_up:
+        pose_aa = pose_aa @ _UPRIGHT_R.T
+        trans = trans @ _UPRIGHT_R.T
+    return {"pose_aa": pose_aa.reshape(F, 72).astype(np.float32),
+            "root_trans_offset": trans.astype(np.float32),
+            "beta": np.zeros(16, np.float32),
+            "fps": float(fps)}
+
+
+def skeleton_from_fbx(path_or_text: str) -> Tuple[List[str], List[int]]:
+    """(joint names, parent indices) — the reference wrapper's topology
+    output (fbx_read_wrapper.py returns joint_names/parents)."""
+    text = path_or_text
+    if "\n" not in path_or_text:
+        with open(path_or_text) as f:
+            text = f.read()
+    root = parse_fbx_ascii(text)
+    objects, conns = root.first("Objects"), root.first("Connections")
+    ids, names = [], []
+    for m in objects.find("Model"):
+        ids.append(int(m.values[0]))
+        names.append(_model_name(str(m.values[1])))
+    parent_of = {}
+    for c in conns.find("C"):
+        if c.values[0] == "OO" and int(c.values[1]) in ids \
+                and int(c.values[2]) in ids:
+            parent_of[int(c.values[1])] = int(c.values[2])
+    idx = {mid: k for k, mid in enumerate(ids)}
+    parents = [idx.get(parent_of.get(mid, -1), -1) for mid in ids]
+    return names, parents
