@@ -81,6 +81,7 @@ class ViewerSession:
         self.show_traj = True       # reference flags.show_traj
         self.step_count = 0
         self.last_reward = 0.0
+        self.last_error = None
         self.push_velocity = push_velocity
         self.chunk_steps = int(chunk_steps)
         self._lock = threading.Lock()
@@ -156,10 +157,13 @@ class ViewerSession:
 
     def render_png(self) -> bytes:
         """Render the focus env's current frame to PNG bytes (the viewer
-        camera; follow mode centers on the root like viewer_camera_look_at)."""
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+        camera; follow mode centers on the root like viewer_camera_look_at).
+
+        Builds a Figure directly on an Agg canvas — pyplot's Gcf registry is
+        global, not thread-safe, and ThreadingHTTPServer serves concurrent
+        /frame.png requests."""
+        from matplotlib.backends.backend_agg import FigureCanvasAgg
+        from matplotlib.figure import Figure
 
         from ..kinematics.visualization import plot_skeleton_state
         from ..physics import body_frame_state
@@ -175,7 +179,8 @@ class ViewerSession:
         joints = np.asarray(pos[idx])                      # (24, 3)
         traj = np.asarray(state.traj_verts[idx])
 
-        fig = plt.figure(figsize=(5, 5))
+        fig = Figure(figsize=(5, 5))
+        FigureCanvasAgg(fig)
         ax = fig.add_subplot(111, projection="3d")
         if show_traj:
             ax.plot(traj[:, 0], traj[:, 1], traj[:, 2] * 0,
@@ -188,7 +193,6 @@ class ViewerSession:
         ax.set_title(f"env {idx}  t={step}  r={rew:+.3f}", fontsize=9)
         buf = io.BytesIO()
         fig.savefig(buf, format="png", dpi=100)
-        plt.close(fig)
         return buf.getvalue()
 
     def status(self) -> dict:
@@ -200,6 +204,7 @@ class ViewerSession:
             "paused": self.paused,
             "follow": self.follow,
             "show_traj": self.show_traj,
+            "last_error": getattr(self, "last_error", None),
         }
 
 
@@ -209,7 +214,7 @@ class ViewerServer:
     def __init__(self, session: ViewerSession, host: str = "127.0.0.1",
                  port: int = 8703, fps: float = 10.0):
         self.session = session
-        self.fps = fps
+        self.fps = max(fps, 0.1)
         self._stop = threading.Event()
         sess = session
 
@@ -226,14 +231,21 @@ class ViewerServer:
 
             def do_GET(self):
                 path = self.path.split("?")[0]
-                if path == "/":
-                    self._reply(200, _PAGE.encode(), "text/html")
-                elif path == "/frame.png":
-                    self._reply(200, sess.render_png(), "image/png")
-                elif path == "/status":
-                    self._reply(200, json.dumps(sess.status()).encode())
-                else:
-                    self._reply(404, b'{"error": "not found"}')
+                try:
+                    if path == "/":
+                        self._reply(200, _PAGE.encode(), "text/html")
+                    elif path == "/frame.png":
+                        self._reply(200, sess.render_png(), "image/png")
+                    elif path == "/status":
+                        self._reply(200, json.dumps(sess.status()).encode())
+                    else:
+                        self._reply(404, b'{"error": "not found"}')
+                except Exception as e:  # keep serving after a bad render
+                    try:
+                        self._reply(500,
+                                    json.dumps({"error": str(e)}).encode())
+                    except Exception:
+                        pass
 
             def do_POST(self):
                 if self.path.split("?")[0] != "/control":
@@ -258,7 +270,14 @@ class ViewerServer:
         period = 1.0 / self.fps
         while not self._stop.is_set():
             t0 = time.time()
-            self.session.step_chunk()
+            try:
+                self.session.step_chunk()
+                self.session.last_error = None
+            except Exception as e:
+                # transient backend errors (the tunnel TPU is known to throw
+                # Internal/Unavailable mid-run) must not kill the sim thread
+                # — surface in /status and retry next tick
+                self.session.last_error = str(e)
             dt = time.time() - t0
             if dt < period:
                 self._stop.wait(period - dt)

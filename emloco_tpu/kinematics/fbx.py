@@ -164,6 +164,32 @@ def _sample_curve(times: np.ndarray, values: np.ndarray,
     return np.interp(clock, times, values)
 
 
+def _aa_to_quat(aa: np.ndarray) -> np.ndarray:
+    theta = np.linalg.norm(aa, axis=-1, keepdims=True)
+    axis = aa / np.maximum(theta, 1e-12)
+    half = theta / 2
+    return np.concatenate([axis * np.sin(half), np.cos(half)], -1)
+
+
+def _compose_aa(aa1: np.ndarray, aa2: np.ndarray) -> np.ndarray:
+    """axis-angle of R(aa1)·R(aa2) (aa2 applied first), batched (F, 3)."""
+    q1, q2 = _aa_to_quat(aa1), _aa_to_quat(aa2)
+    x1, y1, z1, w1 = q1.T
+    x2, y2, z2, w2 = q2.T
+    q = np.stack([w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                  w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                  w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+                  w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2], -1)
+    w = np.clip(np.abs(q[:, 3]), 0.0, 1.0)
+    theta = 2 * np.arccos(w) * np.sign(q[:, 3])
+    sin_half = np.sqrt(np.maximum(1 - w * w, 1e-24))
+    axis = q[:, :3] / np.maximum(sin_half, 1e-12)[:, None]
+    small = sin_half < 1e-6
+    axis[small] = [1.0, 0.0, 0.0]
+    theta = np.where(small, 0.0, theta)
+    return (axis * theta[:, None]).astype(np.float32)
+
+
 def load_fbx(path_or_text: str, scale: float = 0.01, y_up: bool = True,
              fps: Optional[float] = None) -> Dict:
     """ASCII FBX file/text → motion dict {pose_aa (F,72), root_trans_offset
@@ -227,19 +253,31 @@ def load_fbx(path_or_text: str, scale: float = 0.01, y_up: bool = True,
     if fps is None:
         if all_times:
             cat = np.unique(np.concatenate(all_times))
-            dt = np.median(np.diff(cat)) if len(cat) > 1 else 1.0 / 30.0
-            fps = float(round(1.0 / dt))
+            dt = float(np.median(np.diff(cat))) if len(cat) > 1 else 1 / 30
+            # round to a whole frame rate, but never round DOWN to zero for
+            # sparse keyed-on-change takes (dt > 2 s)
+            fps = float(round(1.0 / dt)) if dt > 0 else 30.0
+            if fps <= 0:
+                fps = 1.0 / dt
         else:
             fps = 30.0
+    # the clock spans [first key, last key]: takes commonly start at a
+    # nonzero LocalStart offset, and anchoring at t=0 would prepend a frozen
+    # extrapolated prefix of arbitrary length
+    t_start = min((t[0] for t in all_times), default=0.0)
     t_end = max((t[-1] for t in all_times), default=0.0)
-    F = max(int(round(t_end * fps)) + 1, 1)
-    clock = np.arange(F) / fps
+    F = max(int(round((t_end - t_start) * fps)) + 1, 1)
+    clock = t_start + np.arange(F) / fps
 
-    # per-model sampled channels
-    rot = {mid: np.zeros((F, 3)) for mid in models}
+    # per-model sampled channels; axes WITHOUT a curve keep the model's
+    # static rest value (the SDK's EvaluateLocalTransform semantics — a
+    # partially animated joint still carries its static components)
+    rot: Dict[int, np.ndarray] = {}
     pos = {mid: None for mid in models}
+    static3 = lambda node, prop: np.asarray(
+        (_prop70(node, prop) or [0, 0, 0])[-3:], np.float64)
     for cn, (mid, prop) in op_anim.items():
-        chans = np.zeros((F, 3))
+        chans = np.tile(static3(models[mid], prop), (F, 1))
         for k, axis in enumerate("XYZ"):
             cid = op_curve.get((cn, axis))
             if cid is None or cid not in curves:
@@ -256,7 +294,6 @@ def load_fbx(path_or_text: str, scale: float = 0.01, y_up: bool = True,
         else:
             pos[mid] = chans
 
-    # static rest values fill the unanimated channels
     aa = np.zeros((F, len(order), 3), np.float32)
     trans = np.zeros((F, 3), np.float32)
     root_mid = next((m for m in order if oo.get(m) is None), order[0])
@@ -265,14 +302,22 @@ def load_fbx(path_or_text: str, scale: float = 0.01, y_up: bool = True,
         ro_prop = _prop70(node, "RotationOrder")
         ro = _ROTATION_ORDERS.get(
             int(ro_prop[-1]) if ro_prop else 0, "ZYX")
-        static_rot = _prop70(node, "Lcl Rotation")
-        degs = rot[mid]
-        if not np.any(degs) and static_rot is not None:
-            degs = np.tile(np.asarray(static_rot[-3:], np.float64), (F, 1))
+        degs = rot.get(mid)
+        if degs is None:                        # unanimated: static rest
+            degs = np.tile(static3(node, "Lcl Rotation"), (F, 1))
         # compose in the (reversed) order sequence; degs columns follow it
         cols = {"X": 0, "Y": 1, "Z": 2}
         axes = [f"{c}rotation" for c in ro]
-        aa[:, j] = _euler_to_aa(axes, degs[:, [cols[c] for c in ro]])
+        aa_j = _euler_to_aa(axes, degs[:, [cols[c] for c in ro]])
+        # joint orient: R = Rpre · Reuler (SDK EvaluateLocalTransform; the
+        # PreRotation property is always composed in fixed XYZ order)
+        pre = _prop70(node, "PreRotation")
+        if pre is not None:
+            pre_deg = np.asarray(pre[-3:], np.float64)[None, :]
+            aa_pre = _euler_to_aa(["Zrotation", "Yrotation", "Xrotation"],
+                                  pre_deg[:, [2, 1, 0]])
+            aa_j = _compose_aa(np.tile(aa_pre, (F, 1)), aa_j)
+        aa[:, j] = aa_j
         if mid == root_mid:
             p = pos[mid]
             if p is None:
@@ -303,8 +348,13 @@ def skeleton_from_fbx(path_or_text: str) -> Tuple[List[str], List[int]]:
             text = f.read()
     root = parse_fbx_ascii(text)
     objects, conns = root.first("Objects"), root.first("Connections")
+    if objects is None or conns is None:
+        raise ValueError("FBX: missing Objects/Connections sections")
     ids, names = [], []
     for m in objects.find("Model"):
+        kind = str(m.values[2]) if len(m.values) > 2 else ""
+        if kind not in ("LimbNode", "Root", "Null", ""):
+            continue                    # meshes/cameras/lights aren't joints
         ids.append(int(m.values[0]))
         names.append(_model_name(str(m.values[1])))
     parent_of = {}

@@ -342,6 +342,9 @@ class AMPAgent:
         params = jax.tree_util.tree_map(keep, new_params, params)
         opt_state = jax.tree_util.tree_map(keep, new_opt, opt_state)
         metrics["total"] = loss
+        # a skipped minibatch must not NaN the epoch's averaged loss metrics
+        # either — mask them out and let nonfinite_grad carry the signal
+        metrics = {k: jnp.where(finite, v, 0.0) for k, v in metrics.items()}
         metrics["nonfinite_grad"] = 1.0 - finite.astype(jnp.float32)
         return params, opt_state, metrics
 

@@ -155,3 +155,89 @@ Frame Time: 0.0333333
     np.testing.assert_allclose(fbx["pose_aa"], bvh["pose_aa"], atol=1e-4)
     np.testing.assert_allclose(fbx["root_trans_offset"],
                                bvh["root_trans_offset"], atol=1e-4)
+
+
+def _one_joint_fixture(rot_axis_curves, static_rot=None, pre_rot=None,
+                       times=(0.0, 0.5, 1.0)):
+    """Single-joint FBX with selectable animated axes / static props."""
+    props = []
+    if static_rot is not None:
+        r = ",".join(str(v) for v in static_rot)
+        props.append(f'P: "Lcl Rotation", "Lcl Rotation", "", "A",{r}')
+    if pre_rot is not None:
+        r = ",".join(str(v) for v in pre_rot)
+        props.append(f'P: "PreRotation", "Vector3D", "", "A",{r}')
+    props = "\n            ".join(props)
+    curves, conns = [], []
+    for k, (axis, vals) in enumerate(rot_axis_curves.items()):
+        cid = 3000 + k
+        curves.append(_curve(cid, list(times), vals))
+        conns.append(f'    C: "OP",{cid},2001, "d|{axis}"')
+    return f"""FBXHeaderExtension:  {{ FBXVersion: 7400 }}
+Objects:  {{
+    Model: 1001, "Model::Hips", "LimbNode" {{
+        Properties70:  {{
+            {props}
+        }}
+    }}
+    AnimationCurveNode: 2001, "AnimCurveNode::R", "" {{ }}{''.join(curves)}
+}}
+Connections:  {{
+    C: "OP",2001,1001, "Lcl Rotation"
+{chr(10).join(conns)}
+}}
+"""
+
+
+def test_sparse_keys_do_not_round_fps_to_zero():
+    """Keyed-on-change takes with multi-second key spacing must not infer
+    fps=0 (round(1/dt) with dt > 2 s)."""
+    m = load_fbx(_one_joint_fixture({"X": [0.0, 20.0, 40.0]},
+                                    times=(0.0, 4.0, 8.0)))
+    assert m["fps"] > 0
+    assert np.all(np.isfinite(m["pose_aa"]))
+    assert m["pose_aa"].shape[0] >= 2
+
+
+def test_clock_anchors_at_first_key():
+    """A take starting at t=10 s must not get a 10 s frozen prefix."""
+    m = load_fbx(_one_joint_fixture(
+        {"X": [0.0, 45.0, 90.0]}, times=(10.0, 10.5, 11.0)), fps=30.0)
+    assert m["pose_aa"].shape[0] == 31        # 1 s span, not 11 s
+    pose = m["pose_aa"].reshape(-1, 24, 3)
+    np.testing.assert_allclose(np.linalg.norm(pose[-1, 0]), np.pi / 2,
+                               atol=0.02)
+
+
+def test_partially_animated_joint_keeps_static_axes():
+    """A curve on X only must compose with the static Y rotation, not
+    zero it (SDK EvaluateLocalTransform semantics)."""
+    m_xy = load_fbx(_one_joint_fixture({"X": [30.0, 30.0, 30.0]},
+                                       static_rot=(0, 45, 0)), fps=30.0)
+    m_ref = load_fbx(_one_joint_fixture({"X": [30.0, 30.0, 30.0],
+                                         "Y": [45.0, 45.0, 45.0]}),
+                     fps=30.0)
+    np.testing.assert_allclose(m_xy["pose_aa"], m_ref["pose_aa"], atol=1e-4)
+
+
+def test_pre_rotation_composes():
+    """PreRotation (joint orient) composes as R = Rpre · Reuler — a 90° X
+    orient plus a 30° X euler equals a 120° X rotation."""
+    m = load_fbx(_one_joint_fixture({"X": [30.0, 30.0, 30.0]},
+                                    pre_rot=(90, 0, 0)), fps=30.0)
+    pose = m["pose_aa"].reshape(-1, 24, 3)
+    np.testing.assert_allclose(np.linalg.norm(pose[0, 0]),
+                               np.deg2rad(120.0), atol=1e-3)
+
+
+def test_skeleton_filter_and_missing_sections():
+    """Mesh/camera Model nodes are not joints; malformed files raise
+    ValueError (not AttributeError)."""
+    text = make_fixture().replace(
+        'Model: 1003, "Model::LeftLeg", "LimbNode"',
+        'Model: 1003, "Model::LeftLegMesh", "Mesh"')
+    names, parents = skeleton_from_fbx(text)
+    assert names == ["Hips", "LeftUpLeg"]
+    import pytest
+    with pytest.raises(ValueError):
+        skeleton_from_fbx("FBXHeaderExtension: { FBXVersion: 7400 }\n")

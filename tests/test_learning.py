@@ -381,6 +381,8 @@ def test_nonfinite_update_guard():
     p2, o2, met2 = agent._update_minibatch(ts.params, ts.opt_state, mb_bad,
                                            demo, replay, k)
     assert float(met2["nonfinite_grad"]) == 1.0
+    # skipped minibatches must not leak NaN into the epoch's loss metrics
+    assert all(np.isfinite(float(v)) for v in met2.values())
     for a, b in zip(jax.tree_util.tree_leaves(p2),
                     jax.tree_util.tree_leaves(ts.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
