@@ -70,3 +70,38 @@ def test_pmean_metrics_shape():
     g = jax.shard_map(f, mesh=mesh, in_specs=P("env"), out_specs=P())
     out = g(jnp.arange(16.0))
     assert abs(float(out["m"]) - 7.5) < 1e-6
+
+
+def test_sharded_predictor_epoch_matches_unsharded():
+    """Batch-axis data parallelism for the predictor (the reference's torch
+    DataParallel, train_jta.py:392): one scanned epoch sharded over the
+    8-device mesh must match the unsharded update."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from emloco_tpu.prediction.data import SyntheticScenes
+    from emloco_tpu.prediction.model import TransMotionConfig
+    from emloco_tpu.prediction.train import (PredictTrainConfig,
+                                             PredictorTrainer)
+
+    mcfg = TransMotionConfig(nhid=16, nhead=2, dim_ff=32, nlayers_local=2,
+                             nlayers_global=1, nmode=3, dropout=0.0)
+    trainer = PredictorTrainer(mcfg, PredictTrainConfig())
+    ds = SyntheticScenes(num_people=3, seed=0)
+    bs = list(ds.batches(8, 2))
+    stacks = [jnp.asarray(np.stack([b[i] for b in bs])) for i in range(5)]
+    ts0 = trainer.init(jax.random.PRNGKey(0), bs[0])
+
+    ts_ref, loss_ref = trainer._fit_epoch(ts0, *stacks)
+
+    mesh = make_mesh(8, axis="batch")
+    sh = NamedSharding(mesh, P(None, "batch"))
+    stacks_sh = [jax.device_put(s, sh) for s in stacks]
+    ts_sh = jax.device_put(ts0, NamedSharding(mesh, P()))
+    with mesh:
+        ts_sh, loss_sh = trainer._fit_epoch(ts_sh, *stacks_sh)
+
+    np.testing.assert_allclose(float(loss_ref), float(loss_sh),
+                               rtol=2e-3, atol=2e-3)
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     ts_ref.params, ts_sh.params)
+    assert max(jax.tree.leaves(d)) < 2e-4
