@@ -216,7 +216,10 @@ def cmd_eval_policy(cfg, args):
         vts, preds, targets = trainer.collect_predictions(
             vts, num_epochs=args.games)
         mse, corr = trainer.prediction_stats(preds, targets)
-        print(f"[{name}] value prediction: mse={mse:.4f} corr={corr:.3f}")
+        note = "" if len(preds) else \
+            "  (no episodes latched — longer --games or shorter episodes)"
+        print(f"[{name}] value prediction: mse={mse:.4f} corr={corr:.3f}"
+              f"{note}")
         if args.plots:
             # qualitative observability parity: value-vs-return scatter +
             # histograms + a rollout GIF with per-step reward overlays
