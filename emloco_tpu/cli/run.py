@@ -160,6 +160,9 @@ def cmd_train_valuenet(cfg, args):
                         num_waypoints=5 if args.vru else 13)
     trainer = LocoValTrainer(agent, vnet, cfg.value)
     vts = trainer.init(ts, jax.random.PRNGKey(cfg.seed + 1))
+    if args.resume:
+        vp, _ = load_pytree(args.resume)
+        vts = vts.replace(vnet_params=vp)
     logger = MetricsLogger(cfg.out_dir, "valuenet")
     for ep in range(cfg.epochs):
         vts, metrics = trainer.train_epoch(vts)
