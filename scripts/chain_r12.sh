@@ -59,7 +59,7 @@ phase() {  # phase <artifact> <header> <cmd...>
 }
 
 # 1. long policy pretrain
-train_resumable "$OUT/policy_final.ckpt" policy 3000 500 \
+train_resumable "$OUT/policy_final.ckpt" policy 3000 250 \
   $RUN train-policy --config configs/pacer_terrain.yaml out_dir=$OUT
 
 # 2. LocoVal valuenet, hard negatives on (default prob 0.5)

@@ -390,3 +390,25 @@ def test_nonfinite_update_guard():
                     jax.tree_util.tree_leaves(ts.opt_state)):
         if hasattr(a, "shape"):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_locoval_vru_waypoints():
+    """VRU mode (reference --vru: 5 waypoints instead of 13,
+    value_pose_net.py:36-44): the trainer slices the captured waypoint
+    trajectory to the net's width and trains."""
+    from emloco_tpu.learning.value_train import LocoValTrainer, ValueTrainConfig
+
+    agent = tiny_agent()
+    ts = agent.init(jax.random.PRNGKey(0))
+    vnet = ValuePoseNet(use_pose=False, use_vel=True, num_waypoints=5)
+    trainer = LocoValTrainer(agent, vnet,
+                             ValueTrainConfig(horizon=8, step_to_pred=6))
+    vts = trainer.init(ts, jax.random.PRNGKey(1))
+    vts, metrics = trainer.train_epoch(vts)
+    assert np.isfinite(float(metrics["vnet_loss"]))
+    assert float(metrics["num_latched"]) > 0
+    # the net really consumes 5 waypoints
+    traj = jax.random.normal(jax.random.PRNGKey(2), (4, 5, 2))
+    vel = jax.random.normal(jax.random.PRNGKey(3), (4, 2))
+    v = vnet.apply(vts.vnet_params, traj, None, vel)
+    assert v.shape == (4,)
