@@ -76,6 +76,8 @@ def _build_world(cfg):
 
 
 def cmd_train_policy(cfg, args):
+    import jax.numpy as jnp
+
     from ..learning.amp_agent import AMPAgent
     from ..utils.checkpoint import save_pytree
     from ..utils.logging import MetricsLogger
@@ -83,11 +85,21 @@ def cmd_train_policy(cfg, args):
     env = _build_world(cfg)
     agent = AMPAgent(env, cfg.amp)
     ts = agent.init(jax.random.PRNGKey(cfg.seed))
+    start_ep = 0
     if args.resume:
         from ..utils.checkpoint import load_pytree
-        tree, _ = load_pytree(args.resume)
+        tree, meta = load_pytree(args.resume)
         ts = ts.replace(params=tree["params"], obs_norm=tree["obs_norm"],
                         amp_norm=tree["amp_norm"])
+        # resume fidelity: older checkpoints carried params+norms only; newer
+        # ones also carry value_norm, optimizer moments, and the absolute
+        # epoch so curricula keyed on absolute epoch (getup) stay on schedule
+        if "value_norm" in tree:
+            ts = ts.replace(value_norm=tree["value_norm"])
+        if "opt_state" in tree:
+            ts = ts.replace(opt_state=tree["opt_state"])
+        start_ep = int(meta.get("epoch", -1)) + 1
+        ts = ts.replace(epoch=jnp.asarray(start_ep, jnp.int32))
     mesh_ctx = None
     if args.mesh > 1:
         # env-axis data parallelism over an N-chip mesh (the reference's
@@ -108,11 +120,13 @@ def cmd_train_policy(cfg, args):
         print(f"profile trace written to {d}")
     t0 = time.perf_counter()
     steps_per_epoch = cfg.amp.horizon * cfg.env.num_envs
-    for ep in range(cfg.epochs):
+    last_ep = start_ep + cfg.epochs - 1
+    for ep in range(start_ep, start_ep + cfg.epochs):
         if hasattr(env, "update_getup_schedule"):
             # getup curriculum (reference update_getup_schedule hook called
             # per epoch from the agent, amp_continuous.py:203-220): fall-bank
-            # reset probabilities + disc-only reward during the fall phase
+            # reset probabilities + disc-only reward during the fall phase;
+            # ep is the ABSOLUTE epoch so resumed runs stay on schedule
             ts = ts.replace(env_state=env.update_getup_schedule(
                 ts.env_state, ep, cfg.env.getup_update_epoch))
             ts = agent.update_getup_reward_schedule(
@@ -124,13 +138,15 @@ def cmd_train_policy(cfg, args):
             ts, metrics = agent.train_epoch(ts)
         if ep % 10 == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
-            metrics["step_fps"] = steps_per_epoch * (ep + 1) / (
+            metrics["step_fps"] = steps_per_epoch * (ep - start_ep + 1) / (
                 time.perf_counter() - t0)
             logger.log(ep, metrics)
-        if ep and ep % cfg.save_every == 0 or ep == cfg.epochs - 1:
+        if ep and ep % cfg.save_every == 0 or ep == last_ep:
             save_pytree(os.path.join(cfg.out_dir, f"policy_{ep:08d}.ckpt"),
                         dict(params=ts.params, obs_norm=ts.obs_norm,
-                             amp_norm=ts.amp_norm, value_norm=ts.value_norm))
+                             amp_norm=ts.amp_norm, value_norm=ts.value_norm,
+                             opt_state=ts.opt_state),
+                        metadata=dict(epoch=ep))
     logger.close()
 
 
