@@ -499,3 +499,66 @@ def test_ethucy_reader_and_training():
                 first = float(aux["wta"])
             last = float(aux["wta"])
     assert np.isfinite(last) and last < first
+
+
+def test_jrdb_2d_only_export_path(tmp_path):
+    """JRDB exports carry 2D boxes + 2D pose only (reference
+    Reader_jrdb_2dbox, trajnetplusplustools/reader.py:10-143; model_jrdb.py
+    runs the same dual-former with the 3D streams absent). A 2D-only ndjson
+    must round-trip with its 3D cue slots NaN-absent, batch with the 3D
+    token slots exactly zero (modality masking treats zeros as absent), and
+    train under the committed configs/jrdb_predictor.yaml."""
+    import os
+    from emloco_tpu.prediction.data import (
+        NDJSON_POSE_JOINTS, NdjsonScenes, OBS_FRAMES, TOTAL,
+        read_ndjson_scenes_all_cues, write_ndjson_all_cues)
+    from emloco_tpu.utils.config import load_config
+
+    rng = np.random.RandomState(0)
+    scenes = []
+    for _ in range(3):
+        T, N = TOTAL, 3
+        base = rng.randn(1, N, 2) * 1.0
+        vel = rng.randn(1, N, 2) * 0.1
+        traj = (base + vel * np.arange(T)[:, None, None]).astype(np.float32)
+        scenes.append(dict(
+            traj=traj,
+            box2d=rng.rand(T, N, 4).astype(np.float32),
+            pose2d=rng.rand(T, N, NDJSON_POSE_JOINTS, 2).astype(np.float32),
+        ))
+
+    p = str(tmp_path / "jrdb.ndjson")
+    write_ndjson_all_cues(p, scenes)
+    back = read_ndjson_scenes_all_cues(p)
+    assert len(back) == 3
+    # absent 3D streams stay NaN-absent through the round trip; 2D survive
+    assert np.isnan(back[0]["pose3d"]).all()
+    assert np.isnan(back[0]["box3d"]).all()
+    np.testing.assert_allclose(back[0]["pose2d"], scenes[0]["pose2d"],
+                               atol=2e-3)
+    np.testing.assert_allclose(back[0]["traj"], scenes[0]["traj"], atol=2e-3)
+
+    nd = NdjsonScenes(p, max_people=3)
+    batch = nd.batch(4)
+    obs = np.asarray(batch.obs)
+    # token layout [traj, 3dbb, 2dbb, 3dpose*24, 2dpose*22]: the 3D slots
+    # are exactly zero, the 2D slots carry signal (deltas vs frame 8)
+    np.testing.assert_allclose(obs[:, :, :, 1, :], 0.0, atol=0)
+    np.testing.assert_allclose(obs[:, :, :, 3:27, :], 0.0, atol=0)
+    assert np.abs(obs[:, 0, :, 2, :]).max() > 1e-3
+    assert np.abs(obs[:, 0, :, 27:49, :2]).max() > 1e-3
+    np.testing.assert_allclose(obs[:, OBS_FRAMES - 1, :, 1:], 0.0, atol=1e-6)
+
+    # the committed JRDB config drives the standard trainer on this data
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "jrdb_predictor.yaml"),
+                      ["model.nhid=32", "model.dim_ff=64",
+                       "model.nlayers_local=1", "model.nlayers_global=1",
+                       "model.nmode=2", "predict.use_value_loss=false"])
+    trainer = PredictorTrainer(cfg.model, cfg.predict)
+    ts = trainer.init(jax.random.PRNGKey(0), batch)
+    ts, aux = trainer.train_step(ts, *batch)
+    assert np.isfinite(float(aux["traj_loss"]))
+    out = evaluate_with_filter(trainer, ts.params, nd, 4, 2)
+    for k in ("ade_min", "fde_min"):
+        assert np.isfinite(out[k]), k
