@@ -472,6 +472,13 @@ def cmd_visualize_pred(cfg, args):
             hout = os.path.join(cfg.out_dir, f"values_{name}.png")
             V.plot_value_histogram({name: v["values"]}, hout)
             print(hout)
+    if len(vis) > 1:
+        # per-sample improvement histograms vs every baseline (reference
+        # draw_histogram.py; the LAST vis_dict argument is "ours")
+        ours = list(vis)[-1]
+        dout = os.path.join(cfg.out_dir, "metric_diff_hist.png")
+        V.plot_metric_diff_histograms(vis, ours, dout)
+        print(dout)
 
 
 def cmd_optimize_traj(cfg, args):

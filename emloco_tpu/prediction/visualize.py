@@ -108,6 +108,47 @@ def plot_prediction_comparison(vis_by_model: Dict[str, Dict],
     return out_path
 
 
+def per_sample_min_metrics(vis: Dict):
+    """Per-sample min-over-heads ADE/FDE from a vis_dict (the quantities
+    draw_histogram.py reads back out of the reference's saved eval tuples,
+    indices 6/9)."""
+    gt = vis["gt"][:, :, None, :]                        # (S, Fp, 1, 2)
+    d = np.linalg.norm(vis["pred"] - gt, axis=-1)        # (S, Fp, M)
+    return d.mean(1).min(-1), d[:, -1].min(-1)
+
+
+def plot_metric_diff_histograms(vis_by_model: Dict[str, Dict], ours: str,
+                                out_path: str, bins: int = 10):
+    """Per-sample ADE/FDE improvement histograms of `ours` against every
+    other model in `vis_by_model` (reference draw_histogram.py: histograms
+    of metric_baseline − metric_ours, one figure per metric × baseline,
+    10 bins). Positive mass = samples where ours is better; each panel is
+    annotated with that improved fraction."""
+    ade_o, fde_o = per_sample_min_metrics(vis_by_model[ours])
+    baselines = [k for k in vis_by_model if k != ours]
+    if not baselines:
+        raise ValueError("need at least one baseline vis_dict besides "
+                         f"'{ours}'")
+    fig, axes = plt.subplots(len(baselines), 2,
+                             figsize=(8.0, 3.0 * len(baselines)),
+                             squeeze=False)
+    for r, name in enumerate(baselines):
+        ade_b, fde_b = per_sample_min_metrics(vis_by_model[name])
+        for c, (lbl, diffs) in enumerate([("ADE", ade_b - ade_o),
+                                          ("FDE", fde_b - fde_o)]):
+            ax = axes[r][c]
+            ax.hist(diffs, bins=bins, alpha=0.8, edgecolor="black")
+            ax.axvline(0.0, color="k", lw=1)
+            frac = float((diffs > 0).mean())
+            ax.set_title(f"{lbl} {name} − {ours}  "
+                         f"(improved {frac:.0%})", fontsize=9)
+            ax.set_xlabel(f"Δ{lbl} [m]", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
 def plot_value_ade_bars(values: np.ndarray, ades: np.ndarray, out_path: str,
                         num_bins: int = 10):
     """Mean ADE per LocoVal-value bin (evaluate_jta.py:432-493): shows whether

@@ -145,3 +145,27 @@ def test_policy_eval_artifacts(tmp_path):
     assert "scatter" in arts and os.path.exists(arts["scatter"])
     assert os.path.exists(arts["hist"])
     assert np.isfinite(arts["mse"])
+
+
+def test_metric_diff_histograms(tmp_path):
+    """Per-sample improvement histograms (reference draw_histogram.py):
+    ADE/FDE diffs are computed per sample against every baseline, and a
+    model compared to itself improves exactly 0% of samples."""
+    base = _fake_vis(num_scenes=24, seed=1)
+    # a strictly better model: every head predicts exactly the gt
+    ours = dict(base, pred=np.repeat(base["gt"][:, :, None, :], 4, axis=2))
+    out = visualize.plot_metric_diff_histograms(
+        {"baseline": base, "ours": ours}, "ours",
+        str(tmp_path / "diff.png"))
+    assert os.path.getsize(out) > 1000
+
+    ade_b, fde_b = visualize.per_sample_min_metrics(base)
+    ade_o, fde_o = visualize.per_sample_min_metrics(ours)
+    assert ade_b.shape == (24,) and fde_b.shape == (24,)
+    assert np.allclose(ade_o, 0) and np.allclose(fde_o, 0)
+    assert (ade_b - ade_o > 0).all()
+
+    import pytest
+    with pytest.raises(ValueError):
+        visualize.plot_metric_diff_histograms({"only": base}, "only",
+                                              str(tmp_path / "x.png"))
