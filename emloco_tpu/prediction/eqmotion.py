@@ -301,6 +301,60 @@ def h36m_config(past=10, future=10, nmode=1) -> EqMotionConfig:
                           nmode=nmode)
 
 
+def synthetic_md17_batch(key, batch=8, atoms=13, past=25, future=25,
+                         dt=0.02, k_bond=8.0, damping=0.02):
+    """Molecular-dynamics domain (the reference's EqMotion/md17 variant:
+    atom trajectories of one molecule, past 25 → future 25 frames,
+    dataset_md17.py:10-56 loads (B,T,N,3) position arrays). Synthetic stand-in
+    (the real MD17 npy dumps cannot be downloaded here): a fixed chain+skip
+    bond topology with harmonic bonds around the equilibrium geometry,
+    damped symplectic Euler in one lax.scan. The dynamics are
+    E(3)-equivariant — each batch element gets a random global rotation —
+    which is the property the model family exists to exploit.
+    Returns (past, future) shaped (B, atoms, T, 3)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    # equilibrium geometry: a jittered 3-D zig-zag chain (one fixed molecule
+    # per call, like one MD17 molecule type per dataset)
+    t = jnp.arange(atoms, dtype=jnp.float32)
+    eq = jnp.stack([t * 1.2,
+                    0.6 * jnp.cos(t * 2.1),
+                    0.6 * jnp.sin(t * 1.3)], -1)          # (N, 3)
+    bonds = [(i, i + 1) for i in range(atoms - 1)]
+    bonds += [(i, i + 2) for i in range(atoms - 2)]       # angle stiffness
+    bi = jnp.array([b[0] for b in bonds])
+    bj = jnp.array([b[1] for b in bonds])
+    r0 = jnp.linalg.norm(eq[bi] - eq[bj], axis=-1)        # rest lengths
+
+    from ..ops import quat as Q
+    q = Q.normalize(jax.random.normal(k1, (batch, 4)))
+    x0 = Q.rotate(jnp.broadcast_to(q[:, None], (batch, atoms, 4)),
+                  eq[None] + 0.05 * jax.random.normal(k2, (batch, atoms, 3)))
+    v0 = 0.4 * jax.random.normal(k3, (batch, atoms, 3))
+    v0 = v0 - v0.mean(1, keepdims=True)                   # zero net momentum
+
+    def step(carry, _):
+        x, v = carry
+        d = x[:, bi] - x[:, bj]                           # (B, E, 3)
+        dist = jnp.linalg.norm(d, axis=-1, keepdims=True)
+        f_e = -k_bond * (dist - r0[None, :, None]) * d / (dist + 1e-8)
+        f = jnp.zeros_like(x).at[:, bi].add(f_e).at[:, bj].add(-f_e)
+        v = (1.0 - damping) * v + dt * f
+        x = x + dt * v
+        return (x, v), x
+
+    _, xs = jax.lax.scan(step, (x0, v0), None, length=past + future)
+    xs = jnp.moveaxis(xs, 0, 2)                           # (B, N, T, 3)
+    return xs[:, :, :past], xs[:, :, past:]
+
+
+def md17_config(past=25, future=25, nmode=1) -> EqMotionConfig:
+    """Config preset for the MD17 molecular domain (reference
+    main_md17.py envelope: 25 past / 25 future frames, single-mode)."""
+    return EqMotionConfig(past_length=past, future_length=future,
+                          hidden_nf=64, hid_channel=32, n_layers=4,
+                          nmode=nmode)
+
+
 # ---------------------------------------------------------------------------
 # ETH-UCY raw annotation ingestion (real-data path for the EqMotion baseline)
 # ---------------------------------------------------------------------------

@@ -562,3 +562,34 @@ def test_jrdb_2d_only_export_path(tmp_path):
     out = evaluate_with_filter(trainer, ts.params, nd, 4, 2)
     for k in ("ade_min", "fde_min"):
         assert np.isfinite(out[k]), k
+
+
+def test_eqmotion_md17_domain():
+    """EqMotion molecular domain (EqMotion/md17, dataset_md17.py:10-56):
+    atoms as equivariant nodes over a fixed bond topology; the synthetic
+    harmonic-bond dynamics stay finite/bounded and training reduces WTA."""
+    import jax
+    from emloco_tpu.prediction import eqmotion as E
+
+    key = jax.random.PRNGKey(0)
+    past, future = E.synthetic_md17_batch(key, batch=4, atoms=9,
+                                          past=12, future=12)
+    assert past.shape == (4, 9, 12, 3) and future.shape == (4, 9, 12, 3)
+    assert np.isfinite(np.asarray(past)).all()
+    # bonds hold: chain distances stay near rest length through the future
+    d = np.linalg.norm(np.asarray(future)[:, 1:] - np.asarray(future)[:, :-1],
+                       axis=-1)
+    assert d.max() < 4.0 and d.min() > 0.2
+
+    cfg = E.md17_config(past=12, future=12, nmode=1)
+    cfg = type(cfg)(**{**cfg.__dict__, "hidden_nf": 32, "hid_channel": 16,
+                       "n_layers": 2})
+    trainer = E.EqMotionTrainer(cfg, lr=2e-3)
+    ts, _ = trainer.init(jax.random.PRNGKey(1), past)
+    losses = []
+    for i in range(12):
+        p, f = E.synthetic_md17_batch(jax.random.fold_in(key, i), batch=4,
+                                      atoms=9, past=12, future=12)
+        ts, aux = trainer.train_step(ts, None, p, f)
+        losses.append(float(aux["wta"]))
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
