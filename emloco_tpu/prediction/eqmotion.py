@@ -191,6 +191,39 @@ class EqMotionTrainer:
     def predict(self, params, past):
         return self.model.apply(params, past)
 
+    def mode_values(self, vnet_params, past, pred):
+        """LocoVal score per mode: each predicted mode rebased to start at
+        the primary agent's last observed position, scored by the frozen
+        value net (reference main_eth_diverse.py:189). pred is (B,M,Tf,2);
+        returns (B,M)."""
+        cur = past[:, 0, -1:]
+        init_vel = (past[:, 0, -1] - past[:, 0, -2]) * 2.5
+        rel = pred - cur[:, None]
+        trajs = jnp.concatenate([jnp.zeros_like(rel[:, :, :1]), rel], 2)
+        return jnp.stack([
+            self.vnet.apply(vnet_params, trajs[:, m], None, init_vel)
+            for m in range(trajs.shape[1])], -1)
+
+    def vis_dict(self, params, past, future, vnet_params=None):
+        """Adapt a batch to the shared vis_dict plot schema (visualize.py) —
+        the counterpart of the reference's standalone
+        EqMotion/ETH-UCY-Trajectory-Visualizer tool: primary-agent observed
+        track, GT future, per-mode predictions, and LocoVal values when a
+        value net is attached. Consumable by plot_prediction_comparison /
+        plot_metric_diff_histograms / plot_value_histogram."""
+        import numpy as _np
+
+        pred = self.predict(params, past)[:, 0]          # (B,M,Tf,2)
+        out = {
+            "obs": _np.asarray(past[:, 0, :, :2]),       # (B,Tp,2)
+            "gt": _np.asarray(future[:, 0, :, :2]),      # (B,Tf,2)
+            "pred": _np.asarray(jnp.moveaxis(pred, 1, 2))[..., :2],
+        }
+        if self.vnet is not None and vnet_params is not None:
+            out["values"] = _np.asarray(
+                self.mode_values(vnet_params, past, pred))
+        return out
+
     def evaluate(self, params, past, future, vnet_params=None,
                  threshold: float = 0.7):
         """ADE/FDE over modes; with vnet_params also the LocoVal-filter
@@ -203,14 +236,7 @@ class EqMotionTrainer:
                M.ade_fde(pred_t, future[:, 0]).items()
                if not k.endswith("per_mode")}
         if self.vnet is not None and vnet_params is not None:
-            cur = past[:, 0, -1:]
-            init_vel = (past[:, 0, -1] - past[:, 0, -2]) * 2.5
-            rel = pred - cur[:, None]
-            trajs = jnp.concatenate([jnp.zeros_like(rel[:, :, :1]), rel], 2)
-            B, Mm = trajs.shape[:2]
-            values = jnp.stack([
-                self.vnet.apply(vnet_params, trajs[:, m], None, init_vel)
-                for m in range(Mm)], -1)                 # (B,M)
+            values = self.mode_values(vnet_params, past, pred)
             keep = M.locoval_filter(pred_t, values, threshold)
             err = jnp.linalg.norm(pred - future[:, 0:1], axis=-1).mean(-1)
             big = jnp.where(keep, err, jnp.inf)

@@ -593,3 +593,38 @@ def test_eqmotion_md17_domain():
         ts, aux = trainer.train_step(ts, None, p, f)
         losses.append(float(aux["wta"]))
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_eqmotion_vis_dict_adapter(tmp_path):
+    """vis_dict adapter (reference ETH-UCY-Trajectory-Visualizer tool):
+    EqMotion batches plot through the shared comparison/diff-histogram
+    machinery, values included when a vnet is attached; evaluate() metrics
+    are unchanged by the refactored mode_values helper."""
+    from emloco_tpu.prediction import visualize as V
+    from emloco_tpu.prediction.eqmotion import (
+        EqMotionConfig, EqMotionTrainer, synthetic_eth_batch)
+
+    cfg = EqMotionConfig(hidden_nf=16, hid_channel=8, n_layers=1, nmode=2)
+    vnet = ValuePoseNet(use_pose=False, use_vel=True)
+    key = jax.random.PRNGKey(0)
+    vp = vnet.init(key, jnp.zeros((1, 13, 2)), None, jnp.zeros((1, 2)))
+    trainer = EqMotionTrainer(cfg, lr=1e-3, vnet=vnet, valueloss_w=0.5)
+    past, future = synthetic_eth_batch(key, batch=3, agents=2)
+    ts, vp = trainer.init(key, past, vnet_params=vp)
+
+    vis = trainer.vis_dict(ts.params, past, future, vnet_params=vp)
+    assert vis["obs"].shape == (3, past.shape[2], 2)
+    assert vis["gt"].shape == (3, future.shape[2], 2)
+    assert vis["pred"].shape == (3, future.shape[2], 2, 2)   # (B,Tf,M,2)
+    assert vis["values"].shape == (3, 2)
+    assert np.isfinite(vis["pred"]).all()
+
+    out = str(tmp_path / "eq_cmp.png")
+    V.plot_prediction_comparison({"eqmotion": vis}, [0, 1], out,
+                                 value_threshold=0.5)
+    import os
+    assert os.path.getsize(out) > 1000
+    ade, fde = V.per_sample_min_metrics(vis)
+    ev = trainer.evaluate(ts.params, past, future, vnet_params=vp,
+                          threshold=0.0)
+    np.testing.assert_allclose(ade.mean(), ev["ade_min"], rtol=1e-5)
