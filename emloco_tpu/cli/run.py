@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import sys
 import time
 
@@ -98,7 +99,14 @@ def cmd_train_policy(cfg, args):
             ts = ts.replace(value_norm=tree["value_norm"])
         if "opt_state" in tree:
             ts = ts.replace(opt_state=tree["opt_state"])
-        start_ep = int(meta.get("epoch", -1)) + 1
+        ep_meta = int(meta.get("epoch", -1))
+        if ep_meta < 0:
+            # old-format checkpoints carried no epoch metadata; fall back to
+            # the filename so resumed runs keep absolute epoch numbering
+            # (otherwise a resume restarts at 0 and overwrites earlier ckpts)
+            m = re.search(r"_(\d+)\.ckpt$", args.resume)
+            ep_meta = int(m.group(1)) if m else -1
+        start_ep = ep_meta + 1
         ts = ts.replace(epoch=jnp.asarray(start_ep, jnp.int32))
     mesh_ctx = None
     if args.mesh > 1:
@@ -176,15 +184,23 @@ def cmd_train_valuenet(cfg, args):
                         num_waypoints=5 if args.vru else 13)
     trainer = LocoValTrainer(agent, vnet, cfg.value)
     vts = trainer.init(ts, jax.random.PRNGKey(cfg.seed + 1))
+    start_ep = 0
     if args.resume:
         vp, _ = load_pytree(args.resume)
         vts = vts.replace(vnet_params=vp)
+        m = re.search(r"_(\d+)\.ckpt$", args.resume)
+        if m:
+            # keep absolute epoch numbering across resumes so the chain
+            # scripts' remaining-epoch arithmetic and name-sorted "latest
+            # checkpoint" selection stay correct
+            start_ep = int(m.group(1)) + 1
     logger = MetricsLogger(cfg.out_dir, "valuenet")
-    for ep in range(cfg.epochs):
+    last_ep = start_ep + cfg.epochs - 1
+    for ep in range(start_ep, start_ep + cfg.epochs):
         vts, metrics = trainer.train_epoch(vts)
         if ep % 10 == 0:
             logger.log(ep, {k: float(v) for k, v in metrics.items()})
-        if ep and ep % cfg.save_every == 0 or ep == cfg.epochs - 1:
+        if ep and ep % cfg.save_every == 0 or ep == last_ep:
             save_valuenet(
                 os.path.join(cfg.out_dir, f"valuenet_{ep:08d}.ckpt"),
                 vts.vnet_params,

@@ -64,32 +64,42 @@ def initial_yaw_error(pred, target):
 
 def motion_primitives(traj, dt: float = 0.4):
     """Speed / acceleration / angular velocity / angular acceleration
-    sequences at the prediction rate (reference :67-110). traj (B,F,2)."""
+    sequences at the prediction rate. traj (B,F,2).
+
+    Exact reference semantics (utils/metrics.py:67-105, verified by
+    tests/test_reference_parity.py): acceleration is |Δspeed|/dt, and
+    angular velocity is |atan2(Δy,Δx)|/dt — the reference divides the
+    *absolute displacement heading* by dt (not a heading difference)."""
     v = jnp.diff(traj, axis=1) / dt                     # (B,F-1,2)
     speed = jnp.linalg.norm(v, axis=-1)
-    acc = jnp.diff(speed, axis=1) / dt
+    acc = jnp.abs(jnp.diff(speed, axis=1) / dt)
     heading = jnp.arctan2(v[..., 1], v[..., 0])
-    dh = jnp.diff(heading, axis=1)
-    dh = jnp.arctan2(jnp.sin(dh), jnp.cos(dh))
-    ang_vel = dh / dt
-    ang_acc = jnp.diff(ang_vel, axis=1) / dt
+    ang_vel = jnp.abs(heading / dt)
+    ang_acc = jnp.abs(jnp.diff(ang_vel, axis=1) / dt)
     return dict(speed=speed, acc=acc, ang_vel=ang_vel, ang_acc=ang_acc)
 
 
 def chi2_histogram_distance(a, b, bins=20, rng=None):
-    """χ² distance between empirical histograms of two primitive samples
-    (reference :112-137)."""
+    """χ² distance between empirical histograms of two primitive samples.
+
+    Exact reference semantics (utils/metrics.py:107-137): 20 bins spanning
+    the pooled min..max, histograms converted to per-bin probability *mass*
+    (density × bin width), χ² = Σ (gᵢ−pᵢ)²/(gᵢ+pᵢ) over bins where either
+    mass is nonzero (no ½ factor)."""
     a = np.asarray(a).ravel()
     b = np.asarray(b).ravel()
     lo = min(a.min(), b.min())
     hi = max(a.max(), b.max())
     if hi <= lo:
         return 0.0
-    ha, _ = np.histogram(a, bins=bins, range=(lo, hi), density=True)
-    hb, _ = np.histogram(b, bins=bins, range=(lo, hi), density=True)
+    edges = np.linspace(lo, hi, bins + 1)
+    ha, _ = np.histogram(a, bins=edges, density=True)
+    hb, _ = np.histogram(b, bins=edges, density=True)
+    ha = ha * np.diff(edges)
+    hb = hb * np.diff(edges)
     denom = ha + hb
     mask = denom > 0
-    return float(0.5 * np.sum((ha[mask] - hb[mask]) ** 2 / denom[mask]))
+    return float(np.sum((ha[mask] - hb[mask]) ** 2 / denom[mask]))
 
 
 def locoval_filter(pred_modes, values, threshold: float = 0.7):

@@ -81,13 +81,15 @@ class EncoderLayer(nn.Module):
         a = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead, dropout_rate=self.dropout,
             deterministic=deterministic)(x, x, mask=attn_mask)
-        x = nn.LayerNorm()(x + nn.Dropout(self.dropout)(
+        # eps=1e-5 matches torch nn.LayerNorm (the reference's encoder
+        # layers); measured parity in tests/test_reference_parity.py
+        x = nn.LayerNorm(epsilon=1e-5)(x + nn.Dropout(self.dropout)(
             a, deterministic=deterministic))
         h = nn.Dense(self.dim_ff)(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.nhid)(h)
-        x = nn.LayerNorm()(x + nn.Dropout(self.dropout)(
+        x = nn.LayerNorm(epsilon=1e-5)(x + nn.Dropout(self.dropout)(
             h, deterministic=deterministic))
         return x
 

@@ -21,7 +21,9 @@ train_resumable() {  # train_resumable <final> <prefix> <total_epochs> <save_eve
   [ -e "$final" ] && { echo "=== skip $prefix (exists)" >> "$LOG"; return 0; }
   for attempt in 1 2 3; do
     local latest epochs res=""
-    latest=$(ls -t "$OUT/${prefix}"_0*.ckpt 2>/dev/null | head -1)
+    # name-sort (not mtime) so the numerically-latest epoch wins even after
+    # partial re-runs; ckpt numbering is absolute across resumes
+    latest=$(ls "$OUT/${prefix}"_0*.ckpt 2>/dev/null | sort | tail -1)
     epochs=$total
     if [ -n "$latest" ]; then
       local n
@@ -35,7 +37,7 @@ train_resumable() {  # train_resumable <final> <prefix> <total_epochs> <save_eve
     fi
     echo "=== $prefix (attempt $attempt, epochs=$epochs) $(date -u)" >> "$LOG"
     if "$@" epochs=$epochs save_every=$save $res >> "$LOG" 2>&1; then
-      cp "$(ls -t "$OUT/${prefix}"_0*.ckpt | head -1)" "$final"
+      cp "$(ls "$OUT/${prefix}"_0*.ckpt | sort | tail -1)" "$final"
       return 0
     fi
     echo "=== $prefix attempt $attempt failed rc=$? $(date -u)" >> "$LOG"

@@ -29,7 +29,7 @@ phase "$OUT/policy_final.ckpt" "group-obs policy train" \
   bash -c "$RUN train-policy --config configs/pacer_terrain.yaml \
     out_dir=$OUT env.num_envs=1024 env.group_obs=true epochs=300 \
     save_every=150 \
-  && cp \$(ls -t $OUT/policy_0*.ckpt | head -1) $OUT/policy_final.ckpt"
+  && cp \$(ls $OUT/policy_0*.ckpt | sort | tail -1) $OUT/policy_final.ckpt"
 
 phase "$OUT/eval.done" "group-obs eval" \
   bash -c "$RUN eval-policy --config configs/pacer_terrain.yaml --plots \

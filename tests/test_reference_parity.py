@@ -1,0 +1,623 @@
+"""Measured numerical parity against the reference's own runnable modules.
+
+The reference implementation at /root/reference is CUDA/torch, but several of
+its core modules are device-agnostic and import cleanly on CPU torch:
+
+  * ValuePoseNet            pacer/pacer/learning/value_pose_net.py:10-207
+  * TransMotionJTA          social-transmotion/model_jta.py:130-336
+  * losses/metrics          social-transmotion/utils/metrics.py:4-137
+  * poselib rotation3d      pacer/poselib/poselib/core/rotation3d.py:14-450
+  * poselib FK              pacer/poselib/poselib/skeleton/skeleton3d.py:420-450
+  * pacer torch_utils       pacer/pacer/utils/torch_utils.py:14-196
+
+These tests transplant weights between the torch reference and the flax
+rebuild and assert numerical agreement, turning the docstring parity claims
+into measured ones. Intentional deviations are listed in PARITY.md and
+asserted here where measurable.
+
+The reference tree is read-only and only imported — nothing is copied.
+"""
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference mount not available")
+
+torch = pytest.importorskip("torch")
+
+
+# ---------------------------------------------------------------------------
+# reference import plumbing
+# ---------------------------------------------------------------------------
+
+def _ensure_ref_paths():
+    # note the final order: pacer/poselib must precede pacer, because
+    # pacer/poselib/__init__.py makes the OUTER dir an (empty) regular
+    # package that would otherwise shadow the real poselib package
+    for p in (f"{REF}/social-transmotion", f"{REF}/pacer",
+              f"{REF}/pacer/poselib"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+
+
+def _load_isaacgym_torch_utils():
+    """Load isaacgym/python/isaacgym/torch_utils.py directly (pure torch),
+    bypassing the package __init__ which needs the absent gym .so, and
+    register it as `isaacgym.torch_utils` so pacer.utils.torch_utils's
+    `from isaacgym.torch_utils import *` resolves."""
+    if "isaacgym.torch_utils" in sys.modules:
+        return sys.modules["isaacgym.torch_utils"]
+    path = f"{REF}/isaacgym/python/isaacgym/torch_utils.py"
+    spec = importlib.util.spec_from_file_location("isaacgym.torch_utils", path)
+    mod = importlib.util.module_from_spec(spec)
+    pkg = types.ModuleType("isaacgym")
+    pkg.torch_utils = mod
+    sys.modules.setdefault("isaacgym", pkg)
+    sys.modules["isaacgym.torch_utils"] = mod
+    # the reference targets numpy<1.24; shim the removed aliases it uses in
+    # module-scope default args (torch_utils.py:135 get_axis_params)
+    shimmed = not hasattr(np, "float")
+    if shimmed:
+        np.float = float
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        if shimmed:
+            del np.float
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Namespace of lazily imported reference modules."""
+    _ensure_ref_paths()
+    _load_isaacgym_torch_utils()
+    ns = types.SimpleNamespace()
+    from poselib.core import rotation3d as r3d                   # noqa: E402
+    from poselib.skeleton.skeleton3d import (                    # noqa: E402
+        SkeletonState, SkeletonTree)
+    from pacer.learning.value_pose_net import (                  # noqa: E402
+        ValuePoseNet as TorchValuePoseNet)
+    from pacer.utils import torch_utils as pacer_tu              # noqa: E402
+    import model_jta                                             # noqa: E402
+    from utils import metrics as ref_metrics                     # noqa: E402
+    ns.r3d = r3d
+    ns.SkeletonState = SkeletonState
+    ns.SkeletonTree = SkeletonTree
+    ns.TorchValuePoseNet = TorchValuePoseNet
+    ns.pacer_tu = pacer_tu
+    ns.model_jta = model_jta
+    ns.metrics = ref_metrics
+    return ns
+
+
+def t2n(x):
+    return x.detach().cpu().numpy()
+
+
+# ---------------------------------------------------------------------------
+# 1. ValuePoseNet — the LocoVal function (value_pose_net.py:10-159)
+# ---------------------------------------------------------------------------
+
+def _transplant_vpn(flax_params, torch_net):
+    """Copy flax Dense params into the torch nn.Sequential (weight = kernelᵀ)."""
+    p = flax_params["params"]
+    sd = torch_net._network.state_dict()
+    for name in ("fc1", "fc2", "fc3"):
+        sd[f"{name}.weight"] = torch.from_numpy(
+            np.asarray(p[name]["kernel"]).T.copy())
+        sd[f"{name}.bias"] = torch.from_numpy(np.asarray(p[name]["bias"]))
+    torch_net._network.load_state_dict(sd)
+
+
+def _make_vpn_inputs(rng, B=16, W=13, moving=True):
+    traj = rng.normal(size=(B, W, 2)).astype(np.float32)
+    if moving:
+        # keep the second waypoint away from the near-zero x singularity the
+        # reference special-cases with an epsilon substitution (:79-83)
+        traj[:, 1, 0] += np.sign(traj[:, 1, 0] + 1e-3)
+    pose = rng.normal(size=(B, 24, 3)).astype(np.float32) * 0.4
+    vel = rng.normal(size=(B, 2)).astype(np.float32)
+    return traj, pose, vel
+
+
+@pytest.mark.parametrize("use_pose,use_vel", [
+    (True, True), (False, False), (False, True), (True, False)])
+def test_valueposenet_forward_parity(ref, use_pose, use_vel):
+    import jax
+    from emloco_tpu.learning.networks import ValuePoseNet
+
+    rng = np.random.default_rng(0)
+    traj, pose, vel = _make_vpn_inputs(rng)
+
+    jnet = ValuePoseNet(use_pose=use_pose, use_vel=use_vel)
+    params = jnet.init(jax.random.PRNGKey(0), traj,
+                       pose if use_pose else None, vel if use_vel else None)
+
+    tnet = ref.TorchValuePoseNet(use_pose=use_pose, use_vel=use_vel)
+    tnet.eval()
+    _transplant_vpn(params, tnet)
+
+    ours = np.asarray(jnet.apply(params, traj, pose if use_pose else None,
+                                 vel if use_vel else None))
+    with torch.no_grad():
+        theirs = t2n(tnet(torch.from_numpy(traj.copy()),
+                          torch.from_numpy(pose.copy()),
+                          torch.from_numpy(vel.copy())))[:, 0]
+    np.testing.assert_allclose(ours, theirs, rtol=0, atol=1e-5)
+
+
+def test_valueposenet_rotation_normalization_parity(ref):
+    """The heading rotation-normalization (:73-103) rotates traj, pose xy and
+    vel the same way in both frameworks."""
+    from emloco_tpu.learning.networks import rotate_normalization
+
+    rng = np.random.default_rng(1)
+    traj, pose, vel = _make_vpn_inputs(rng)
+    jt, jp, jv = rotate_normalization(traj, pose, vel)
+
+    tnet = ref.TorchValuePoseNet(use_pose=True, use_vel=True)
+    with torch.no_grad():
+        tt, tp, tv = tnet._rotate_normalization(
+            torch.from_numpy(traj.copy()), torch.from_numpy(pose.copy()),
+            torch.from_numpy(vel.copy()))
+    np.testing.assert_allclose(np.asarray(jt), t2n(tt), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jp), t2n(tp), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jv), t2n(tv), atol=1e-5)
+    # normalization property: first segment heading is rotated onto +x
+    ang = np.arctan2(np.asarray(jt)[:, 1, 1], np.asarray(jt)[:, 1, 0])
+    assert np.abs(ang).max() < 1e-4
+
+
+def test_embodied_motion_loss_parity(ref):
+    """calc_embodied_motion_loss = MSE(value, 1) (:151-159)."""
+    import jax
+    from emloco_tpu.learning.networks import (ValuePoseNet,
+                                              embodied_motion_loss)
+
+    rng = np.random.default_rng(2)
+    traj, pose, vel = _make_vpn_inputs(rng)
+    jnet = ValuePoseNet(use_pose=True, use_vel=True)
+    params = jnet.init(jax.random.PRNGKey(0), traj, pose, vel)
+    tnet = ref.TorchValuePoseNet(use_pose=True, use_vel=True)
+    tnet.eval()
+    _transplant_vpn(params, tnet)
+
+    ours = float(embodied_motion_loss(
+        lambda p, *a: jnet.apply(p, *a), params, traj, pose, vel))
+    with torch.no_grad():
+        _, loss = tnet.calc_embodied_motion_loss(
+            torch.from_numpy(traj.copy()), torch.from_numpy(pose.copy()),
+            torch.from_numpy(vel.copy()))
+    np.testing.assert_allclose(ours, float(loss), atol=1e-6)
+
+
+def test_valueposenet_toe_spine_zeroing_measured(ref):
+    """Joints 4/8 (toes) and 9/10/11 (spine) are zeroed before the MLP
+    (:120-123, 141-144): perturbing them must not change the output, in both
+    implementations."""
+    import jax
+    from emloco_tpu.learning.networks import ValuePoseNet
+
+    rng = np.random.default_rng(3)
+    traj, pose, vel = _make_vpn_inputs(rng)
+    jnet = ValuePoseNet(use_pose=True, use_vel=True)
+    params = jnet.init(jax.random.PRNGKey(0), traj, pose, vel)
+    tnet = ref.TorchValuePoseNet(use_pose=True, use_vel=True)
+    tnet.eval()
+    _transplant_vpn(params, tnet)
+
+    pose2 = pose.copy()
+    pose2[:, [4, 8, 9, 10, 11]] += rng.normal(size=(len(pose), 5, 3))
+    ours = np.asarray(jnet.apply(params, traj, pose2, vel))
+    base = np.asarray(jnet.apply(params, traj, pose, vel))
+    np.testing.assert_allclose(ours, base, atol=1e-7)
+    with torch.no_grad():
+        tb = t2n(tnet(torch.from_numpy(traj.copy()),
+                      torch.from_numpy(pose.copy()),
+                      torch.from_numpy(vel.copy())))
+        tp = t2n(tnet(torch.from_numpy(traj.copy()),
+                      torch.from_numpy(pose2.copy()),
+                      torch.from_numpy(vel.copy())))
+    np.testing.assert_allclose(tp, tb, atol=1e-7)
+
+
+def test_valueposenet_vru_parity(ref):
+    """VRU mode: 5 waypoints instead of 13 (value_pose_net.py:37)."""
+    import jax
+    from emloco_tpu.learning.networks import ValuePoseNet
+
+    rng = np.random.default_rng(4)
+    traj, pose, vel = _make_vpn_inputs(rng, W=5)
+    jnet = ValuePoseNet(use_pose=True, use_vel=True, num_waypoints=5)
+    params = jnet.init(jax.random.PRNGKey(0), traj, pose, vel)
+    tnet = ref.TorchValuePoseNet(use_pose=True, use_vel=True, vru=True)
+    tnet.eval()
+    _transplant_vpn(params, tnet)
+    ours = np.asarray(jnet.apply(params, traj, pose, vel))
+    with torch.no_grad():
+        theirs = t2n(tnet(torch.from_numpy(traj.copy()),
+                          torch.from_numpy(pose.copy()),
+                          torch.from_numpy(vel.copy())))[:, 0]
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# 2. losses / metrics (utils/metrics.py:4-137)
+# ---------------------------------------------------------------------------
+
+def test_mse_loss_parity(ref):
+    from emloco_tpu.prediction.metrics import mse_loss
+
+    rng = np.random.default_rng(5)
+    B, F = 8, 12
+    # reference signature: output/target (B, F, K, >=2); xy read from [...,0,:2]
+    out = rng.normal(size=(B, F, 3, 2)).astype(np.float32)
+    tgt = rng.normal(size=(B, F, 3, 2)).astype(np.float32)
+    theirs = float(ref.metrics.MSE_LOSS(torch.from_numpy(out),
+                                        torch.from_numpy(tgt)))
+    ours = float(mse_loss(out[:, :, 0], tgt[:, :, 0]))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+
+def test_mse_loss_multi_parity(ref):
+    from emloco_tpu.prediction.metrics import mse_loss_multi
+
+    rng = np.random.default_rng(6)
+    B, F, M = 8, 12, 5
+    out = rng.normal(size=(B, F, M, 2)).astype(np.float32)
+    tgt = rng.normal(size=(B, F, 1, 2)).astype(np.float32)
+    theirs = float(ref.metrics.MSE_LOSS_MULTI(torch.from_numpy(out),
+                                              torch.from_numpy(tgt)))
+    ours = float(mse_loss_multi(out, tgt[:, :, 0]))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+
+def test_initial_yaw_error_parity(ref):
+    from emloco_tpu.prediction.metrics import initial_yaw_error
+
+    rng = np.random.default_rng(7)
+    B = 32
+    a = rng.normal(size=(B, 2)).astype(np.float32) + 0.1
+    b = rng.normal(size=(B, 2)).astype(np.float32) + 0.1
+    theirs = ref.metrics.calculate_initial_yaw_error(
+        torch.from_numpy(a), torch.from_numpy(b))
+    theirs_deg_mean = float(torch.rad2deg(theirs).mean())
+    # ours consumes trajectories; a 1-frame trajectory of displacements
+    ours = float(initial_yaw_error(a[:, None], b[:, None]))
+    np.testing.assert_allclose(ours, theirs_deg_mean, rtol=1e-4)
+
+
+def test_motion_primitives_parity(ref):
+    from emloco_tpu.prediction.metrics import motion_primitives
+
+    rng = np.random.default_rng(8)
+    traj = np.cumsum(rng.normal(size=(1, 13, 2)).astype(np.float32), axis=1)
+    ours = {k: np.asarray(v)[0] for k, v in motion_primitives(traj).items()}
+
+    pos = traj[0].astype(np.float64)
+    vel = ref.metrics.calculate_velocity(pos)
+    acc = ref.metrics.calculate_acceleration(vel)
+    ang_vel = ref.metrics.calculate_ang_velocity(pos)
+    ang_acc = ref.metrics.calculate_ang_acceleration(ang_vel)
+    np.testing.assert_allclose(ours["speed"], vel, rtol=1e-4)
+    np.testing.assert_allclose(ours["acc"], acc, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ours["ang_vel"], ang_vel, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ours["ang_acc"], ang_acc, rtol=1e-4, atol=1e-4)
+
+
+def test_chi2_histogram_parity(ref):
+    from emloco_tpu.prediction.metrics import chi2_histogram_distance
+
+    rng = np.random.default_rng(9)
+    a = rng.normal(size=400)
+    b = rng.normal(loc=0.5, size=400)
+    theirs = ref.metrics.calculate_chi_distance({"x": a}, {"x": b})["x"]
+    ours = chi2_histogram_distance(a, b)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# 3. poselib rotation3d + pacer torch_utils quat math
+# ---------------------------------------------------------------------------
+
+def _rand_quat(rng, shape):
+    q = rng.normal(size=shape + (4,)).astype(np.float32)
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def test_quat_mul_rotate_parity(ref):
+    from emloco_tpu.ops import quat
+
+    rng = np.random.default_rng(10)
+    a = _rand_quat(rng, (64,))
+    b = _rand_quat(rng, (64,))
+    v = rng.normal(size=(64, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(quat.mul(a, b)),
+        t2n(ref.r3d.quat_mul(torch.from_numpy(a), torch.from_numpy(b))),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(quat.rotate(a, v)),
+        t2n(ref.r3d.quat_rotate(torch.from_numpy(a), torch.from_numpy(v))),
+        atol=1e-5)
+
+
+def test_quat_from_to_angle_axis_parity(ref):
+    from emloco_tpu.ops import quat
+
+    rng = np.random.default_rng(11)
+    angle = rng.uniform(-3.0, 3.0, size=(32,)).astype(np.float32)
+    axis = rng.normal(size=(32, 3)).astype(np.float32)
+    axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+    ours = np.asarray(quat.from_angle_axis(angle, axis))
+    theirs = t2n(ref.r3d.quat_from_angle_axis(
+        torch.from_numpy(angle), torch.from_numpy(axis), degree=False))
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+    # round trip through angle-axis (poselib quat_angle_axis returns
+    # angle ∈ [0, 2π); compare rotations, not parameterizations)
+    ang2, ax2 = quat.to_angle_axis(ours)
+    back = np.asarray(quat.from_angle_axis(np.asarray(ang2), np.asarray(ax2)))
+    dot = np.abs(np.sum(back * ours, -1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-5)
+
+
+def test_quat_exp_map_tan_norm_parity(ref):
+    """pacer torch_utils quat_to_exp_map / exp_map_to_quat / quat_to_tan_norm
+    (torch_utils.py:14-196) vs ops.quat."""
+    from emloco_tpu.ops import quat
+
+    rng = np.random.default_rng(12)
+    q = _rand_quat(rng, (48,))
+    # reference exp-map functions live in pacer.utils.torch_utils
+    tu = ref.pacer_tu
+    np.testing.assert_allclose(
+        np.asarray(quat.to_exp_map(q)),
+        t2n(tu.quat_to_exp_map(torch.from_numpy(q))), atol=1e-4)
+    em = rng.normal(size=(48, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(quat.exp_map_to_quat(em)),
+        t2n(tu.exp_map_to_quat(torch.from_numpy(em))), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(quat.to_tan_norm(q)),
+        t2n(tu.quat_to_tan_norm(torch.from_numpy(q))), atol=1e-5)
+
+
+def test_calc_heading_parity(ref):
+    from emloco_tpu.ops import quat
+
+    rng = np.random.default_rng(13)
+    q = _rand_quat(rng, (48,))
+    tu = ref.pacer_tu
+    np.testing.assert_allclose(
+        np.asarray(quat.calc_heading(q)),
+        t2n(tu.calc_heading(torch.from_numpy(q))), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(quat.heading_quat_inv(q)),
+        t2n(tu.calc_heading_quat_inv(torch.from_numpy(q))), atol=1e-5)
+
+
+def test_slerp_parity(ref):
+    from emloco_tpu.ops import quat
+
+    rng = np.random.default_rng(14)
+    q0 = _rand_quat(rng, (32,))
+    q1 = _rand_quat(rng, (32,))
+    t = rng.uniform(0, 1, size=(32, 1)).astype(np.float32)
+    ours = np.asarray(quat.slerp(q0, q1, t[:, 0]))
+    theirs = t2n(ref.pacer_tu.slerp(
+        torch.from_numpy(q0), torch.from_numpy(q1), torch.from_numpy(t)))
+    # slerp sign is gauge; compare as rotations
+    dot = np.abs(np.sum(ours * theirs, -1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-5)
+
+
+def test_fk_parity(ref):
+    """Level-parallel FK (kinematics/skeleton.py) vs poselib's sequential
+    parent-chain FK (skeleton3d.py:420-450) on a branched random skeleton."""
+    from emloco_tpu.kinematics.skeleton import SkeletonTree, forward_kinematics
+
+    rng = np.random.default_rng(15)
+    parents = np.array([-1, 0, 1, 2, 0, 4, 5, 0, 7, 8, 9])
+    J = len(parents)
+    names = tuple(f"j{i}" for i in range(J))
+    offs = rng.normal(size=(J, 3)).astype(np.float32) * 0.3
+
+    tree = SkeletonTree(names=names, parents=parents, local_translation=offs)
+    B = 4
+    lrot = _rand_quat(rng, (B, J))
+    root = rng.normal(size=(B, 3)).astype(np.float32)
+    grot, gpos = forward_kinematics(tree, lrot, root)
+
+    ident = np.zeros((J, 4), np.float32)
+    ident[:, 3] = 1.0
+    ttree = ref.SkeletonTree(
+        list(names), torch.from_numpy(parents.astype(np.int64)),
+        torch.from_numpy(offs), torch.from_numpy(ident))
+    st = ref.SkeletonState.from_rotation_and_root_translation(
+        ttree, torch.from_numpy(lrot), torch.from_numpy(root), is_local=True)
+    np.testing.assert_allclose(np.asarray(gpos), t2n(st.global_translation),
+                               atol=1e-4)
+    dot = np.abs(np.sum(np.asarray(grot) * t2n(st.global_rotation), -1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-5)
+
+    # inverse: local_from_global recovers the local rotations
+    from emloco_tpu.kinematics.skeleton import local_from_global
+    lrec = np.asarray(local_from_global(tree, grot))
+    dot = np.abs(np.sum(lrec * lrot, -1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# 4. TransMotionJTA — dual-former logits parity (model_jta.py:130-336)
+# ---------------------------------------------------------------------------
+#
+# The learned positional/ID embeddings are parameterized differently by
+# design: the reference interleaves a time embedding into even channels and a
+# person-ID embedding into odd channels of the trajectory features
+# (LearnedTrajandIDEncoding, model_jta.py:61-76, with max_norm renorm);
+# the rebuild adds full-width learned tables. Both are zeroed for the logits
+# comparison; the deviation is documented in PARITY.md. Everything else —
+# input projections, the 453-token local (CMT) former, the N·21-token global
+# (ST) former with padding mask, post-LN residual blocks, output_scale
+# residuals, and the multi-mode heads — is transplanted and compared.
+
+def _map_encoder_layer(tsd, prefix, i, D, H):
+    """torch TransformerEncoderLayer i → flax EncoderLayer param dict."""
+    Dh = D // H
+
+    def g(name):
+        return t2n(tsd[f"{prefix}.layers.{i}.{name}"])
+
+    inw = g("self_attn.in_proj_weight")          # (3D, D)
+    inb = g("self_attn.in_proj_bias")            # (3D,)
+    qw, kw, vw = inw[:D], inw[D:2 * D], inw[2 * D:]
+    qb, kb, vb = inb[:D], inb[D:2 * D], inb[2 * D:]
+    ow = g("self_attn.out_proj.weight")          # (D, D)
+    ob = g("self_attn.out_proj.bias")
+    return {
+        "MultiHeadDotProductAttention_0": {
+            "query": {"kernel": qw.T.reshape(D, H, Dh), "bias": qb.reshape(H, Dh)},
+            "key": {"kernel": kw.T.reshape(D, H, Dh), "bias": kb.reshape(H, Dh)},
+            "value": {"kernel": vw.T.reshape(D, H, Dh), "bias": vb.reshape(H, Dh)},
+            "out": {"kernel": ow.T.reshape(H, Dh, D), "bias": ob},
+        },
+        "Dense_0": {"kernel": g("linear1.weight").T, "bias": g("linear1.bias")},
+        "Dense_1": {"kernel": g("linear2.weight").T, "bias": g("linear2.bias")},
+        "LayerNorm_0": {"scale": g("norm1.weight"), "bias": g("norm1.bias")},
+        "LayerNorm_1": {"scale": g("norm2.weight"), "bias": g("norm2.bias")},
+    }
+
+
+def _stack_layers(layers):
+    return {k: (jax_tree_stack([l[k] for l in layers])
+                if not isinstance(layers[0][k], dict)
+                else _stack_layers([l[k] for l in layers]))
+            for k in layers[0]}
+
+
+def jax_tree_stack(xs):
+    return np.stack(xs, 0)
+
+
+def _build_parity_pair(ref, nhid=64, nhead=4, dim_ff=128, nl_local=2,
+                       nl_global=2, nmode=3):
+    """Construct torch + flax models with identical weights, zeroed PEs."""
+    import jax
+    from emloco_tpu.prediction.model import TransMotion, TransMotionConfig
+
+    tm = ref.model_jta.TransMotionJTA(
+        tok_dim=21, nhid=nhid, nhead=nhead, dim_feedfwd=dim_ff,
+        nlayers_local=nl_local, nlayers_global=nl_global, nmode=nmode,
+        num_tokens=49, device="cpu", multi_modal=True)
+    tm.eval()
+    # Reference bug (model_jta.py:300,311): tgt_padding_mask_local is shaped
+    # (B·N, 21) but the local former sequence is 453 tokens — torch ≥1.9
+    # asserts on the shape, so the mask can never have been applied. Drop it
+    # (the rebuild's local former likewise attends over all local tokens).
+    orig_fwd = tm.local_former.forward
+    tm.local_former.forward = (
+        lambda src, mask=None, src_key_padding_mask=None, get_attn=False:
+        orig_fwd(src, mask=mask, src_key_padding_mask=None))
+
+    cfg = TransMotionConfig(nhid=nhid, nhead=nhead, dim_ff=dim_ff,
+                            nlayers_local=nl_local, nlayers_global=nl_global,
+                            nmode=nmode, dropout=0.0)
+    jm = TransMotion(cfg)
+    toks = np.zeros((1, 9, 1, 49, 4), np.float32)
+    params = jm.init({"params": jax.random.PRNGKey(0)}, toks,
+                     np.ones((1, 1), bool))
+    p = jax.tree.map(np.asarray, params["params"])
+
+    tsd = tm.state_dict()
+    # zero the torch learned embeddings (deviation: see module docstring)
+    with torch.no_grad():
+        for name, mod in tm.named_modules():
+            if isinstance(mod, torch.nn.Embedding):
+                mod.weight.zero_()
+    # zero the flax PE tables
+    for k in list(p):
+        if k.startswith("pe_"):
+            p[k] = np.zeros_like(p[k])
+    # input projections
+    for k in ("fc_in_traj", "fc_in_3dbb", "fc_in_2dbb", "fc_in_3dpose",
+              "fc_in_2dpose"):
+        p[k] = {"kernel": t2n(tsd[f"{k}.weight"]).T.copy(),
+                "bias": t2n(tsd[f"{k}.bias"]).copy()}
+    # encoder stacks (flax scan stacks params along axis 0)
+    p["local"]["layers"]["EncoderLayer_0"] = _stack_layers(
+        [_map_encoder_layer(tsd, "local_former", i, nhid, nhead)
+         for i in range(nl_local)])
+    p["global"]["layers"]["EncoderLayer_0"] = _stack_layers(
+        [_map_encoder_layer(tsd, "global_former", i, nhid, nhead)
+         for i in range(nl_global)])
+    # heads: torch ModuleList of Linear(D,2) → one Dense(D, 2*nmode)
+    hw = np.concatenate([t2n(tsd[f"predict_head.{i}.weight"]).T
+                         for i in range(nmode)], axis=1)
+    hb = np.concatenate([t2n(tsd[f"predict_head.{i}.bias"])
+                         for i in range(nmode)])
+    p["heads"] = {"kernel": hw, "bias": hb}
+    return tm, jm, {"params": p}
+
+
+def test_transmotion_logits_parity(ref):
+    """Full forward logits agree after weight transplant (PEs zeroed, eval
+    mode, all persons valid)."""
+    rng = np.random.default_rng(16)
+    tm, jm, params = _build_parity_pair(ref)
+    B, N = 2, 3
+    toks = rng.normal(size=(B, 9, N, 49, 4)).astype(np.float32)
+    pm_valid = np.ones((B, N), bool)
+
+    ours = np.asarray(jm.apply(params, toks, pm_valid))
+    with torch.no_grad():
+        theirs = t2n(tm(torch.from_numpy(toks.reshape(B, 9, N * 49, 4)),
+                        torch.from_numpy(np.zeros((B, N), bool))))
+    assert ours.shape == theirs.shape == (B, 21, 3, 2)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+def test_transmotion_padding_mask_parity(ref):
+    """Global-former padding-mask semantics agree: a padded person is
+    excluded from attention (torch True=pad, flax True=valid)."""
+    rng = np.random.default_rng(17)
+    tm, jm, params = _build_parity_pair(ref)
+    B, N = 2, 3
+    toks = rng.normal(size=(B, 9, N, 49, 4)).astype(np.float32)
+    pad = np.zeros((B, N), bool)
+    pad[:, 2] = True                       # last person is padding
+
+    ours = np.asarray(jm.apply(params, toks, ~pad))
+    with torch.no_grad():
+        theirs = t2n(tm(torch.from_numpy(toks.reshape(B, 9, N * 49, 4)),
+                        torch.from_numpy(pad)))
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
+    # and the mask matters: all-valid differs
+    ours_valid = np.asarray(jm.apply(params, toks, np.ones((B, N), bool)))
+    assert np.abs(ours_valid - ours).max() > 1e-6
+
+
+def test_transmotion_limit_obs_parity(ref):
+    """limit_obs masking (model_jta.py:266-275): keep only the last k
+    observed frames."""
+    rng = np.random.default_rng(18)
+    tm, jm, params = _build_parity_pair(ref)
+    B, N = 2, 2
+    toks = rng.normal(size=(B, 9, N, 49, 4)).astype(np.float32)
+
+    ours = np.asarray(jm.apply(params, toks, np.ones((B, N), bool),
+                               limit_obs=3))
+    with torch.no_grad():
+        theirs = t2n(tm(torch.from_numpy(toks.reshape(B, 9, N * 49, 4)),
+                        torch.from_numpy(np.zeros((B, N), bool)),
+                        limit_obs=3))
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
