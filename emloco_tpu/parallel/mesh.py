@@ -36,7 +36,19 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "env") -> Mesh:
 def shard_env_axis(tree: Any, mesh: Mesh, num_envs: int,
                    axis: str = "env") -> Any:
     """Place every leaf whose leading dim == num_envs on the env axis;
-    replicate everything else (params, optimizer, norms, buffers)."""
+    replicate everything else (params, optimizer, norms, buffers).
+
+    num_envs must divide evenly over the mesh — uneven env shards would
+    silently change per-device batch shapes (and XLA's implicit padding
+    semantics differ between device_put and jit outputs), so reject early
+    with a clear message instead."""
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    if num_envs % n_dev != 0:
+        raise ValueError(
+            f"num_envs={num_envs} is not divisible by the {n_dev}-device "
+            f"mesh; choose an env count that is a multiple of the device "
+            f"count (e.g. {num_envs - num_envs % n_dev} or "
+            f"{num_envs + n_dev - num_envs % n_dev})")
     env_sharding = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
 
