@@ -38,7 +38,10 @@ from .running_norm import RunningNorm
 
 class AMPConfig(struct.PyTreeNode):
     horizon: int = struct.field(pytree_node=False, default=32)
-    num_minibatches: int = struct.field(pytree_node=False, default=2)
+    # reference yaml default minibatch_size=2560 of 1600·32=51200 → 20
+    # (amp_humanoid_smpl_sept_task.yaml:103; the reference's own 1600-env
+    # "dl41" run used 25600 → 2 minibatches — set via config when wanted)
+    num_minibatches: int = struct.field(pytree_node=False, default=20)
     mini_epochs: int = struct.field(pytree_node=False, default=6)
     gamma: float = struct.field(pytree_node=False, default=0.99)
     tau: float = struct.field(pytree_node=False, default=0.95)
@@ -58,11 +61,17 @@ class AMPConfig(struct.PyTreeNode):
     disc_reward_scale: float = struct.field(pytree_node=False, default=2.0)
     task_reward_w: float = struct.field(pytree_node=False, default=0.5)
     disc_reward_w: float = struct.field(pytree_node=False, default=0.5)
-    amp_replay_size: int = struct.field(pytree_node=False, default=16384)
-    amp_batch_size: int = struct.field(pytree_node=False, default=512)
+    # reference buffer envelope (amp_humanoid_smpl_sept_task.yaml:110-115):
+    # amp_replay_buffer_size 200k, amp_batch_size 1280 (dl41 run: 12800).
+    # The reference inserts into replay with keep_prob=0.01; this ring
+    # buffer inserts a random rollout subset instead (same recency profile
+    # at steady state, no host-side RNG).
+    amp_replay_size: int = struct.field(pytree_node=False, default=200_000)
+    amp_batch_size: int = struct.field(pytree_node=False, default=1280)
     # whole-joint dropout on discriminator inputs (reference amp_dropout,
-    # amp_models.py:20-90): independent masks for agent/replay/demo batches
-    amp_dropout: bool = struct.field(pytree_node=False, default=False)
+    # amp_models.py:20-90): independent masks for agent/replay/demo batches;
+    # on by default (amp_humanoid_smpl_sept_task.yaml:126 amp_dropout: True)
+    amp_dropout: bool = struct.field(pytree_node=False, default=True)
     amp_dropout_rate: float = struct.field(pytree_node=False, default=0.3)
     # bf16 hidden matmuls in actor/critic/disc (heads stay f32); the PPO
     # update is the MXU-bound half of the epoch at scale

@@ -22,7 +22,7 @@ cfg = EnvConfig(num_envs=64, sensor_res=16, episode_length=96,
 env = PedestrianTerrainEnv(cfg, terrain, lib,
                            real_traj_bank=synthetic_real_bank(num_paths=32))
 agent = AMPAgent(env, AMPConfig(horizon=16, num_minibatches=4, mini_epochs=3,
-                                amp_batch_size=128))
+                                amp_batch_size=128, amp_replay_size=4096))
 ts = agent.init(jax.random.PRNGKey(0))
 for ep in range(20):
     ts, m = agent.train_epoch(ts)

@@ -224,7 +224,8 @@ def test_flip_obs_group_and_velocity_map():
     np.testing.assert_allclose(loc_f[..., 1], -loc_o[..., 1], atol=1e-5)
     # symmetry training runs end-to-end with these flags
     agent = AMPAgent(env, AMPConfig(horizon=4, num_minibatches=2,
-                                    mini_epochs=1, amp_batch_size=8))
+                                    mini_epochs=1, amp_batch_size=8,
+                                    amp_replay_size=64))
     ts = agent.init(jax.random.PRNGKey(1))
     ts, m = agent.train_epoch(ts)
     assert np.isfinite(float(m["total"]))
@@ -241,6 +242,7 @@ def test_obs_noise_reaches_training_rollout():
         env = PedestrianTerrainEnv(cfg, terrain, lib)
         agent = AMPAgent(env, AMPConfig(horizon=4, num_minibatches=2,
                                         mini_epochs=1, amp_batch_size=8,
+                                        amp_replay_size=64,
                                         motion_sym_loss=False))
         ts = agent.init(jax.random.PRNGKey(0))
         ts, m = agent.train_epoch(ts)
