@@ -141,12 +141,22 @@ class EqMotionTrainer:
     calc_embodied_motion_loss with init_vel only, averaged, ×valueloss_w)."""
 
     def __init__(self, cfg: EqMotionConfig = EqMotionConfig(), lr=5e-4,
-                 vnet=None, valueloss_w: float = 0.0):
+                 vnet=None, valueloss_w: float = 0.0,
+                 value_loss_mode: str = "all"):
         self.cfg = cfg
         self.model = EqMotion(cfg)
         self.tx = optax.adam(lr)
         self.vnet = vnet
         self.valueloss_w = valueloss_w
+        # "all": reference semantics — value loss averaged over every mode
+        # (main_eth_diverse.py:304-316). "wta": gate it to the WTA-winning
+        # head only, so non-winning heads keep their diversity (the failure
+        # mode RESULTS.md documents for "all" at every tested weight: value
+        # pressure pulls unanchored heads toward observation-independent
+        # plausible trajectories).
+        if value_loss_mode not in ("all", "wta"):
+            raise ValueError(f"value_loss_mode {value_loss_mode!r}")
+        self.value_loss_mode = value_loss_mode
 
     def init(self, key, example_past, vnet_params=None):
         params = self.model.init(key, example_past)
@@ -171,12 +181,19 @@ class EqMotionTrainer:
                 rel = pred[:, 0] - cur[:, None]           # (B,M,Tf,2)
                 origin = jnp.zeros_like(rel[:, :, :1])
                 trajs = jnp.concatenate([origin, rel], 2)  # (B,M,Tf+1,2)
-                Mm = trajs.shape[1]
-                for m in range(Mm):
-                    v = self.vnet.apply(vnet_params, trajs[:, m], None,
-                                        init_vel)
-                    vloss = vloss + jnp.mean((v - 1.0) ** 2)
-                vloss = vloss / Mm
+                # all modes at once: fold M into the batch axis
+                B, Mm = trajs.shape[:2]
+                v = self.vnet.apply(
+                    vnet_params, trajs.reshape(B * Mm, -1, 2), None,
+                    jnp.repeat(init_vel, Mm, 0))
+                per_mode = ((v - 1.0) ** 2).reshape(B, Mm)
+                if self.value_loss_mode == "wta":
+                    # only the data-term winner feels the value pressure
+                    win = jax.lax.stop_gradient(err.mean(-1).argmin(-1))
+                    vloss = jnp.mean(
+                        jnp.take_along_axis(per_mode, win[:, None], 1))
+                else:
+                    vloss = per_mode.mean()
                 total = total + self.valueloss_w * vloss
             return total, dict(wta=wta, value_loss=vloss)
 
@@ -211,16 +228,14 @@ class EqMotionTrainer:
         track, GT future, per-mode predictions, and LocoVal values when a
         value net is attached. Consumable by plot_prediction_comparison /
         plot_metric_diff_histograms / plot_value_histogram."""
-        import numpy as _np
-
         pred = self.predict(params, past)[:, 0]          # (B,M,Tf,2)
         out = {
-            "obs": _np.asarray(past[:, 0, :, :2]),       # (B,Tp,2)
-            "gt": _np.asarray(future[:, 0, :, :2]),      # (B,Tf,2)
-            "pred": _np.asarray(jnp.moveaxis(pred, 1, 2))[..., :2],
+            "obs": np.asarray(past[:, 0, :, :2]),        # (B,Tp,2)
+            "gt": np.asarray(future[:, 0, :, :2]),       # (B,Tf,2)
+            "pred": np.asarray(jnp.moveaxis(pred, 1, 2))[..., :2],
         }
         if self.vnet is not None and vnet_params is not None:
-            out["values"] = _np.asarray(
+            out["values"] = np.asarray(
                 self.mode_values(vnet_params, past, pred))
         return out
 
