@@ -342,7 +342,8 @@ def cmd_train_eqmotion(cfg, args):
         vnet = ValuePoseNet(use_pose=False, use_vel=True)  # :172-177
         vp, _ = load_pytree(args.valuenet)
     trainer = EqMotionTrainer(cfg.eqmotion, vnet=vnet,
-                              valueloss_w=args.valueloss_w if vnet else 0.0)
+                              valueloss_w=args.valueloss_w if vnet else 0.0,
+                              value_loss_mode=args.value_loss_mode)
     key = jax.random.PRNGKey(cfg.seed)
     if cfg.ethucy:
         tr_past, tr_future = ethucy_windows(cfg.ethucy)
@@ -404,16 +405,18 @@ def cmd_eval_predictor(cfg, args):
     if args.valuenet:
         vnet = ValuePoseNet(use_pose=True, use_vel=True)
         vp, _ = load_pytree(args.valuenet)
+    zf = cfg.predict.pose_z_flip
     out = evaluate_with_filter(trainer, blob["params"], ds, args.batch_size,
                                args.batches, vnet=vnet, vnet_params=vp,
-                               threshold=args.threshold)
+                               threshold=args.threshold, pose_z_flip=zf)
     for k, v in sorted(out.items()):
         print(f"{k}: {v:.4f}")
     if args.sweep_thresholds and vnet is not None:
         from ..prediction.evaluate import filter_threshold_sweep
         sweep = filter_threshold_sweep(trainer, blob["params"], ds,
                                        args.batch_size, args.batches,
-                                       vnet=vnet, vnet_params=vp)
+                                       vnet=vnet, vnet_params=vp,
+                                       pose_z_flip=zf)
         for t, row in sweep.items():
             print(f"threshold={t:.2f}: " + "  ".join(
                 f"{k}={v:.4f}" for k, v in row.items()))
@@ -428,7 +431,7 @@ def cmd_eval_predictor(cfg, args):
         from ..prediction import visualize as V
         vis = V.collect_vis_data(trainer, blob["params"], ds,
                                  args.batch_size, args.batches,
-                                 vnet=vnet, vnet_params=vp)
+                                 vnet=vnet, vnet_params=vp, pose_z_flip=zf)
         V.save_vis_dict(os.path.join(cfg.out_dir, "vis_dict.pkl"), vis)
         n = min(3, vis["pred"].shape[0])
         print(V.plot_prediction_comparison(
@@ -443,6 +446,11 @@ def cmd_eval_predictor(cfg, args):
         print(V.plot_value_histogram(
             {"pred": vis["values"]},
             os.path.join(cfg.out_dir, "value_hist.png")))
+        # per-sample 3-D pose+trajectory plots (reference Visualizer_3D,
+        # evaluate_jta.py:39-138)
+        for p in V.save_3d_plots(vis, os.path.join(cfg.out_dir, "vis3d"),
+                                 num_samples=min(4, n)):
+            print(p)
 
 
 def cmd_tune_predictor(cfg, args):
@@ -476,8 +484,21 @@ def cmd_visualize_pred(cfg, args):
     visualize_pred.py)."""
     from ..prediction import visualize as V
 
-    vis = {os.path.splitext(os.path.basename(p))[0]: V.load_vis_dict(p)
-           for p in args.vis_dicts}
+    def _key(p):
+        # eval-predictor always writes vis_dict.pkl, so the basename alone
+        # collides when comparing two runs' canonical artifacts — include
+        # the parent dir on collision instead of silently dropping a model
+        return os.path.splitext(os.path.basename(p))[0]
+
+    vis = {}
+    for p in args.vis_dicts:
+        k = _key(p)
+        if k in vis:
+            k = f"{os.path.basename(os.path.dirname(p)) or '.'}/{k}"
+        if k in vis:
+            raise ValueError(f"duplicate vis_dict key {k!r}: pass files "
+                             "from distinct directories or rename them")
+        vis[k] = V.load_vis_dict(p)
     n = min(v["pred"].shape[0] for v in vis.values())
     out = os.path.join(cfg.out_dir, "pred_comparison.png")
     V.plot_prediction_comparison(vis, list(range(min(args.games, n))), out,
@@ -492,6 +513,8 @@ def cmd_visualize_pred(cfg, args):
         # per-sample improvement histograms vs every baseline (reference
         # draw_histogram.py; the LAST vis_dict argument is "ours")
         ours = list(vis)[-1]
+        print(f"treating {ours!r} (last argument) as 'ours' for the "
+              "improvement histograms")
         dout = os.path.join(cfg.out_dir, "metric_diff_hist.png")
         V.plot_metric_diff_histograms(vis, ours, dout)
         print(dout)
@@ -590,6 +613,10 @@ def main(argv=None):
                    help="train-eqmotion: EmLoco value-loss weight "
                         "(reference main_eth_diverse.py per-mode loss; too "
                         "high and non-winning heads chase pure value)")
+    p.add_argument("--value-loss-mode", choices=["all", "wta"],
+                   default="all",
+                   help="train-eqmotion: apply the value loss to all modes "
+                        "(reference) or only the WTA-winning head")
     p.add_argument("--threshold", type=float, default=0.7,
                    help="eval-predictor: LocoVal filter threshold "
                         "(reference evaluate_jta.py:526)")

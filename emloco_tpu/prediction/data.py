@@ -167,7 +167,15 @@ class SyntheticScenes:
     def scene(self):
         """One (T, N, …) multi-person scene in the export's modality layout:
         3dbb = (h, w, l, rot_z) and 2dbb = (left, top, width, height)
-        (reference paths_to_xy entries 4..11, reader.py:215-219)."""
+        (reference paths_to_xy entries 4..11, reader.py:215-219).
+
+        pose3d is written in the RAW JTA convention: z-DOWN — real JTA
+        exports carry upside-down z, which is why the reference flips z at
+        consumption (train_jta.py:266 `primary_init_pose[..., 2] *= -1`).
+        The generator's FK poses are z-up, so negate here; the consumption
+        flip then restores the z-up pose the sim-trained valuenet saw
+        (scoring z-down poses was measurably miscalibrated: gt_value_mean
+        0.346 vs 0.384 on the r12 eval)."""
         N, T = self.num_people, TOTAL
         traj = np.zeros((T, N, 2), np.float32)
         pose3 = np.zeros((T, N, self.num_3dpose, 3), np.float32)
@@ -177,7 +185,8 @@ class SyntheticScenes:
         for n in range(N):
             xy, pose, heading = self._person(T)
             traj[:, n] = xy
-            pose3[:, n] = pose[:, :self.num_3dpose]
+            pose3[:, n] = pose[:, :self.num_3dpose] * np.array(
+                [1.0, 1.0, -1.0], np.float32)
             box3[:, n] = np.stack(
                 [np.full(T, 1.8, np.float32), np.full(T, 0.6, np.float32),
                  np.full(T, 0.5, np.float32), heading], -1)

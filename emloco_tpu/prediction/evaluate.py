@@ -42,7 +42,7 @@ def score_modes(vnet: ValuePoseNet, vnet_params, pred_modes, init_pose,
 def evaluate_with_filter(trainer, params, dataset, batch_size, num_batches,
                          vnet: Optional[ValuePoseNet] = None,
                          vnet_params=None, threshold=FILTER_THRESHOLD,
-                         rng=None):
+                         rng=None, pose_z_flip=True):
     """Full evaluation pass. Returns aggregate metric dict.
 
     One jitted dispatch + one device_get per batch: the metric/scoring math
@@ -65,8 +65,10 @@ def evaluate_with_filter(trainer, params, dataset, batch_size, num_batches,
         )
         if vnet is not None:
             # raw init pose from the SceneBatch, z-flipped at consumption
-            # (reference train_jta.py:264-266 / evaluate_jta.py:298-318)
-            pose = init_pose * jnp.array([1.0, 1.0, -1.0])
+            # for JTA (reference train_jta.py:264-266 / evaluate_jta.py:
+            # 298-318); JRDB feeds poses as-is (train_jrdb.py:187)
+            pose = init_pose * jnp.array(
+                [1.0, 1.0, -1.0 if pose_z_flip else 1.0])
             values = score_modes(vnet, vp, pred, pose, init_vel)
             res["values"] = values
             res["keep"] = M.locoval_filter(pred, values, threshold)
@@ -119,7 +121,8 @@ def evaluate_with_filter(trainer, params, dataset, batch_size, num_batches,
 
 def filter_threshold_sweep(trainer, params, dataset, batch_size, num_batches,
                            vnet, vnet_params,
-                           thresholds=(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)):
+                           thresholds=(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+                           pose_z_flip=True):
     """Filter-threshold calibration: per-sample (ade, fde, value) collected in
     ONE forward pass, then the LocoVal keep-mask swept over thresholds on
     host (the model/vnet outputs don't depend on the threshold, so re-running
@@ -135,7 +138,8 @@ def filter_threshold_sweep(trainer, params, dataset, batch_size, num_batches,
         out = trainer.model.apply(p, obs, mask, train=False)
         pred = out[:, data_mod.OBS_FRAMES:]
         af = M.ade_fde(pred, gt)
-        pose = init_pose * jnp.array([1.0, 1.0, -1.0])
+        pose = init_pose * jnp.array(
+            [1.0, 1.0, -1.0 if pose_z_flip else 1.0])
         v = score_modes(vnet, vp, pred, pose, init_vel)
         return af["ade_per_mode"], af["fde_per_mode"], v
 

@@ -41,6 +41,10 @@ class PredictTrainConfig(struct.PyTreeNode):
     # gaussian jitter on the OBSERVED trajectory tokens only, teaching the
     # predictor to denoise perception jitter; ground truth stays clean
     traj_noise_std: float = struct.field(pytree_node=False, default=0.0)
+    # JTA poses are exported z-up-flipped and un-flipped at consumption
+    # (train_jta.py:266 `primary_init_pose[..., 2] *= -1`); the JRDB path
+    # feeds poses as-is (train_jrdb.py:187 ships that line commented out)
+    pose_z_flip: bool = struct.field(pytree_node=False, default=True)
 
 
 class PredictTrainState(struct.PyTreeNode):
@@ -117,7 +121,7 @@ class PredictorTrainer:
                 k_noise, obs[..., 0:1, :2].shape, obs.dtype)
             obs = obs.at[..., 0:1, :2].add(jitter)
 
-        if init_pose is not None:
+        if init_pose is not None and cfg.pose_z_flip:
             init_pose = init_pose * jnp.array([1.0, 1.0, -1.0])
 
         def loss_fn(p):

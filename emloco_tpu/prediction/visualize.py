@@ -12,6 +12,7 @@ the accelerator.
 """
 from __future__ import annotations
 
+import os
 import pickle
 from typing import Dict, Optional, Sequence
 
@@ -37,7 +38,7 @@ def load_vis_dict(path: str) -> Dict:
 
 
 def collect_vis_data(trainer, params, dataset, batch_size=32, num_batches=1,
-                     vnet=None, vnet_params=None) -> Dict:
+                     vnet=None, vnet_params=None, pose_z_flip=True) -> Dict:
     """Run inference and collect everything the comparison plots need:
     obs trajectory, GT future, multi-head predictions, per-head values."""
     import jax.numpy as jnp
@@ -45,21 +46,26 @@ def collect_vis_data(trainer, params, dataset, batch_size=32, num_batches=1,
     from . import data as data_mod
     from .evaluate import score_modes
 
-    obs_l, gt_l, pred_l, val_l = [], [], [], []
+    obs_l, gt_l, pred_l, val_l, pose_l = [], [], [], [], []
     for obs, mask, gt, init_pose, init_vel in dataset.batches(batch_size,
                                                               num_batches):
         pred = trainer.predict(params, obs, mask)        # (B,Fp,M,2)
         obs_l.append(np.asarray(obs[:, :, 0, 0, :2]))    # primary-agent track
         gt_l.append(np.asarray(gt))
         pred_l.append(np.asarray(pred))
+        # store the CONSUMPTION-frame pose (z-up): raw JTA poses are z-down
+        # and only become a physical skeleton after the flip
+        pose = init_pose * jnp.array(
+            [1.0, 1.0, -1.0 if pose_z_flip else 1.0])
+        pose_l.append(np.asarray(pose))
         if vnet is not None:
-            pose = init_pose * jnp.array([1.0, 1.0, -1.0])
             val_l.append(np.asarray(
                 score_modes(vnet, vnet_params, pred, pose, init_vel)))
     out = {
         "obs": np.concatenate(obs_l),                    # (S, Fo, 2)
         "gt": np.concatenate(gt_l),                      # (S, Fp, 2)
         "pred": np.concatenate(pred_l),                  # (S, Fp, M, 2)
+        "init_pose": np.concatenate(pose_l),             # (S, 24, 3)
     }
     if val_l:
         out["values"] = np.concatenate(val_l)            # (S, M)
@@ -124,16 +130,23 @@ def plot_metric_diff_histograms(vis_by_model: Dict[str, Dict], ours: str,
     of metric_baseline − metric_ours, one figure per metric × baseline,
     10 bins). Positive mass = samples where ours is better; each panel is
     annotated with that improved fraction."""
-    ade_o, fde_o = per_sample_min_metrics(vis_by_model[ours])
     baselines = [k for k in vis_by_model if k != ours]
     if not baselines:
         raise ValueError("need at least one baseline vis_dict besides "
                          f"'{ours}'")
+    # vis dicts may carry different sample counts (different eval batch
+    # budgets); per-sample differences are only meaningful on the common
+    # prefix, so truncate all metric arrays to min n (mirrors the
+    # comparison plot's handling in cmd_visualize_pred)
+    n = min(v["pred"].shape[0] for v in vis_by_model.values())
+    ade_o, fde_o = per_sample_min_metrics(vis_by_model[ours])
+    ade_o, fde_o = ade_o[:n], fde_o[:n]
     fig, axes = plt.subplots(len(baselines), 2,
                              figsize=(8.0, 3.0 * len(baselines)),
                              squeeze=False)
     for r, name in enumerate(baselines):
         ade_b, fde_b = per_sample_min_metrics(vis_by_model[name])
+        ade_b, fde_b = ade_b[:n], fde_b[:n]
         for c, (lbl, diffs) in enumerate([("ADE", ade_b - ade_o),
                                           ("FDE", fde_b - fde_o)]):
             ax = axes[r][c]
@@ -209,3 +222,88 @@ def plot_des_per_step(des_by_model: Dict[str, np.ndarray], out_path: str,
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+# SMPL joint-pair edges drawn by the reference's 3-D visualizer
+# (evaluate_jta.py:44 / value_pose_net.py:20): limbs + root fan, skipping the
+# toe/spine joints the LocoVal net also hides.
+SMPL_SKELETON_EDGES = (
+    (0, 1), (1, 2), (2, 3), (0, 5), (5, 6), (6, 7), (0, 12), (12, 13),
+    (0, 14), (14, 15), (15, 16), (16, 17), (17, 18), (0, 19), (19, 20),
+    (20, 21), (21, 22), (22, 23),
+)
+
+
+def plot_3d_sample(vis: Dict, sample: int, out_path: str,
+                   model_name: str = "Pred", past_len: int = 9,
+                   pose_scale: float = 2.0, ground_z: float = -1.5):
+    """Per-sample 3-D plot — the reference's Visualizer_3D.plot_3d
+    (evaluate_jta.py:39-138): past/GT/multi-head predicted trajectories on
+    the ground plane plus the initial SMPL skeleton (scaled for legibility),
+    prediction heads colored by their LocoVal value (viridis) when values
+    are present.
+
+    vis: a vis_dict from collect_vis_data (needs "init_pose" for the
+    skeleton; silently skips it when absent, e.g. old pkls)."""
+    obs = vis["obs"][sample]
+    gt = vis["gt"][sample]
+    pred = vis["pred"][sample]                           # (Fp, M, 2)
+    values = vis.get("values")
+
+    fig = plt.figure(figsize=(4, 4))
+    ax = fig.add_subplot(111, projection="3d")
+    ax.view_init(elev=40, azim=-50)
+    last = obs[-1]
+    ax.set_xlim(last[0] - 3, last[0] + 6)
+    ax.set_ylim(last[1] - 3, last[1] + 1)
+    ax.set_zlim(ground_z - 0.5, 1.5)
+    ax.set_box_aspect([9, 4, 3.5 + 0.5 - ground_z - 1.5])
+    for axis in (ax.xaxis, ax.yaxis, ax.zaxis):
+        axis.set_ticks([])
+
+    # past trajectory on the ground plane
+    p = obs[-past_len:]
+    ax.plot(p[:, 0], p[:, 1], np.full(len(p), ground_z), c="k",
+            label=f"Past ({len(p)} frames)", lw=1.5, marker="o", ms=3)
+
+    # initial SMPL skeleton above the last observed point
+    pose = vis.get("init_pose")
+    if pose is not None:
+        pts = pose[sample] * pose_scale
+        pts = pts + np.array([last[0], last[1], 0.0])
+        for a, b in SMPL_SKELETON_EDGES:
+            ax.plot(pts[[a, b], 0], pts[[a, b], 1], pts[[a, b], 2],
+                    c="magenta", lw=1.5, marker="o", ms=2)
+
+    # ground-truth future
+    g = np.concatenate([obs[-1:], gt], 0)
+    ax.plot(g[:, 0], g[:, 1], np.full(len(g), ground_z), c="r",
+            label="Ground Truth", lw=2, marker="o", ms=3)
+
+    # prediction heads, value-colored when LocoVal values exist
+    for m in range(pred.shape[1]):
+        seg = np.concatenate([obs[-1:], pred[:, m]], 0)
+        if values is not None:
+            color = plt.cm.viridis(float(np.clip(values[sample, m], 0, 1)))
+        else:
+            color = "darkorange"
+        ax.plot(seg[:, 0], seg[:, 1], np.full(len(seg), ground_z), c=color,
+                ls="--", lw=1.5,
+                label=model_name if m == 0 else None)
+    ax.legend(fontsize=8, ncol=2)
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def save_3d_plots(vis: Dict, out_dir: str, num_samples: int = 4,
+                  model_name: str = "Pred") -> list:
+    """Emit per-sample 3-D plots named by sample id and min-ADE (the
+    reference saves batch{b}_person{k}_ade{a}.png, evaluate_jta.py:133-138)."""
+    os.makedirs(out_dir, exist_ok=True)
+    ade, _ = per_sample_min_metrics(vis)
+    paths = []
+    for s in range(min(num_samples, vis["pred"].shape[0])):
+        out = os.path.join(out_dir, f"sample{s}_ade{float(ade[s]):.2f}.png")
+        paths.append(plot_3d_sample(vis, s, out, model_name=model_name))
+    return paths

@@ -198,6 +198,65 @@ def test_eqmotion_with_locoval():
                                rtol=1e-5)
 
 
+def test_synthetic_pose_raw_convention_is_z_down():
+    """Raw JTA exports carry z-DOWN poses (the reference flips z at
+    consumption, train_jta.py:266). The synthetic generator's FK frame is
+    z-up, so scene()/batch() must negate z — otherwise the consumption flip
+    hands the sim-trained valuenet upside-down skeletons (measured: GT
+    trajectories scored 0.346 vs 0.384 flipped/unflipped on the r12 eval).
+    A standing human's furthest-from-root joints are the FEET (~0.9 m below
+    root) — in the physical z-up frame the largest |z| is negative."""
+    from emloco_tpu.prediction.data import SyntheticScenes
+
+    ds = SyntheticScenes(num_people=2, seed=0)
+    raw = ds.scene()["pose3d"]                            # (T, N, 24, 3)
+    zs = raw[..., 2].reshape(-1)
+    # raw frame: feet point UP (z-down convention)
+    assert zs.max() > abs(zs.min()), (zs.min(), zs.max())
+    canonical = zs * -1.0
+    assert abs(canonical.min()) > canonical.max()
+    # batch() raw tokens carry the same convention as scene()
+    batch = ds.batch(4)
+    pz = np.asarray(batch.init_pose)[..., 2].reshape(-1)
+    assert pz.max() > abs(pz.min())
+
+
+def test_eqmotion_wta_gated_value_loss():
+    """--value-loss-mode=wta applies the value loss only to the WTA-winning
+    head: the gated loss equals the winning head's per-mode value loss, and
+    non-winning heads receive zero value gradient (the r2 degeneration
+    mechanism; reference main_eth_diverse.py:304-316 averages all modes)."""
+    import pytest
+
+    from emloco_tpu.prediction.eqmotion import (
+        EqMotionConfig, EqMotionTrainer, synthetic_eth_batch)
+
+    cfg = EqMotionConfig(hidden_nf=16, hid_channel=8, n_layers=1, nmode=3)
+    vnet = ValuePoseNet(use_pose=False, use_vel=True)
+    key = jax.random.PRNGKey(0)
+    vp = vnet.init(key, jnp.zeros((1, 13, 2)), None, jnp.zeros((1, 2)))
+    past, future = synthetic_eth_batch(key, batch=2, agents=2)
+
+    tr_all = EqMotionTrainer(cfg, lr=1e-3, vnet=vnet, valueloss_w=0.5,
+                             value_loss_mode="all")
+    tr_wta = EqMotionTrainer(cfg, lr=1e-3, vnet=vnet, valueloss_w=0.5,
+                             value_loss_mode="wta")
+    ts, vp = tr_all.init(key, past, vnet_params=vp)
+
+    _, aux_all = tr_all.train_step(ts, vp, past, future)
+    ts_w, aux_wta = tr_wta.train_step(ts, vp, past, future)
+    for aux in (aux_all, aux_wta):
+        assert np.isfinite(float(aux["value_loss"]))
+    # same params, same data term — only the value-loss reduction differs
+    np.testing.assert_allclose(float(aux_all["wta"]), float(aux_wta["wta"]),
+                               rtol=1e-5)
+    assert float(aux_wta["value_loss"]) != float(aux_all["value_loss"])
+
+    with pytest.raises(ValueError):
+        EqMotionTrainer(cfg, vnet=vnet, valueloss_w=0.5,
+                        value_loss_mode="nope")
+
+
 def test_limit_obs_sweep():
     """--all_frames sweep masks observed frames consistently across cue
     tensors (evaluate_jta.py:617-621; regression: padded-F cue shapes)."""
@@ -502,12 +561,13 @@ def test_ethucy_reader_and_training():
 
 
 def test_jrdb_2d_only_export_path(tmp_path):
-    """JRDB exports carry 2D boxes + 2D pose only (reference
-    Reader_jrdb_2dbox, trajnetplusplustools/reader.py:10-143; model_jrdb.py
-    runs the same dual-former with the 3D streams absent). A 2D-only ndjson
-    must round-trip with its 3D cue slots NaN-absent, batch with the 3D
-    token slots exactly zero (modality masking treats zeros as absent), and
-    train under the committed configs/jrdb_predictor.yaml."""
+    """2D-cue-only exports (reference Reader_jrdb_2dbox variant,
+    trajnetplusplustools/reader.py:10-143 / jrdb_2dbox.yaml — the JRDB
+    all-visual-cues run additionally carries 3D pose, see
+    scripts/make_jrdb_export.py). A 2D-only ndjson must round-trip with its
+    3D cue slots NaN-absent, batch with the 3D token slots exactly zero
+    (modality masking treats zeros as absent), and train under the committed
+    configs/jrdb_predictor.yaml."""
     import os
     from emloco_tpu.prediction.data import (
         NDJSON_POSE_JOINTS, NdjsonScenes, OBS_FRAMES, TOTAL,

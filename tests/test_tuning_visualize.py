@@ -169,3 +169,23 @@ def test_metric_diff_histograms(tmp_path):
     with pytest.raises(ValueError):
         visualize.plot_metric_diff_histograms({"only": base}, "only",
                                               str(tmp_path / "x.png"))
+
+
+def test_3d_pose_trajectory_plots(tmp_path):
+    """3-D per-sample visualizer (reference Visualizer_3D.plot_3d,
+    evaluate_jta.py:39-138): emits sample{i}_ade{...}.png with the initial
+    SMPL skeleton + past/GT/multi-head trajectories; tolerates vis dicts
+    without init_pose (older pkls) and different sample counts."""
+    rng = np.random.default_rng(0)
+    vis = _fake_vis(num_scenes=3, seed=2)
+    vis["init_pose"] = rng.normal(size=(3, 24, 3)).astype(np.float32) * 0.3
+    paths = visualize.save_3d_plots(vis, str(tmp_path / "vis3d"),
+                                    num_samples=2)
+    assert len(paths) == 2
+    for p in paths:
+        assert os.path.getsize(p) > 1000
+        assert "_ade" in os.path.basename(p)
+    # no init_pose → still renders (skeleton skipped)
+    vis2 = {k: v for k, v in vis.items() if k != "init_pose"}
+    out = visualize.plot_3d_sample(vis2, 0, str(tmp_path / "nopose.png"))
+    assert os.path.getsize(out) > 1000
