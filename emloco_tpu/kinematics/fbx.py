@@ -1,12 +1,15 @@
-"""FBX (ASCII 7.x) mocap import → motion dicts.
+"""FBX (ASCII 7.x + binary/Kaydara) mocap import → motion dicts.
 
 Counterpart of poselib's fbx backend
 (/root/reference/pacer/poselib/poselib/skeleton/backend/fbx/
 fbx_read_wrapper.py — a python-2.7 subprocess around the proprietary
 Autodesk FBX SDK returning (joint_names, parents, transforms, fps), consumed
-by SkeletonMotion.from_fbx, skeleton3d.py:1195+). The SDK only reads the
-binary container; the same scene graph serializes to the documented ASCII
-form, which this module parses with no external dependency:
+by SkeletonMotion.from_fbx, skeleton3d.py:1195+). Both containers of the
+same scene graph are parsed with no external dependency — the documented
+ASCII form below, and the Kaydara binary form (`parse_fbx_binary`: typed
+node records with zlib-deflated arrays, 32-bit headers < v7500 and 64-bit
+from v7500) which is what the SDK-written .fbx files actually use. Both
+parsers produce the same FbxNode tree:
 
   Objects/Model ("LimbNode") nodes   → joints (name, id)
   Connections "OO" model→model       → parent tree
@@ -133,6 +136,205 @@ def parse_fbx_ascii(text: str) -> FbxNode:
     return FbxNode("", [], parse_block(False))
 
 
+# ---------------------------------------------------------------------------
+# Binary (Kaydara) container
+# ---------------------------------------------------------------------------
+
+BINARY_MAGIC = b"Kaydara FBX Binary  \x00"
+
+# scalar property type code → struct format
+_BIN_SCALAR = {b"Y": "<h", b"C": "<b", b"I": "<i", b"F": "<f",
+               b"D": "<d", b"L": "<q"}
+# array property type code → element struct char
+_BIN_ARRAY = {b"f": "f", b"d": "d", b"l": "q", b"i": "i", b"b": "b"}
+
+
+def _bin_str(raw: bytes) -> str:
+    """Binary name strings store "name\\x00\\x01Class" — the ASCII form is
+    "Class::name" (see _model_name)."""
+    if b"\x00\x01" in raw:
+        name, cls = raw.split(b"\x00\x01", 1)
+        return f"{cls.decode('latin-1')}::{name.decode('latin-1')}"
+    return raw.decode("latin-1")
+
+
+def parse_fbx_binary(data: bytes) -> FbxNode:
+    """Kaydara binary FBX → the same FbxNode tree parse_fbx_ascii builds.
+
+    Node record: endOffset, numProperties, propertyListLen (uint32, or
+    uint64 from FBXVersion 7500), uint8 nameLen, name; then typed properties
+    (scalars Y/C/I/F/D/L, zlib-optional arrays f/d/l/i/b, strings S, raw R);
+    then nested children terminated by an all-zero sentinel record. Array
+    properties surface as plain python numbers in node.values so the ASCII
+    consumers (_array_values fallback path) read them unchanged."""
+    import struct
+    import zlib
+
+    if not data.startswith(BINARY_MAGIC):
+        raise ValueError("not a binary FBX (bad magic)")
+    version = struct.unpack_from("<I", data, len(BINARY_MAGIC) + 2)[0]
+    big = version >= 7500
+    head_fmt = "<QQQB" if big else "<IIIB"
+    head_sz = struct.calcsize(head_fmt)
+    sentinel = head_sz                                  # all-zero record
+
+    def read_props(pos: int, count: int) -> Tuple[List, int]:
+        vals: List = []
+        for _ in range(count):
+            t = data[pos:pos + 1]
+            pos += 1
+            if t in _BIN_SCALAR:
+                fmt = _BIN_SCALAR[t]
+                (v,) = struct.unpack_from(fmt, data, pos)
+                pos += struct.calcsize(fmt)
+                vals.append(bool(v) if t == b"C" else
+                            float(v) if t in (b"F", b"D") else int(v))
+            elif t in _BIN_ARRAY:
+                n, enc, clen = struct.unpack_from("<III", data, pos)
+                pos += 12
+                raw = data[pos:pos + clen]
+                pos += clen
+                if enc == 1:
+                    raw = zlib.decompress(raw)
+                arr = np.frombuffer(raw, dtype="<" + _BIN_ARRAY[t], count=n)
+                vals.extend(arr.tolist())
+            elif t == b"S":
+                (n,) = struct.unpack_from("<I", data, pos)
+                pos += 4
+                vals.append(_bin_str(data[pos:pos + n]))
+                pos += n
+            elif t == b"R":
+                (n,) = struct.unpack_from("<I", data, pos)
+                pos += 4
+                vals.append(data[pos:pos + n])
+                pos += n
+            else:
+                raise ValueError(f"binary FBX: unknown property type {t!r}")
+        return vals, pos
+
+    def read_node(pos: int) -> Tuple[Optional[FbxNode], int]:
+        head = struct.unpack_from(head_fmt, data, pos)
+        end, nprops, _plen, nlen = head
+        if end == 0:                                    # sentinel record
+            return None, pos + sentinel
+        pos += head_sz
+        name = data[pos:pos + nlen].decode("latin-1")
+        pos += nlen
+        vals, pos = read_props(pos, nprops)
+        children: List[FbxNode] = []
+        while pos < end:
+            child, pos = read_node(pos)
+            if child is None:
+                break
+            children.append(child)
+        return FbxNode(name, vals, children), end
+
+    pos = len(BINARY_MAGIC) + 2 + 4
+    children = []
+    while pos + head_sz <= len(data):
+        node, pos = read_node(pos)
+        if node is None:                                # top-level sentinel
+            break
+        children.append(node)
+    return FbxNode("", [], children)
+
+
+def write_fbx_binary(root: FbxNode, version: int = 7400,
+                     compress_arrays: bool = True) -> bytes:
+    """Serialize an FbxNode tree to the Kaydara binary container (the
+    inverse of parse_fbx_binary; exercised by the round-trip tests and
+    usable as an exporter). ASCII array nodes (`*N { a: ... }`) become one
+    typed array property — int-only arrays as 'l', mixed as 'd'."""
+    import struct
+    import zlib
+
+    big = version >= 7500
+    head_fmt = "<QQQB" if big else "<IIIB"
+    head_sz = struct.calcsize(head_fmt)
+
+    def prop_bytes(v) -> bytes:
+        if isinstance(v, bool):
+            return b"C" + struct.pack("<b", int(v))
+        if isinstance(v, int):
+            return b"L" + struct.pack("<q", v)
+        if isinstance(v, float):
+            return b"D" + struct.pack("<d", v)
+        if isinstance(v, bytes):
+            return b"R" + struct.pack("<I", len(v)) + v
+        s = str(v)
+        if "::" in s:
+            cls, name = s.split("::", 1)
+            raw = name.encode("latin-1") + b"\x00\x01" + cls.encode("latin-1")
+        else:
+            raw = s.encode("latin-1")
+        return b"S" + struct.pack("<I", len(raw)) + raw
+
+    def array_bytes(values: List) -> bytes:
+        ints = all(isinstance(v, int) and not isinstance(v, bool)
+                   for v in values)
+        code, dt = (b"l", "<q") if ints else (b"d", "<d")
+        raw = np.asarray(values, dtype=dt).tobytes()
+        enc = 0
+        if compress_arrays and len(raw) > 16:
+            comp = zlib.compress(raw)
+            if len(comp) < len(raw):
+                raw, enc = comp, 1
+        return code + struct.pack("<III", len(values), enc, len(raw)) + raw
+
+    def node_bytes(node: FbxNode, offset: int) -> bytes:
+        a = node.first("a")
+        if a is not None:
+            props = array_bytes([v for v in a.values
+                                 if isinstance(v, (int, float))])
+            nprops = 1
+            kids = []
+        else:
+            vals = [v for v in node.values
+                    if not (isinstance(v, str) and v.startswith("*"))]
+            props = b"".join(prop_bytes(v) for v in vals)
+            nprops = len(vals)
+            kids = node.children
+        name = node.name.encode("latin-1")
+        body = props
+        plen = len(props)
+        child_blob = b""
+        if kids:
+            pos = offset + head_sz + len(name) + plen
+            for c in kids:
+                cb = node_bytes(c, pos)
+                child_blob += cb
+                pos += len(cb)
+            child_blob += b"\x00" * head_sz             # sentinel
+        total = head_sz + len(name) + plen + len(child_blob)
+        head = struct.pack(head_fmt, offset + total, nprops, plen, len(name))
+        return head + name + body + child_blob
+
+    out = BINARY_MAGIC + b"\x1a\x00" + struct.pack("<I", version)
+    pos = len(out)
+    for child in root.children:
+        nb = node_bytes(child, pos)
+        out += nb
+        pos += len(nb)
+    out += b"\x00" * head_sz                            # top-level sentinel
+    return out
+
+
+def _load_tree(path_or_text) -> FbxNode:
+    """Path / ASCII text / binary bytes → FbxNode tree (container sniffed
+    by the Kaydara magic, like the SDK)."""
+    if isinstance(path_or_text, bytes):
+        if path_or_text.startswith(BINARY_MAGIC):
+            return parse_fbx_binary(path_or_text)
+        return parse_fbx_ascii(path_or_text.decode("latin-1"))
+    if "\n" in path_or_text:
+        return parse_fbx_ascii(path_or_text)
+    with open(path_or_text, "rb") as f:
+        data = f.read()
+    if data.startswith(BINARY_MAGIC):
+        return parse_fbx_binary(data)
+    return parse_fbx_ascii(data.decode("latin-1"))
+
+
 def _array_values(node: FbxNode) -> np.ndarray:
     """KeyTime/KeyValueFloat node → flat array (handles both the `*N { a: }`
     form and inline values)."""
@@ -190,20 +392,17 @@ def _compose_aa(aa1: np.ndarray, aa2: np.ndarray) -> np.ndarray:
     return (axis * theta[:, None]).astype(np.float32)
 
 
-def load_fbx(path_or_text: str, scale: float = 0.01, y_up: bool = True,
+def load_fbx(path_or_text, scale: float = 0.01, y_up: bool = True,
              fps: Optional[float] = None) -> Dict:
-    """ASCII FBX file/text → motion dict {pose_aa (F,72), root_trans_offset
-    (F,3), beta, fps} (same contract as bvh.load_bvh). `scale` converts FBX
-    units (commonly cm) to meters; `fps` overrides the sampling clock
-    (default: inferred from the median key spacing, falling back to 30)."""
+    """FBX file (ASCII or binary) / ASCII text / binary bytes → motion dict
+    {pose_aa (F,72), root_trans_offset (F,3), beta, fps} (same contract as
+    bvh.load_bvh). `scale` converts FBX units (commonly cm) to meters; `fps`
+    overrides the sampling clock (default: inferred from the median key
+    spacing, falling back to 30)."""
     from .bvh import _euler_to_aa, canonical_name
     from .curation import _UPRIGHT_R, conform_joints
 
-    text = path_or_text
-    if "\n" not in path_or_text:
-        with open(path_or_text) as f:
-            text = f.read()
-    root = parse_fbx_ascii(text)
+    root = _load_tree(path_or_text)
     objects = root.first("Objects")
     conns = root.first("Connections")
     if objects is None or conns is None:
@@ -339,14 +538,11 @@ def load_fbx(path_or_text: str, scale: float = 0.01, y_up: bool = True,
             "fps": float(fps)}
 
 
-def skeleton_from_fbx(path_or_text: str) -> Tuple[List[str], List[int]]:
+def skeleton_from_fbx(path_or_text) -> Tuple[List[str], List[int]]:
     """(joint names, parent indices) — the reference wrapper's topology
-    output (fbx_read_wrapper.py returns joint_names/parents)."""
-    text = path_or_text
-    if "\n" not in path_or_text:
-        with open(path_or_text) as f:
-            text = f.read()
-    root = parse_fbx_ascii(text)
+    output (fbx_read_wrapper.py returns joint_names/parents). Accepts ASCII
+    or binary containers like load_fbx."""
+    root = _load_tree(path_or_text)
     objects, conns = root.first("Objects"), root.first("Connections")
     if objects is None or conns is None:
         raise ValueError("FBX: missing Objects/Connections sections")

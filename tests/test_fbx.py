@@ -241,3 +241,45 @@ def test_skeleton_filter_and_missing_sections():
     import pytest
     with pytest.raises(ValueError):
         skeleton_from_fbx("FBXHeaderExtension: { FBXVersion: 7400 }\n")
+
+
+def test_binary_roundtrip_matches_ascii():
+    """Binary (Kaydara) container: parse_fbx_ascii -> write_fbx_binary ->
+    load_fbx(bytes) reproduces the ASCII motion dict exactly (the SDK's
+    native container, poselib fbx backend; reference reads binary only)."""
+    from emloco_tpu.kinematics.fbx import (BINARY_MAGIC, parse_fbx_ascii,
+                                           write_fbx_binary)
+
+    text = make_fixture()
+    blob = write_fbx_binary(parse_fbx_ascii(text))
+    assert blob.startswith(BINARY_MAGIC)
+    m_bin = load_fbx(blob, fps=30.0)
+    m_txt = load_fbx(text, fps=30.0)
+    np.testing.assert_allclose(m_bin["pose_aa"], m_txt["pose_aa"], atol=1e-6)
+    np.testing.assert_allclose(m_bin["root_trans_offset"],
+                               m_txt["root_trans_offset"], atol=1e-6)
+    assert m_bin["fps"] == m_txt["fps"]
+    # topology reader takes the binary container too
+    names_b, parents_b = skeleton_from_fbx(blob)
+    names_t, parents_t = skeleton_from_fbx(text)
+    assert names_b == names_t and parents_b == parents_t
+
+
+def test_binary_v7500_and_compression(tmp_path):
+    """64-bit node headers (FBXVersion >= 7500) and zlib-deflated arrays
+    both parse; file-path sniffing picks the binary door by magic."""
+    from emloco_tpu.kinematics.fbx import parse_fbx_ascii, write_fbx_binary
+
+    text = make_fixture(frames=64)
+    tree = parse_fbx_ascii(text)
+    for version, compress in ((7500, True), (7400, False), (7700, False)):
+        blob = write_fbx_binary(tree, version=version,
+                                compress_arrays=compress)
+        m = load_fbx(blob, fps=30.0)
+        np.testing.assert_allclose(m["pose_aa"],
+                                   load_fbx(text, fps=30.0)["pose_aa"],
+                                   atol=1e-6)
+    p = tmp_path / "take.fbx"
+    p.write_bytes(write_fbx_binary(tree, version=7500))
+    m = load_fbx(str(p), fps=30.0)
+    assert m["pose_aa"].shape == (64, 72)
