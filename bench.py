@@ -125,6 +125,9 @@ def breakdown():
     env_step_rate("self-contact enabled",
                   base_cfg.replace(engine=base_cfg.engine.replace(
                       self_contact=True)))
+    env_step_rate("mesh-collider variant",
+                  base_cfg.replace(engine=base_cfg.engine.replace(
+                      mesh_contacts=True)))
 
     # PPO training epoch at reference scale: wall time + XLA flop count
     tr_envs = int(os.environ.get("BENCH_TRAIN_ENVS", 1600))

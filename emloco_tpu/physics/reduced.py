@@ -378,7 +378,8 @@ def _mass_matrix_from_jac(model: Model, Jv4, W4):
     return Mv + jnp.einsum("nkic,nkid->ncd", W4, W4)
 
 
-def _assemble_lhs_rhs(model: Model, Jv4, W4, u, diag, wn, wt, Jn, Jc, dt_Q):
+def _assemble_lhs_rhs(model: Model, Jv4, W4, q, v_b, w_b, f_lin, dt, Q_rest,
+                      diag, wn, wt, Jn, Jc):
     """Fused LHS/RHS assembly as ONE batched MXU contraction + matvecs.
 
     A = Jvᵀm Jv + WᵀW + wt·JcᵀJc + (wn−wt)·JnᵀJn + diag, built as a single
@@ -386,13 +387,12 @@ def _assemble_lhs_rhs(model: Model, Jv4, W4, u, diag, wn, wt, Jn, Jc, dt_Q):
     contraction instead of (N, rows, 75) reshapes, which would each cost a
     tiled-layout copy. rhs = M·u + dt·Q without materializing M. Replaces
     the reference's PhysX-side TGS assembly (closed .so)."""
-    p = model.params
     # three multi-axis dot_generals, emitted ENV-LAST (c,d,n): the Pallas
     # solver wants envs on lanes, and producing that layout here avoids a
     # pathological (N,75,75)↔(75,75,N) relayout (~1.6 ms/substep at 4096).
     # Concatenating the row blocks first would copy ~560 MB/step of operands.
     return (_assemble_lhs(model, Jv4, W4, diag, wn, wt, Jn, Jc),
-            _assemble_rhs(model, Jv4, W4, u, dt_Q))
+            _assemble_rhs(model, Jv4, W4, q, v_b, w_b, f_lin, dt, Q_rest))
 
 
 def _assemble_lhs(model: Model, Jv4, W4, diag, wn, wt, Jn, Jc):
@@ -404,14 +404,22 @@ def _assemble_lhs(model: Model, Jv4, W4, diag, wn, wt, Jn, Jc):
     return At + jnp.eye(NU, dtype=At.dtype)[:, :, None] * diag.T[:, None, :]
 
 
-def _assemble_rhs(model: Model, Jv4, W4, u, dt_Q):
-    """rhs = M·u + dt·Q via matvecs (no dense M), env-last (c, n)."""
+def _assemble_rhs(model: Model, Jv4, W4, q, v_b, w_b, f_lin, dt, Q_rest):
+    """rhs = M·u + dt·Q via matvecs (no dense M), env-last (c, n).
+
+    The forward matvecs never touch the Jacobians: Jv4·u IS the body-
+    velocity cache v_b, and W4·u = √D·Rᵀ·w_b (W = √D·RᵀJw, Jw·u = w_b) —
+    both elementwise. The Jv4ᵀ contraction against (m·v_b + dt·f_lin) fuses
+    the mass-matrix matvec with the gravity/bias generalized force, so each
+    substep reads Jv4 and W4 exactly ONCE here (was 3×/2× via J·u round
+    trips — the (·,3,75) minor dims tile-pad ~4.5× on TPU, making those
+    reads the substep's bandwidth bill)."""
     p = model.params
-    v1 = jnp.einsum("nkic,nc->nki", Jv4, u)
-    Mu = jnp.einsum("nkic,nki->cn", Jv4, p.mass[..., None] * v1)
-    v2 = jnp.einsum("nkic,nc->nki", W4, u)
+    Mu = jnp.einsum("nkic,nki->cn", Jv4,
+                    p.mass[..., None] * v_b + dt * f_lin)
+    v2 = jnp.sqrt(p.inertia) * quat.rotate_inv(q, w_b)
     Mu = Mu + jnp.einsum("nkic,nki->cn", W4, v2)
-    return Mu + dt_Q.T
+    return Mu + dt * Q_rest.T
 
 
 # ---------------------------------------------------------------------------
@@ -439,6 +447,19 @@ def _capsule_segments(model: Model, x, q, bodies):
     off = quat.rotate(q[:, bodies], a)
     xb = x[:, bodies]
     return xb - off, xb + off
+
+
+def _point_velocities(x, v_b, w_b, pts, bodies):
+    """World velocity of points attached to `bodies` (static index array)
+    from the body-velocity cache: v_pt = v_b + w_b × (pt − x_b).
+
+    Exactly J_point(x)·u at the cache's pose (the cache is refreshed from u
+    each substep) — (N,C,3) elementwise instead of reading the (N,C,3,75)
+    contact Jacobian, whose (3,75) minor dims tile-pad ~4.5× on TPU. This
+    substitution is what keeps the per-substep HBM traffic flat as contact
+    rows grow (self-contact/mesh variants)."""
+    return (v_b[:, bodies]
+            + jnp.cross(w_b[:, bodies], pts - x[:, bodies]))
 
 
 def _self_contact_geometry(model: Model, x, q):
@@ -471,19 +492,19 @@ def _self_contact_geometry(model: Model, x, q):
     return cA, cB, nrm, rsum - dist
 
 
-def _self_contact_rows(model: Model, x, q, u, term2, cfg,
+def _self_contact_rows(model: Model, x, q, v_b, w_b, term2, cfg,
                        speculative: bool):
     """Self-contact solver rows in the exact shape of the ground rows: the
     relative-velocity Jacobian Jrel = J(cA on A) − J(cB on B) (root-linear
     columns cancel), so the same implicit spring-damper + Coulomb-capped
     viscous friction machinery applies unchanged. Returns
-    (Jc, Jn, nrm, active, d_t, pen_f_masked, wn, wt)."""
+    ((Jc, Jn, nrm, active, d_t, pen_f_masked, wn, wt), (cA, cB))."""
     dt = cfg.substep_dt
     cA, cB, nrm, pen = _self_contact_geometry(model, x, q)
-    Jc = _point_jacobians(cA, _SELF_A, term2) \
-        - _point_jacobians(cB, _SELF_B, term2)
+    Jc = _self_pair_jacobians(cA, cB, term2)
     active = (pen > 0.0).astype(x.dtype)
-    vpt = jnp.einsum("ncij,nj->nci", Jc, u)
+    vpt = (_point_velocities(x, v_b, w_b, cA, _SELF_A)
+           - _point_velocities(x, v_b, w_b, cB, _SELF_B))
     vn = jnp.sum(vpt * nrm, axis=-1)
     vt = vpt - nrm * vn[..., None]
     vt_mag = jnp.linalg.norm(vt, axis=-1)
@@ -512,11 +533,17 @@ def _self_contact_rows(model: Model, x, q, u, term2, cfg,
         gate = active
         wt = gate * dt * d_t
     wn = gate * dt * (dt * k_n + d_n)
-    return Jc, Jn, nrm, active, d_t, active * pen_f, wn, wt
+    return (Jc, Jn, nrm, active, d_t, active * pen_f, wn, wt), (cA, cB)
 
 
-def _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv4, target_q, gvec):
-    """Q_gravity + Q_bias + explicit spring RHS, all through Jᵀ matvecs.
+def _gravity_bias_spring(model, x, q, v_b, w_b, u, target_q, gvec):
+    """Generalized-force RHS, factored so the caller can fuse the expensive
+    Jv4ᵀ contraction with the mass-matrix matvec (one Jv4 read per substep):
+    returns (f_lin (N,B,3), Q_rest (N,75)) with
+        Q = Jv4ᵀ f_lin + Q_rest
+    where f_lin is the linear gravity−inertial body force and Q_rest carries
+    the gyroscopic Jwᵀ term (static tensor, no big per-env operand) and the
+    Stable-PD spring.
 
     Cross products are distributed (see _body_velocities) so the bias needs
     no (N, J, B, 3) intermediates; the gyroscopic torque uses quaternion
@@ -544,11 +571,12 @@ def _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv4, target_q, gvec):
     Iw = quat.rotate(q, p.inertia * quat.rotate_inv(q, w_b))
     gyro = jnp.cross(w_b, Iw)
 
-    # generalized forces: Q = Jvᵀ f_lin + Jwᵀ τ_ang
+    # generalized forces: Q = Jvᵀ f_lin + Jwᵀ τ_ang; the Jv4ᵀ contraction is
+    # deferred to _assemble_rhs (fused with M·u)
     f_lin = m[..., None] * (gvec[None, None] - a_vp)     # gravity − inertial
-    Q = jnp.einsum("nkic,nki->nc", Jv4, f_lin)
     jw = jnp.asarray(_JW_EXT)                            # (B,3,72)
     tau_ang = -gyro                                      # (N,B,3)
+    Q = jnp.zeros((N, NU), x.dtype)
     Q = Q.at[:, 3:].add(jnp.einsum("kic,nki->nc", jw, tau_ang))
 
     # Stable-PD spring: θ in world frame; RHS gets −kp·θ (implicit terms → LHS)
@@ -568,7 +596,7 @@ def _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv4, target_q, gvec):
     cap = p.torque_limit[..., None]
     spring = spring * (jnp.minimum(nrm, cap) / jnp.maximum(nrm, 1e-9))
     Q = Q.at[:, 6:].add(spring.reshape(N, -1))
-    return Q
+    return f_lin, Q
 
 
 # ---------------------------------------------------------------------------
@@ -617,6 +645,25 @@ NSELF = len(_SELF_PAIR_NAMES)
 _SELF_ONEHOT = (np.eye(B, dtype=np.float32)[_SELF_A]
                 - np.eye(B, dtype=np.float32)[_SELF_B])
 _COMBINED_ONEHOT = np.concatenate([_CONTACT_ONEHOT, _SELF_ONEHOT], axis=0)
+# signed ε-folded tensors for the one-dot pair-difference Jacobian
+# (_self_pair_jacobians): stack (+ε[A], −ε[B]) so the A/B term1 contractions
+# collapse into a single dot_general with ONE (N,K,3,72) output
+_SELF_EPS = np.stack([_EPS_JW[_SELF_A], -_EPS_JW[_SELF_B]],
+                     axis=1).astype(np.float32)          # (K,2,3,3,72)
+
+
+def _self_pair_jacobians(cA, cB, term2):
+    """Relative-velocity Jacobian of the self-contact pairs, built as ONE
+    contraction: Jrel_ang = [cA]-term1·ε[A] − [cB]-term1·ε[B] + term2[A] −
+    term2[B]; root-linear columns are exactly zero (eye − eye). vs two
+    `_point_jacobians` + subtract this materializes one (N,K,3,72) dot
+    output instead of two (the (3,72) minor tile-pads ~4.5× on TPU, so each
+    avoided materialization is real HBM traffic)."""
+    pts2 = jnp.stack([cA, cB], axis=2)                   # (N,K,2,3)
+    ang = jnp.einsum("ncsj,csjid->ncid", pts2, jnp.asarray(_SELF_EPS))
+    ang = ang + term2[:, _SELF_A] - term2[:, _SELF_B]
+    z = jnp.zeros(ang.shape[:3] + (3,), ang.dtype)
+    return jnp.concatenate([z, ang], axis=-1)            # (N,K,3,75)
 
 # --- mesh-geom ground-contact variant (reference get_joint_geometries,
 # smpl_local_robot.py:83-146: per-beta mesh colliders): same contact bodies,
@@ -729,11 +776,14 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
     # ---- substep 1: full geometry build, assembly, factor, solve ----
     st = state
     (Jv4, W4, Jc, Jn, nrm, active, d_t, _, _, pen_f, diag, wn, wt,
-     h0, radius) = _contact_and_jacobians(model, terrain, st, cfg)
-    Q = _gravity_bias_spring(model, st.body_x, st.body_q, st.body_v,
-                             st.body_w, st.u, Jv4, target_q, gvec)
-    Q = Q + jnp.einsum("nc,ncj->nj", k_n * pen_f, Jn)
-    rhs_t = _assemble_rhs(model, Jv4, W4, st.u, dt * Q)
+     h0, radius, pts0, ground_body, self_pts0) = \
+        _contact_and_jacobians(model, terrain, st, cfg)
+    f_lin, Q_rest = _gravity_bias_spring(model, st.body_x, st.body_q,
+                                         st.body_v, st.body_w, st.u,
+                                         target_q, gvec)
+    Q_rest = Q_rest + jnp.einsum("nc,ncj->nj", k_n * pen_f, Jn)
+    rhs_t = _assemble_rhs(model, Jv4, W4, st.body_q, st.body_v, st.body_w,
+                          f_lin, dt, Q_rest)
     At = _assemble_lhs(model, Jv4, W4, diag, wn, wt, Jn, Jc)
     At = At + 1e-8 * jnp.eye(NU)[:, :, None]
     if use_pallas:
@@ -751,9 +801,11 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
 
     onehot = _readback_onehot(cfg)
     u_new = _velocity_clamp(resolve(rhs_t), cfg)
-    contact_force = _readback_contact(Jc, nrm, active, d_t, k_n, pen_f,
-                                      dt, d_n, u_new, onehot)
-    st = _integrate_pose(model, st, u_new, dt, tree, contact_force)
+    st = _integrate_pose(model, st, u_new, dt, tree)
+    contact_force = _readback_contact(st, pts0, ground_body, self_pts0, nrm,
+                                      active, d_t, k_n, pen_f, dt, d_n,
+                                      onehot)
+    st = st.replace(contact_force=contact_force)
 
     # ---- remaining substeps: fresh penetrations / spring / bias, stale
     # projections (Jacobians, contact normals/Jacobians, friction coeffs)
@@ -765,22 +817,27 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
     def resolve_substep(st, _):
         pts, _, _ = _ground_geometry(model, st.body_x, st.body_q, cfg)
         pen = (h0 + radius - pts[..., 2]) * nrm[:, :ng, 2]
+        self_pts = None
         if cfg.self_contact:
             # fresh pair separations along the (cheap) closest-point
             # geometry; Jacobians/normals stay substep-1 stale like ground
-            _, _, _, pen_s = _self_contact_geometry(model, st.body_x,
-                                                    st.body_q)
+            cA, cB, _, pen_s = _self_contact_geometry(model, st.body_x,
+                                                      st.body_q)
             pen = jnp.concatenate([pen, pen_s], axis=1)
+            self_pts = (cA, cB)
         act = (pen > 0.0).astype(pen.dtype)
         pf = act * jnp.minimum(pen, cfg.max_depenetration)
-        Qs = _gravity_bias_spring(model, st.body_x, st.body_q, st.body_v,
-                                  st.body_w, st.u, Jv4, target_q, gvec)
-        Qs = Qs + jnp.einsum("nc,ncj->nj", k_n * pf, Jn)
-        rhs = _assemble_rhs(model, Jv4, W4, st.u, dt * Qs)
+        f_l, Q_r = _gravity_bias_spring(model, st.body_x, st.body_q,
+                                        st.body_v, st.body_w, st.u,
+                                        target_q, gvec)
+        Q_r = Q_r + jnp.einsum("nc,ncj->nj", k_n * pf, Jn)
+        rhs = _assemble_rhs(model, Jv4, W4, st.body_q, st.body_v, st.body_w,
+                            f_l, dt, Q_r)
         u2 = _velocity_clamp(resolve(rhs), cfg)
-        cf = _readback_contact(Jc, nrm, act, d_t, k_n, pf, dt, d_n, u2,
-                               onehot)
-        return _integrate_pose(model, st, u2, dt, tree, cf), None
+        st2 = _integrate_pose(model, st, u2, dt, tree)
+        cf = _readback_contact(st2, pts, ground_body, self_pts, nrm, act,
+                               d_t, k_n, pf, dt, d_n, onehot)
+        return st2.replace(contact_force=cf), None
 
     if cfg.n_substeps > 1:
         st, _ = jax.lax.scan(resolve_substep, st, None,
@@ -813,7 +870,7 @@ def _contact_and_jacobians(model: Model, terrain, st: PhysicsState,
     pen = (h + radius - pts[..., 2]) * nrm[..., 2]
     active = (pen > 0.0).astype(x.dtype)
     Jc = _point_jacobians(pts, ground_body, term2)
-    vpt = jnp.einsum("ncij,nj->nci", Jc, u)
+    vpt = _point_velocities(x, st.body_v, st.body_w, pts, ground_body)
     vn = jnp.sum(vpt * nrm, axis=-1)
     vt = vpt - nrm * vn[..., None]
     vt_mag = jnp.linalg.norm(vt, axis=-1)
@@ -850,14 +907,16 @@ def _contact_and_jacobians(model: Model, terrain, st: PhysicsState,
     d_t_lhs = jnp.minimum(d_t_lhs, cfg.max_friction_damping)
     wt = active_lhs * dt * d_t_lhs
     rows = (Jc, Jn, nrm, active, d_t, active * pen_f, wn, wt)
+    self_pts = None
     if cfg.self_contact:
-        srows = _self_contact_rows(model, x, q, u, term2, cfg,
-                                   speculative=True)
+        srows, self_pts = _self_contact_rows(model, x, q, st.body_v,
+                                             st.body_w, term2, cfg,
+                                             speculative=True)
         rows = tuple(jnp.concatenate([g, s], axis=1)
                      for g, s in zip(rows, srows))
     (Jc, Jn, nrm, active, d_t, pen_f_m, wn, wt) = rows
     return (Jv4, W4, Jc, Jn, nrm, active, d_t, k_n, d_n,
-            pen_f_m, diag, wn, wt, h, radius)
+            pen_f_m, diag, wn, wt, h, radius, pts, ground_body, self_pts)
 
 
 def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
@@ -876,7 +935,8 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     Jv4, W4, term2 = _build_jacobians(model, x, q, pivots_x)
 
     gvec = jnp.array([0.0, 0.0, cfg.gravity])
-    Q = _gravity_bias_spring(model, x, q, v_b, w_b, u, Jv4, target_q, gvec)
+    f_lin, Q_rest = _gravity_bias_spring(model, x, q, v_b, w_b, u,
+                                         target_q, gvec)
 
     # ---- implicit diagonal: dt·D + dt²·K (+ small root damping) ----
     kp = p.kp                                            # (N,23)
@@ -896,8 +956,8 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     active = (pen > 0.0).astype(x.dtype)
 
     Jc = _point_jacobians(pts, ground_body, term2)       # (N,C,3,75)
-    # point velocities
-    vpt = jnp.einsum("ncij,nj->nci", Jc, u)
+    # point velocities from the body-velocity cache (≡ Jc·u, elementwise)
+    vpt = _point_velocities(x, v_b, w_b, pts, ground_body)
     vn = jnp.sum(vpt * nrm, axis=-1)
     vt = vpt - nrm * vn[..., None]
     vt_mag = jnp.linalg.norm(vt, axis=-1)
@@ -925,19 +985,21 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     # tangential projector T = E − nnᵀ folds as wt·JcᵀJc + (wn−wt)·JnᵀJn
     wt = active * dt * d_t
     pen_f = active * pen_f
+    self_pts = None
     if cfg.self_contact:
         # this path rebuilds geometry every substep, so plain (non-
         # speculative) activation suffices for the pair rows
-        srows = _self_contact_rows(model, x, q, u, term2, cfg,
-                                   speculative=False)
+        srows, self_pts = _self_contact_rows(model, x, q, v_b, w_b, term2,
+                                             cfg, speculative=False)
         (Jc, Jn, nrm, active, d_t, pen_f, wn, wt) = tuple(
             jnp.concatenate([g, s], axis=1) for g, s in zip(
                 (Jc, Jn, nrm, active, d_t, pen_f, wn, wt), srows))
     # RHS contact: normal spring force at current penetration
-    Q = Q + jnp.einsum("nc,ncj->nj", k_n * pen_f, Jn)
+    Q_rest = Q_rest + jnp.einsum("nc,ncj->nj", k_n * pen_f, Jn)
 
-    At, rhs_t = _assemble_lhs_rhs(model, Jv4, W4, u, diag, wn, wt, Jn, Jc,
-                                  dt * Q)                  # env-last (·,·,N)
+    At, rhs_t = _assemble_lhs_rhs(model, Jv4, W4, q, v_b, w_b, f_lin, dt,
+                                  Q_rest, diag, wn, wt, Jn, Jc)
+    # env-last (·,·,N)
 
     # ---- solve ----
     from .pallas_linalg import (backend_supports_pallas,
@@ -959,9 +1021,11 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
         u_new = jax.scipy.linalg.cho_solve((L, True), rhs_t.T)
 
     u_new = _velocity_clamp(u_new, cfg)
-    contact_force = _readback_contact(Jc, nrm, active, d_t, k_n, pen_f, dt,
-                                      d_n, u_new, _readback_onehot(cfg))
-    return _integrate_pose(model, state, u_new, dt, tree, contact_force)
+    st2 = _integrate_pose(model, state, u_new, dt, tree)
+    contact_force = _readback_contact(st2, pts, ground_body, self_pts, nrm,
+                                      active, d_t, k_n, pen_f, dt, d_n,
+                                      _readback_onehot(cfg))
+    return st2.replace(contact_force=contact_force)
 
 
 def _velocity_clamp(u_new, cfg: EngineConfig):
@@ -981,18 +1045,31 @@ def _velocity_clamp(u_new, cfg: EngineConfig):
     ], axis=-1)
 
 
-def _readback_contact(Jc, nrm, active, d_t, k_n, pen_f, dt, d_n, u_new,
-                      onehot=None):
-    """Contact force readback (for resets/diagnostics). Deliberate
-    readback/dynamics asymmetry: the linear implicit solve can transiently
-    apply an adhesive ("glue") normal force on fast separation; PhysX
-    contacts are unilateral, so we report the clamped force the reference
-    would (keeps contact-force terminations from firing on penalty-model
-    artifacts). `onehot` (C, B) maps rows to per-body forces — signed for
-    self-contact pairs (+F on A, −F on B)."""
+def _readback_contact(st_new: PhysicsState, pts, ground_body, self_pts,
+                      nrm, active, d_t, k_n, pen_f, dt, d_n, onehot=None):
+    """Contact force readback (for resets/diagnostics), evaluated from the
+    POST-integration body-velocity cache: vpt = v_b + w_b×(pt − x_b) at the
+    solved velocities, instead of Jc·u_new — no Jacobian read (the contact
+    Jacobian is dead after assembly; its (3,75)-minor layout tile-pads ~4.5×
+    and reading it every substep was the readback's entire cost). The lever
+    arm uses the pre-integration contact points against the integrated pose,
+    an O(dt·|u|) drift inside the TGS staleness envelope.
+
+    Deliberate readback/dynamics asymmetry: the linear implicit solve can
+    transiently apply an adhesive ("glue") normal force on fast separation;
+    PhysX contacts are unilateral, so we report the clamped force the
+    reference would (keeps contact-force terminations from firing on
+    penalty-model artifacts). `onehot` (C, B) maps rows to per-body forces —
+    signed for self-contact pairs (+F on A, −F on B)."""
     if onehot is None:
         onehot = jnp.asarray(_CONTACT_ONEHOT)
-    vpt_new = jnp.einsum("ncij,nj->nci", Jc, u_new)
+    x, v_b, w_b = st_new.body_x, st_new.body_v, st_new.body_w
+    vpt_new = _point_velocities(x, v_b, w_b, pts, ground_body)
+    if self_pts is not None:
+        cA, cB = self_pts
+        vpt_s = (_point_velocities(x, v_b, w_b, cA, _SELF_A)
+                 - _point_velocities(x, v_b, w_b, cB, _SELF_B))
+        vpt_new = jnp.concatenate([vpt_new, vpt_s], axis=1)
     vn_new = jnp.sum(vpt_new * nrm, axis=-1)
     f_n = active * (k_n * pen_f - (dt * k_n + d_n) * vn_new)
     f_n = jnp.maximum(f_n, 0.0)
@@ -1002,10 +1079,10 @@ def _readback_contact(Jc, nrm, active, d_t, k_n, pen_f, dt, d_n, u_new,
     return jnp.einsum("cb,nci->nbi", onehot, f_c)
 
 
-def _integrate_pose(model: Model, state: PhysicsState, u_new, dt, tree,
-                    contact_force):
+def _integrate_pose(model: Model, state: PhysicsState, u_new, dt, tree):
     """Integrate root/joint poses, enforce joint limits (position clamp +
-    velocity projection), refresh the body cache."""
+    velocity projection), refresh the body cache. contact_force is set by
+    the caller AFTER this (the readback reads the refreshed cache)."""
     p = model.params
     N = u_new.shape[0]
     q = state.body_q
@@ -1033,6 +1110,5 @@ def _integrate_pose(model: Model, state: PhysicsState, u_new, dt, tree,
     u_new = u_new.at[:, 6:].set(qd.reshape(N, -1))
 
     new_state = state.replace(
-        root_pos=root_pos, root_rot=root_rot, joint_rot=joint_rot,
-        u=u_new, contact_force=contact_force)
+        root_pos=root_pos, root_rot=root_rot, joint_rot=joint_rot, u=u_new)
     return refresh_cache(model, new_state, tree)
