@@ -121,7 +121,8 @@ def evaluate_with_filter(trainer, params, dataset, batch_size, num_batches,
 
 def filter_threshold_sweep(trainer, params, dataset, batch_size, num_batches,
                            vnet, vnet_params,
-                           thresholds=(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+                           thresholds=(0.1, 0.15, 0.2, 0.25, 0.3, 0.4, 0.5,
+                                       0.6, 0.7, 0.8, 0.9),
                            pose_z_flip=True):
     """Filter-threshold calibration: per-sample (ade, fde, value) collected in
     ONE forward pass, then the LocoVal keep-mask swept over thresholds on
