@@ -472,3 +472,46 @@ def test_actuator_torque_saturation():
     v_free = float(jnp.abs(dof_vel_free).max())
     assert np.isfinite(v_cap) and np.isfinite(v_free)
     assert v_cap < v_free * 0.75, (v_cap, v_free)
+
+
+def test_point_velocities_match_contact_jacobian():
+    """The body-velocity-cache substitution v_pt = v_b + w_b x (pt - x_b)
+    must equal J_pt(x)*u exactly at the cache's pose — the round-3
+    bandwidth optimization rests on this identity (see _point_velocities;
+    never reintroduce per-substep Jc*u einsums)."""
+    from emloco_tpu.physics import reduced as R
+
+    model, terrain = make_world(3)
+    key = jax.random.PRNGKey(7)
+    st = rest_state(model)
+    # random non-trivial generalized velocities
+    u = 0.5 * jax.random.normal(key, st.u.shape)
+    st = st.replace(u=u)
+    st = R.refresh_cache(model, st, TREE)
+
+    x, q = st.body_x, st.body_q
+    piv_j = x[:, 1:] + quat.rotate(q[:, 1:], model.anchor_c[:, 1:])
+    pivots_x = jnp.concatenate([x[:, 0:1], piv_j], axis=1)
+    _, _, term2 = R._build_jacobians(model, x, q, pivots_x)
+
+    pts, _, ground_body = R._ground_geometry(model, x, q, EngineConfig())
+    Jc = R._point_jacobians(pts, ground_body, term2)
+    vpt_jac = jnp.einsum("ncij,nj->nci", Jc, st.u)
+    vpt_cache = R._point_velocities(x, st.body_v, st.body_w, pts,
+                                    ground_body)
+    np.testing.assert_allclose(np.asarray(vpt_cache), np.asarray(vpt_jac),
+                               atol=1e-4)
+
+    # self-contact pair rows: the fused one-dot difference Jacobian agrees
+    # with the two-build subtraction, and pair velocities agree with Jrel*u
+    cA, cB, _, _ = R._self_contact_geometry(model, x, q)
+    J_fused = R._self_pair_jacobians(cA, cB, term2)
+    J_two = (R._point_jacobians(cA, R._SELF_A, term2)
+             - R._point_jacobians(cB, R._SELF_B, term2))
+    np.testing.assert_allclose(np.asarray(J_fused), np.asarray(J_two),
+                               atol=1e-4)
+    v_rel_jac = jnp.einsum("ncij,nj->nci", J_fused, st.u)
+    v_rel = (R._point_velocities(x, st.body_v, st.body_w, cA, R._SELF_A)
+             - R._point_velocities(x, st.body_v, st.body_w, cB, R._SELF_B))
+    np.testing.assert_allclose(np.asarray(v_rel), np.asarray(v_rel_jac),
+                               atol=1e-4)
