@@ -179,10 +179,18 @@ def chain_b(d):
 
 
 def feedback(d, out):
+    """Touch every state-derived input so nothing hoists out of the scan
+    (the real substep rebuilds x, pivots, R, contact points, forces and
+    bias velocities from the integrated state every time)."""
     At, Mu, Q = out
     d = dict(d)
-    d["x"] = d["x"] + 1e-9 * Mu.T[:, :3][:, None, :]
+    dx = Mu.T[:, :3][:, None, :]
+    d["x"] = d["x"] + 1e-9 * dx
+    d["piv"] = d["piv"] + 1e-9 * dx
+    d["R"] = d["R"] + 1e-9 * dx[..., None, :3]
     d["pts"] = d["pts"] + 1e-9 * Q[:, :3][:, None, :]
+    d["f"] = d["f"] + 1e-9 * dx
+    d["v2"] = d["v2"] + 1e-9 * dx
     return d
 
 
@@ -194,10 +202,10 @@ def timed_scan(chain, d, iters=16):
         return jax.lax.scan(body, d, None, length=iters)[0]
 
     out = run(d)
-    jax.block_until_ready(out)
+    float(out["x"].sum())          # force full execution through the tunnel
     t0 = time.perf_counter()
     out = run(d)
-    jax.block_until_ready(out)
+    float(out["x"].sum())
     return (time.perf_counter() - t0) / iters
 
 
