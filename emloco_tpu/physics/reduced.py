@@ -175,6 +175,92 @@ def _eps_fold(sel):
 _EPS_JW = _eps_fold(_JW_EXT)                      # (B,3,3,72): Σ_j x_j·E → −[x]×·JW
 _EPS_COL = _eps_fold(_COL_EXT)                    # (24ext,3,3,72) for +[p]× use −E
 
+# ---------------------------------------------------------------------------
+# Row-merged static scaffolding (the PRODUCTION substep layout).
+#
+# The hot per-substep tensors are emitted ROW-MERGED: body rows (k, i) fold
+# to m = 3k+i, giving (N, 72, 72) Jacobian blocks whose (72, 72) minor dims
+# tile-pad only 1.78× — vs ~4.5× for the (·, 3, 75) 4-D layout. Measured
+# 1.67× on the Jacobian-build + LHS/RHS assembly chain at 4,096 envs on chip
+# (scripts/layout_bench.py, faithful feedback harness). No reshapes anywhere:
+# the dots against these e-folded static tensors EMIT the merged layout.
+#
+# The linear (root-translation) columns are not stored: Jv's linear block is
+# identity per body and W's is zero, so the 75×75 LHS is composed from
+# 72×72 (ang-ang) / 3×72 (lin-ang) / 3×3 (lin-lin) blocks analytically.
+# The 4-D builders below (_build_jacobians & co.) remain as the oracle the
+# equivalence tests check the merged path against.
+# ---------------------------------------------------------------------------
+NA = 3 * (NJ + 1)            # 72 angular generalized-velocity columns
+MROWS = 3 * B                # 72 merged body rows (m = 3k + i)
+
+# term1: E1M[k, j, 3k+i, c] = _EPS_JW[k, j, i, c]  (−[x_k]×·JW, merged rows)
+_E1_M = np.zeros((B, 3, MROWS, NA), np.float32)
+for _k in range(B):
+    _E1_M[_k, :, 3 * _k:3 * _k + 3, :] = _EPS_JW[_k]
+# term2: FM[a, j, 3k+i, c] = SUBX[a, k]·(−EPS_COL[a, j, i, c])  (+[p_a]×,
+# ancestry-masked, merged rows) — reshape of a NUMPY constant, not a trace op
+_F_M = np.ascontiguousarray(
+    np.einsum("ak,ajic->ajkic", _SUBX, -_EPS_COL)
+    .reshape(NJ + 1, 3, MROWS, NA).astype(np.float32))
+# W: TWM[k, j, i, 3k+i, c] = _JW_EXT[k, j, c] → Σ_{kji} R[n,k,j,i]·TWM = RᵀJw
+_TW_M = np.zeros((B, 3, 3, MROWS, NA), np.float32)
+for _k in range(B):
+    for _i in range(3):
+        _TW_M[_k, :, _i, 3 * _k + _i, :] = _JW_EXT[_k]
+# (N,B,3) → (N,72) merger (one-hot contraction, not a tiled-minor reshape)
+_FL_M = np.zeros((B, 3, MROWS), np.float32)
+for _k in range(B):
+    for _i in range(3):
+        _FL_M[_k, _i, 3 * _k + _i] = 1.0
+# merged row m → xyz component selector (i = m % 3)
+_ISEL_M = np.tile(np.eye(3, dtype=np.float32), (B, 1))   # (72, 3)
+
+
+@functools.lru_cache(maxsize=None)
+def _merged_point_statics(bodies_key: str):
+    """Static tensors for merged point-Jacobian rows of a contact table.
+
+    Returns (E1C, OH, P, FLC, ISELC) as numpy:
+      E1C (C,3,RC,72)  — −[pt]×·JW folded per row block (RC = 3C)
+      OH  (RC,72)      — row r → merged body row 3·body(r//3) + r%3
+                         (signed for the self-pair table: +A, −B)
+      P   (C,RC)       — per-contact sum over its 3 rows
+      FLC (C,3,RC)     — (N,C,3) → (N,RC) one-hot merger
+      ISELC (RC,3)     — row → xyz selector
+    """
+    C_TABLES = {"capsule": _CONTACT_BODY, "mesh": _MESH_BODY}
+    RCn = None
+    if bodies_key == "self":
+        C = NSELF
+        RCn = 3 * C
+        E1C = np.zeros((C, 2, 3, RCn, NA), np.float32)
+        OH = np.zeros((RCn, MROWS), np.float32)
+        for ci in range(C):
+            E1C[ci, 0, :, 3 * ci:3 * ci + 3, :] = _EPS_JW[_SELF_A[ci]]
+            E1C[ci, 1, :, 3 * ci:3 * ci + 3, :] = -_EPS_JW[_SELF_B[ci]]
+        for r in range(RCn):
+            OH[r, 3 * _SELF_A[r // 3] + r % 3] += 1.0
+            OH[r, 3 * _SELF_B[r // 3] + r % 3] -= 1.0
+    else:
+        bodies = C_TABLES[bodies_key]
+        C = len(bodies)
+        RCn = 3 * C
+        E1C = np.zeros((C, 3, RCn, NA), np.float32)
+        OH = np.zeros((RCn, MROWS), np.float32)
+        for ci in range(C):
+            E1C[ci, :, 3 * ci:3 * ci + 3, :] = _EPS_JW[bodies[ci]]
+        for r in range(RCn):
+            OH[r, 3 * bodies[r // 3] + r % 3] = 1.0
+    P = np.zeros((C, RCn), np.float32)
+    FLC = np.zeros((C, 3, RCn), np.float32)
+    for ci in range(C):
+        P[ci, 3 * ci:3 * ci + 3] = 1.0
+        for i in range(3):
+            FLC[ci, i, 3 * ci + i] = 1.0
+    ISELC = np.tile(np.eye(3, dtype=np.float32), (C, 1))
+    return E1C, OH, P, FLC, ISELC
+
 
 class PhysicsState(struct.PyTreeNode):
     """Reduced-coordinate state + maximal-coordinate body cache.
@@ -378,24 +464,138 @@ def _mass_matrix_from_jac(model: Model, Jv4, W4):
     return Mv + jnp.einsum("nkic,nkid->ncd", W4, W4)
 
 
-def _assemble_lhs_rhs(model: Model, Jv4, W4, q, v_b, w_b, f_lin, dt, Q_rest,
-                      diag, wn, wt, Jn, Jc):
-    """Fused LHS/RHS assembly as ONE batched MXU contraction + matvecs.
+# ---------------------------------------------------------------------------
+# Row-merged production path (see the scaffolding note above _E1_M)
+# ---------------------------------------------------------------------------
 
-    A = Jvᵀm Jv + WᵀW + wt·JcᵀJc + (wn−wt)·JnᵀJn + diag, built as a single
-    dot_general over the stacked (body, xyz) axis pair — multi-axis
-    contraction instead of (N, rows, 75) reshapes, which would each cost a
-    tiled-layout copy. rhs = M·u + dt·Q without materializing M. Replaces
-    the reference's PhysX-side TGS assembly (closed .so)."""
-    # three multi-axis dot_generals, emitted ENV-LAST (c,d,n): the Pallas
-    # solver wants envs on lanes, and producing that layout here avoids a
-    # pathological (N,75,75)↔(75,75,N) relayout (~1.6 ms/substep at 4096).
-    # Concatenating the row blocks first would copy ~560 MB/step of operands.
-    return (_assemble_lhs(model, Jv4, W4, diag, wn, wt, Jn, Jc),
-            _assemble_rhs(model, Jv4, W4, q, v_b, w_b, f_lin, dt, Q_rest))
+def _build_rows_merged(model: Model, x, q, pivots_x):
+    """Merged body-Jacobian rows: G (N,72,72) angular Jv rows, W (N,72,72)
+    inertia rows √D·RᵀJw, t2m (N,72,72) the shared pivot contraction (reused
+    by every contact/self row build). Row m = 3k+i is body k, component i;
+    the identity linear block is implicit (handled in assembly)."""
+    p = model.params
+    t1m = jnp.einsum("nkj,kjmc->nmc", x, jnp.asarray(_E1_M))
+    t2m = jnp.einsum("naj,ajmc->nmc", pivots_x, jnp.asarray(_F_M))
+    R = quat.to_matrix(q)
+    sD = jnp.einsum("nki,kim->nm", jnp.sqrt(p.inertia), jnp.asarray(_FL_M))
+    W = sD[..., None] * jnp.einsum("nkji,kjimc->nmc", R, jnp.asarray(_TW_M))
+    return t1m + t2m, W, t2m
+
+
+def _point_rows_merged(points, table: str, t2m):
+    """Merged angular point-Jacobian rows Gc (N,3C,72) of world points on
+    the `table` contact bodies (linear block: identity per row triple,
+    implicit). For table="self", `points` is (N,K,2,3) [cA, cB] stacked and
+    the rows are the RELATIVE pair Jacobian (linear block exactly zero)."""
+    E1C, OH, _, _, _ = _merged_point_statics(table)
+    if table == "self":
+        t1 = jnp.einsum("ncsj,csjrd->nrd", points, jnp.asarray(E1C))
+    else:
+        t1 = jnp.einsum("ncj,cjrd->nrd", points, jnp.asarray(E1C))
+    return t1 + jnp.einsum("nmd,rm->nrd", t2m, jnp.asarray(OH))
+
+
+def _normal_rows_merged(nrm, Gc, table: str):
+    """Jn_ang (N,C,72): per-contact normal-projected angular rows,
+    Σ_i n_i·Gc[3c+i] (the merged analog of nᵀ·Jc's angular part)."""
+    _, _, P, FLC, _ = _merged_point_statics(table)
+    nrm_m = jnp.einsum("nci,cir->nr", nrm, jnp.asarray(FLC))
+    return jnp.einsum("cr,nrd->ncd", jnp.asarray(P),
+                      nrm_m[..., None] * Gc)
+
+
+def _q_contact_merged(kpen_g, nrm_g, kpen_all, Jn_a_all):
+    """Generalized contact-spring force (N,75) from split normal rows: the
+    linear block is Σ_c f_c·n_c over GROUND rows only (self-pair rows have
+    zero linear columns); the angular block contracts every row."""
+    return jnp.concatenate(
+        [jnp.einsum("nc,nci->ni", kpen_g, nrm_g),
+         jnp.einsum("nc,ncd->nd", kpen_all, Jn_a_all)], axis=-1)
+
+
+def _assemble_lhs_rhs(model: Model, G, W, q, v_b, w_b, f_lin, dt, Q_rest,
+                      diag, ground, selfrows, table: str):
+    """Fused LHS/RHS assembly in the row-merged layout (PRODUCTION path).
+
+    A = Jvᵀm Jv + WᵀW + wt·JcᵀJc + (wn−wt)·JnᵀJn + diag, composed from
+    72×72 / 3×72 / 3×3 blocks — the merged (·,72) operands tile-pad 1.78×
+    vs ~4.5× for 4-D, measured 1.67× on this chain (layout_bench.py).
+    rhs = M·u + dt·Q without materializing M. Emitted ENV-LAST (c,d,n):
+    the Pallas solver wants envs on lanes, and producing that layout here
+    avoids a pathological (N,75,75)↔(75,75,N) relayout (~1.6 ms/substep at
+    4096). Replaces the reference's PhysX-side TGS assembly (closed .so).
+
+    ground   = (Gc (N,3C,72), Jn_a (N,C,72), nrm (N,C,3), wn, wt (N,C))
+    selfrows = None | (Gcs (N,3K,72), Jn_sa (N,K,72), wn_s, wt_s (N,K))
+               — angular blocks only (pair rows' linear columns are zero).
+    """
+    return (_assemble_lhs_merged(model, G, W, diag, ground, selfrows, table),
+            _assemble_rhs_merged(model, G, W, q, v_b, w_b, f_lin, dt,
+                                 Q_rest))
+
+
+def _assemble_lhs_merged(model: Model, G, W, diag, ground, selfrows,
+                         table: str):
+    p = model.params
+    Gc, Jn_a, nrm, wn, wt = ground
+    _, _, _, _, ISELC = _merged_point_statics(table)
+    isel = jnp.asarray(_ISEL_M)
+    iselc = jnp.asarray(ISELC)
+    mass_m = jnp.repeat(p.mass, 3, axis=-1)              # (N,72)
+    wt_r = jnp.repeat(wt, 3, axis=-1)                    # (N,3C)
+    wnt = wn - wt
+    mG = mass_m[..., None] * G
+    wGc = wt_r[..., None] * Gc
+    wJn = wnt[..., None] * Jn_a
+    # ang-ang block (72,72,N)
+    A_aa = jnp.einsum("nmc,nmd->cdn", mG, G)
+    A_aa = A_aa + jnp.einsum("nmc,nmd->cdn", W, W)
+    A_aa = A_aa + jnp.einsum("nrc,nrd->cdn", wGc, Gc)
+    A_aa = A_aa + jnp.einsum("ncd,nce->den", wJn, Jn_a)
+    # lin-ang strip (3,72,N): Jv_lin is identity per body / per contact row
+    A_la = jnp.einsum("nmc,mi->icn", mG, isel)
+    A_la = A_la + jnp.einsum("nrc,ri->icn", wGc, iselc)
+    A_la = A_la + jnp.einsum("nci,ncd->idn", wnt[..., None] * nrm, Jn_a)
+    # lin-lin corner (3,3,N)
+    s0 = p.mass.sum(-1) + wt.sum(-1)
+    A_ll = (jnp.eye(3, dtype=G.dtype)[:, :, None] * s0[None, None, :]
+            + jnp.einsum("nci,ncj->ijn", wnt[..., None] * nrm, nrm))
+    if selfrows is not None:
+        Gcs, Jn_sa, wn_s, wt_s = selfrows
+        wts_r = jnp.repeat(wt_s, 3, axis=-1)
+        A_aa = A_aa + jnp.einsum("nrc,nrd->cdn", wts_r[..., None] * Gcs, Gcs)
+        A_aa = A_aa + jnp.einsum("ncd,nce->den",
+                                 (wn_s - wt_s)[..., None] * Jn_sa, Jn_sa)
+    top = jnp.concatenate([A_ll, A_la], axis=1)          # (3,75,N)
+    bot = jnp.concatenate([jnp.swapaxes(A_la, 0, 1), A_aa], axis=1)
+    At = jnp.concatenate([top, bot], axis=0)             # (75,75,N)
+    return At + jnp.eye(NU, dtype=At.dtype)[:, :, None] * diag.T[:, None, :]
+
+
+def _assemble_rhs_merged(model: Model, G, W, q, v_b, w_b, f_lin, dt, Q_rest):
+    """rhs = M·u + dt·Q via matvecs (no dense M), env-last (c, n).
+
+    The forward matvecs never touch the Jacobians: Jv·u IS the body-
+    velocity cache v_b, and W·u = √D·Rᵀ·w_b — both elementwise. The Gᵀ
+    contraction against (m·v_b + dt·f_lin) fuses the mass-matrix matvec
+    with the gravity/bias generalized force, so each substep reads G and W
+    exactly ONCE here; the identity linear block reduces to a body sum."""
+    p = model.params
+    fl = jnp.asarray(_FL_M)
+    fvec = p.mass[..., None] * v_b + dt * f_lin          # (N,B,3)
+    fm = jnp.einsum("nki,kim->nm", fvec, fl)
+    v2 = jnp.sqrt(p.inertia) * quat.rotate_inv(q, w_b)
+    v2m = jnp.einsum("nki,kim->nm", v2, fl)
+    Mu = jnp.concatenate(
+        [fvec.sum(axis=1).T,
+         jnp.einsum("nmc,nm->cn", G, fm) + jnp.einsum("nmc,nm->cn", W, v2m)],
+        axis=0)                                          # (75,N)
+    return Mu + dt * Q_rest.T
 
 
 def _assemble_lhs(model: Model, Jv4, W4, diag, wn, wt, Jn, Jc):
+    """4-D-layout LHS (oracle/tests path; production is _assemble_lhs_merged
+    — the equivalence is pinned by test_merged_assembly_matches_4d)."""
     p = model.params
     At = jnp.einsum("nkic,nkid->cdn", p.mass[..., None, None] * Jv4, Jv4)
     At = At + jnp.einsum("nkic,nkid->cdn", W4, W4)
@@ -405,7 +605,8 @@ def _assemble_lhs(model: Model, Jv4, W4, diag, wn, wt, Jn, Jc):
 
 
 def _assemble_rhs(model: Model, Jv4, W4, q, v_b, w_b, f_lin, dt, Q_rest):
-    """rhs = M·u + dt·Q via matvecs (no dense M), env-last (c, n).
+    """4-D-layout rhs (oracle/tests path; production is
+    _assemble_rhs_merged): rhs = M·u + dt·Q via matvecs, env-last (c, n).
 
     The forward matvecs never touch the Jacobians: Jv4·u IS the body-
     velocity cache v_b, and W4·u = √D·Rᵀ·w_b (W = √D·RᵀJw, Jw·u = w_b) —
@@ -492,16 +693,14 @@ def _self_contact_geometry(model: Model, x, q):
     return cA, cB, nrm, rsum - dist
 
 
-def _self_contact_rows(model: Model, x, q, v_b, w_b, term2, cfg,
-                       speculative: bool):
-    """Self-contact solver rows in the exact shape of the ground rows: the
-    relative-velocity Jacobian Jrel = J(cA on A) − J(cB on B) (root-linear
-    columns cancel), so the same implicit spring-damper + Coulomb-capped
-    viscous friction machinery applies unchanged. Returns
-    ((Jc, Jn, nrm, active, d_t, pen_f_masked, wn, wt), (cA, cB))."""
+def _self_contact_gates(model: Model, x, q, v_b, w_b, cfg,
+                        speculative: bool):
+    """Layout-independent self-contact geometry + implicit-row weights:
+    returns (cA, cB, nrm, active, d_t, pen_f_masked, wn, wt) for the
+    _SELF_PAIR table. Shared by the merged production rows and the 4-D
+    oracle rows so both paths gate identically."""
     dt = cfg.substep_dt
     cA, cB, nrm, pen = _self_contact_geometry(model, x, q)
-    Jc = _self_pair_jacobians(cA, cB, term2)
     active = (pen > 0.0).astype(x.dtype)
     vpt = (_point_velocities(x, v_b, w_b, cA, _SELF_A)
            - _point_velocities(x, v_b, w_b, cB, _SELF_B))
@@ -517,7 +716,6 @@ def _self_contact_rows(model: Model, x, q, v_b, w_b, term2, cfg,
     d_t = mu * (k_n * jnp.maximum(pen_f, 0.0)) / (vt_mag
                                                   + cfg.friction_vel_ref)
     d_t = jnp.minimum(d_t, cfg.max_friction_damping)
-    Jn = jnp.einsum("nci,ncij->ncj", nrm, Jc)
     if speculative:
         # approaching pairs get their implicit rows before touch (same
         # reasoning as ground speculative contacts; no gravity term — the
@@ -533,7 +731,37 @@ def _self_contact_rows(model: Model, x, q, v_b, w_b, term2, cfg,
         gate = active
         wt = gate * dt * d_t
     wn = gate * dt * (dt * k_n + d_n)
-    return (Jc, Jn, nrm, active, d_t, active * pen_f, wn, wt), (cA, cB)
+    return cA, cB, nrm, active, d_t, active * pen_f, wn, wt
+
+
+def _self_contact_rows(model: Model, x, q, v_b, w_b, term2, cfg,
+                       speculative: bool):
+    """Self-contact solver rows in the exact shape of the ground rows: the
+    relative-velocity Jacobian Jrel = J(cA on A) − J(cB on B) (root-linear
+    columns cancel), so the same implicit spring-damper + Coulomb-capped
+    viscous friction machinery applies unchanged. 4-D oracle layout; the
+    production substep uses _self_contact_rows_merged. Returns
+    ((Jc, Jn, nrm, active, d_t, pen_f_masked, wn, wt), (cA, cB))."""
+    (cA, cB, nrm, active, d_t, pen_f_m, wn, wt) = _self_contact_gates(
+        model, x, q, v_b, w_b, cfg, speculative)
+    Jc = _self_pair_jacobians(cA, cB, term2)
+    Jn = jnp.einsum("nci,ncij->ncj", nrm, Jc)
+    return (Jc, Jn, nrm, active, d_t, pen_f_m, wn, wt), (cA, cB)
+
+
+def _self_contact_rows_merged(model: Model, x, q, v_b, w_b, t2m, cfg,
+                              speculative: bool):
+    """Row-merged self-contact rows (production): Gcs (N,3K,72) relative
+    pair Jacobian rows (linear columns exactly zero — the pair difference
+    cancels the identity blocks), Jn_sa (N,K,72) normal-projected rows.
+    Returns ((Gcs, Jn_sa, nrm, active, d_t, pen_f_masked, wn, wt),
+    (cA, cB))."""
+    (cA, cB, nrm, active, d_t, pen_f_m, wn, wt) = _self_contact_gates(
+        model, x, q, v_b, w_b, cfg, speculative)
+    pts2 = jnp.stack([cA, cB], axis=2)                   # (N,K,2,3)
+    Gcs = _point_rows_merged(pts2, "self", t2m)
+    Jn_sa = _normal_rows_merged(nrm, Gcs, "self")
+    return (Gcs, Jn_sa, nrm, active, d_t, pen_f_m, wn, wt), (cA, cB)
 
 
 def _gravity_bias_spring(model, x, q, v_b, w_b, u, target_q, gvec):
@@ -775,16 +1003,18 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
 
     # ---- substep 1: full geometry build, assembly, factor, solve ----
     st = state
-    (Jv4, W4, Jc, Jn, nrm, active, d_t, _, _, pen_f, diag, wn, wt,
-     h0, radius, pts0, ground_body, self_pts0) = \
+    (G, W, ground, selfrows, Jn_a_all, nrm, active, d_t, pen_f, diag,
+     h0, radius, pts0, ground_body, self_pts0, table) = \
         _contact_and_jacobians(model, terrain, st, cfg)
+    ng = radius.shape[1]          # ground rows (capsule or mesh table)
     f_lin, Q_rest = _gravity_bias_spring(model, st.body_x, st.body_q,
                                          st.body_v, st.body_w, st.u,
                                          target_q, gvec)
-    Q_rest = Q_rest + jnp.einsum("nc,ncj->nj", k_n * pen_f, Jn)
-    rhs_t = _assemble_rhs(model, Jv4, W4, st.body_q, st.body_v, st.body_w,
-                          f_lin, dt, Q_rest)
-    At = _assemble_lhs(model, Jv4, W4, diag, wn, wt, Jn, Jc)
+    Q_rest = Q_rest + _q_contact_merged(k_n * pen_f[:, :ng], nrm[:, :ng],
+                                        k_n * pen_f, Jn_a_all)
+    rhs_t = _assemble_rhs_merged(model, G, W, st.body_q, st.body_v,
+                                 st.body_w, f_lin, dt, Q_rest)
+    At = _assemble_lhs_merged(model, G, W, diag, ground, selfrows, table)
     At = At + 1e-8 * jnp.eye(NU)[:, :, None]
     if use_pallas:
         L = cholesky_factor_blocked_t(At, _ARROW_CHUNKS, _ARROW_LIMBS,
@@ -812,7 +1042,6 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
     # and the reused factorization — the PhysX-per-step staleness envelope,
     # at half the per-substep cost (no Jacobian rebuild, no assembly, no
     # factorization) ----
-    ng = radius.shape[1]          # ground rows (capsule or mesh table)
 
     def resolve_substep(st, _):
         pts, _, _ = _ground_geometry(model, st.body_x, st.body_q, cfg)
@@ -830,9 +1059,10 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
         f_l, Q_r = _gravity_bias_spring(model, st.body_x, st.body_q,
                                         st.body_v, st.body_w, st.u,
                                         target_q, gvec)
-        Q_r = Q_r + jnp.einsum("nc,ncj->nj", k_n * pf, Jn)
-        rhs = _assemble_rhs(model, Jv4, W4, st.body_q, st.body_v, st.body_w,
-                            f_l, dt, Q_r)
+        Q_r = Q_r + _q_contact_merged(k_n * pf[:, :ng], nrm[:, :ng],
+                                      k_n * pf, Jn_a_all)
+        rhs = _assemble_rhs_merged(model, G, W, st.body_q, st.body_v,
+                                   st.body_w, f_l, dt, Q_r)
         u2 = _velocity_clamp(resolve(rhs), cfg)
         st2 = _integrate_pose(model, st, u2, dt, tree)
         cf = _readback_contact(st2, pts, ground_body, self_pts, nrm, act,
@@ -847,16 +1077,21 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
 
 def _contact_and_jacobians(model: Model, terrain, st: PhysicsState,
                            cfg: EngineConfig):
-    """Fresh per-substep geometry: body/contact Jacobians, contact set,
-    penetrations, friction weights, implicit diagonal."""
+    """Fresh step-start geometry for the TGS path, in the row-merged
+    production layout: body/contact Jacobian rows, contact set,
+    penetrations, friction weights, implicit diagonal. Returns
+    (G, W, ground, selfrows, Jn_a_all, nrm, active, d_t, pen_f_m, diag,
+     h, radius, pts, ground_body, self_pts, table) where `ground` /
+    `selfrows` are the _assemble_lhs_rhs row tuples and nrm/active/d_t/
+    pen_f_m are the readback concats (ground rows then pair rows)."""
     p = model.params
     N = st.num_envs
     dt = cfg.substep_dt
-    x, q, u = st.body_x, st.body_q, st.u
+    x, q = st.body_x, st.body_q
 
     piv_j = x[:, 1:] + quat.rotate(q[:, 1:], model.anchor_c[:, 1:])
     pivots_x = jnp.concatenate([x[:, 0:1], piv_j], axis=1)
-    Jv4, W4, term2 = _build_jacobians(model, x, q, pivots_x)
+    G, W, t2m = _build_rows_merged(model, x, q, pivots_x)
 
     diag_joint = dt * p.kd + dt * dt * p.kp
     diag = jnp.concatenate([
@@ -865,11 +1100,12 @@ def _contact_and_jacobians(model: Model, terrain, st: PhysicsState,
         jnp.repeat(diag_joint, 3, axis=-1),
     ], axis=-1)
 
+    table = "mesh" if cfg.mesh_contacts else "capsule"
     pts, radius, ground_body = _ground_geometry(model, x, q, cfg)
     h, nrm = height_and_normal_at(terrain, pts[..., :2])
     pen = (h + radius - pts[..., 2]) * nrm[..., 2]
     active = (pen > 0.0).astype(x.dtype)
-    Jc = _point_jacobians(pts, ground_body, term2)
+    Gc = _point_rows_merged(pts, table, t2m)
     vpt = _point_velocities(x, st.body_v, st.body_w, pts, ground_body)
     vn = jnp.sum(vpt * nrm, axis=-1)
     vt = vpt - nrm * vn[..., None]
@@ -884,7 +1120,7 @@ def _contact_and_jacobians(model: Model, terrain, st: PhysicsState,
     d_t = mu * (k_n * pen_f) / (vt_mag + cfg.friction_vel_ref)
     d_t = jnp.minimum(d_t, cfg.max_friction_damping)
 
-    Jn = jnp.einsum("nci,ncij->ncj", nrm, Jc)
+    Jn_a = _normal_rows_merged(nrm, Gc, table)
     # LHS rows activate SPECULATIVELY (PhysX speculative contacts): a
     # contact that can engage within the control step gets its implicit
     # stiffness/damping row now, so when the factorization is reused across
@@ -906,17 +1142,23 @@ def _contact_and_jacobians(model: Model, terrain, st: PhysicsState,
         / (vt_mag + cfg.friction_vel_ref)
     d_t_lhs = jnp.minimum(d_t_lhs, cfg.max_friction_damping)
     wt = active_lhs * dt * d_t_lhs
-    rows = (Jc, Jn, nrm, active, d_t, active * pen_f, wn, wt)
+    ground = (Gc, Jn_a, nrm, wn, wt)
+    Jn_a_all = Jn_a
+    pen_f_m = active * pen_f
+    selfrows = None
     self_pts = None
     if cfg.self_contact:
-        srows, self_pts = _self_contact_rows(model, x, q, st.body_v,
-                                             st.body_w, term2, cfg,
-                                             speculative=True)
-        rows = tuple(jnp.concatenate([g, s], axis=1)
-                     for g, s in zip(rows, srows))
-    (Jc, Jn, nrm, active, d_t, pen_f_m, wn, wt) = rows
-    return (Jv4, W4, Jc, Jn, nrm, active, d_t, k_n, d_n,
-            pen_f_m, diag, wn, wt, h, radius, pts, ground_body, self_pts)
+        (Gcs, Jn_sa, nrm_s, act_s, d_t_s, pen_f_s, wn_s, wt_s), self_pts = \
+            _self_contact_rows_merged(model, x, q, st.body_v, st.body_w,
+                                      t2m, cfg, speculative=True)
+        selfrows = (Gcs, Jn_sa, wn_s, wt_s)
+        Jn_a_all = jnp.concatenate([Jn_a, Jn_sa], axis=1)
+        nrm = jnp.concatenate([nrm, nrm_s], axis=1)
+        active = jnp.concatenate([active, act_s], axis=1)
+        d_t = jnp.concatenate([d_t, d_t_s], axis=1)
+        pen_f_m = jnp.concatenate([pen_f_m, pen_f_s], axis=1)
+    return (G, W, ground, selfrows, Jn_a_all, nrm, active, d_t, pen_f_m,
+            diag, h, radius, pts, ground_body, self_pts, table)
 
 
 def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
@@ -932,7 +1174,7 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     piv_j = x[:, 1:] + quat.rotate(q[:, 1:], model.anchor_c[:, 1:])
     pivots_x = jnp.concatenate([x[:, 0:1], piv_j], axis=1)   # (N,24ext,3)
 
-    Jv4, W4, term2 = _build_jacobians(model, x, q, pivots_x)
+    G, W, t2m = _build_rows_merged(model, x, q, pivots_x)
 
     gvec = jnp.array([0.0, 0.0, cfg.gravity])
     f_lin, Q_rest = _gravity_bias_spring(model, x, q, v_b, w_b, u,
@@ -950,12 +1192,13 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
 
     # ---- contacts: implicit spring-damper normal + Coulomb-capped viscous
     # friction, active-set masked ----
+    table = "mesh" if cfg.mesh_contacts else "capsule"
     pts, radius, ground_body = _ground_geometry(model, x, q, cfg)
     h, nrm = height_and_normal_at(terrain, pts[..., :2])  # one packed gather
     pen = (h + radius - pts[..., 2]) * nrm[..., 2]
     active = (pen > 0.0).astype(x.dtype)
 
-    Jc = _point_jacobians(pts, ground_body, term2)       # (N,C,3,75)
+    Gc = _point_rows_merged(pts, table, t2m)             # (N,3C,72)
     # point velocities from the body-velocity cache (≡ Jc·u, elementwise)
     vpt = _point_velocities(x, v_b, w_b, pts, ground_body)
     vn = jnp.sum(vpt * nrm, axis=-1)
@@ -980,25 +1223,37 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     d_t = mu * f_n_est / (vt_mag + cfg.friction_vel_ref)
     d_t = jnp.minimum(d_t, cfg.max_friction_damping)
 
-    Jn = jnp.einsum("nci,ncij->ncj", nrm, Jc)            # (N,48,75)
+    Jn_a = _normal_rows_merged(nrm, Gc, table)           # (N,C,72)
     wn = active * dt * (dt * k_n + d_n)
     # tangential projector T = E − nnᵀ folds as wt·JcᵀJc + (wn−wt)·JnᵀJn
     wt = active * dt * d_t
     pen_f = active * pen_f
     self_pts = None
+    selfrows = None
+    nrm_g = nrm
+    Jn_a_all = Jn_a
     if cfg.self_contact:
         # this path rebuilds geometry every substep, so plain (non-
         # speculative) activation suffices for the pair rows
-        srows, self_pts = _self_contact_rows(model, x, q, v_b, w_b, term2,
-                                             cfg, speculative=False)
-        (Jc, Jn, nrm, active, d_t, pen_f, wn, wt) = tuple(
-            jnp.concatenate([g, s], axis=1) for g, s in zip(
-                (Jc, Jn, nrm, active, d_t, pen_f, wn, wt), srows))
-    # RHS contact: normal spring force at current penetration
-    Q_rest = Q_rest + jnp.einsum("nc,ncj->nj", k_n * pen_f, Jn)
+        (Gcs, Jn_sa, nrm_s, act_s, d_t_s, pen_f_s, wn_s, wt_s), self_pts = \
+            _self_contact_rows_merged(model, x, q, v_b, w_b, t2m, cfg,
+                                      speculative=False)
+        selfrows = (Gcs, Jn_sa, wn_s, wt_s)
+        Jn_a_all = jnp.concatenate([Jn_a, Jn_sa], axis=1)
+        # readback row vectors (pair rows appended after the ground rows)
+        nrm = jnp.concatenate([nrm, nrm_s], axis=1)
+        active = jnp.concatenate([active, act_s], axis=1)
+        d_t = jnp.concatenate([d_t, d_t_s], axis=1)
+        pen_f = jnp.concatenate([pen_f, pen_f_s], axis=1)
+    # RHS contact: normal spring force at current penetration (linear block
+    # from ground rows only — pair rows have zero linear columns)
+    ng = nrm_g.shape[1]
+    Q_rest = Q_rest + _q_contact_merged(k_n * pen_f[:, :ng], nrm_g,
+                                        k_n * pen_f, Jn_a_all)
 
-    At, rhs_t = _assemble_lhs_rhs(model, Jv4, W4, q, v_b, w_b, f_lin, dt,
-                                  Q_rest, diag, wn, wt, Jn, Jc)
+    At, rhs_t = _assemble_lhs_rhs(model, G, W, q, v_b, w_b, f_lin, dt,
+                                  Q_rest, diag, (Gc, Jn_a, nrm_g, wn, wt),
+                                  selfrows, table)
     # env-last (·,·,N)
 
     # ---- solve ----
