@@ -63,6 +63,20 @@ def _build_world(cfg):
         bank = traj_gen.synthetic_real_bank()
     key = jax.random.PRNGKey(cfg.seed)
     betas = jax.random.normal(key, (cfg.env.num_envs, 16)) * 0.3
+    # vert-fit mesh colliders: explicit smpl_npz, or — when the engine runs
+    # mesh contacts (getup/self-contact configs) — the committed SMPL
+    # fixture, so those regimes get per-beta collision spheres fit to the
+    # skinned verts (reference smpl_local_robot.py:83-146) instead of
+    # capsule-axis defaults
+    params = None
+    npz = getattr(cfg, "smpl_npz", None)
+    if npz is None and cfg.env.engine.mesh_contacts:
+        cand = os.path.join(os.path.dirname(__file__), "..", "..",
+                            "tests", "data", "smpl_fixture.npz")
+        npz = cand if os.path.exists(cand) else None
+    if npz:
+        from ..kinematics import body_model as bm
+        params = bm.from_smpl_npz(npz, betas)
     task = getattr(cfg, "task", "terrain")
     if task == "getup":
         from ..envs.getup import PedestrianTerrainGetupEnv
@@ -72,7 +86,8 @@ def _build_world(cfg):
         env_cls = PedestrianTerrainHandEnv
     else:
         env_cls = PedestrianTerrainEnv
-    env = env_cls(cfg.env, terrain, lib, betas=betas, real_traj_bank=bank)
+    env = env_cls(cfg.env, terrain, lib, betas=betas, real_traj_bank=bank,
+                  params=params)
     return env
 
 

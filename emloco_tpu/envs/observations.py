@@ -47,7 +47,19 @@ def _mirror_index():
 MIRROR_BODY = _mirror_index()
 MIRROR_ACTION = MIRROR_BODY[1:] - 1  # joint-index permutation
 
-SELF_OBS_DIM = 1 + bm.NUM_BODIES * 15 - 3  # 358 (root height slot included)
+# 357: all flagship reference configs run rootHeightObs: False (pacer.yaml:49,
+# pacer_getup.yaml:52, pacer_group_cnn.yaml:55), which DROPS the root-height
+# slot from compute_humanoid_observations_smpl_max (humanoid.py:1625-1687,
+# obs_list only appends root_h_obs when root_height_obs) — no phantom column.
+SELF_OBS_DIM = bm.NUM_BODIES * 15 - 3
+
+
+def remove_base_rot(q: jnp.ndarray) -> jnp.ndarray:
+    """Strip the SMPL base rotation for non-upright assets: q ∘ conj(base)
+    with base = [.5,.5,.5,.5] (reference remove_base_rot,
+    humanoid.py:1553-1560)."""
+    base_conj = jnp.asarray([-0.5, -0.5, -0.5, 0.5], q.dtype)
+    return quat.mul(q, base_conj)
 
 
 def dof_to_obs(dof_pos: jnp.ndarray) -> jnp.ndarray:
@@ -70,6 +82,8 @@ def humanoid_obs_max(body_pos, body_rot, body_vel, body_ang_vel,
     N = body_pos.shape[0]
     root_pos = body_pos[:, 0]
     root_rot = body_rot[:, 0]
+    if not upright:
+        root_rot = remove_base_rot(root_rot)
     heading_inv = quat.heading_quat_inv(root_rot)          # (N,4)
     h_exp = heading_inv[:, None]
 
@@ -83,8 +97,8 @@ def humanoid_obs_max(body_pos, body_rot, body_vel, body_ang_vel,
     local_ang_vel = quat.rotate(h_exp, body_ang_vel).reshape(N, -1)
 
     parts = []
-    root_h = root_pos[:, 2:3]
-    parts.append(root_h if root_height_obs else jnp.zeros_like(root_h))
+    if root_height_obs:
+        parts.append(root_pos[:, 2:3])
     parts += [local_pos, rot_obs, local_vel, local_ang_vel]
     if betas is not None:
         parts.append(betas[:, :11])
@@ -95,12 +109,19 @@ def humanoid_obs_max(body_pos, body_rot, body_vel, body_ang_vel,
 
 def amp_obs(root_pos, root_rot, root_vel, root_ang_vel, dof_pos, dof_vel,
             key_pos, betas=None, limb_weights=None,
-            root_height_obs: bool = True) -> jnp.ndarray:
+            root_height_obs: bool = False,
+            upright: bool = True) -> jnp.ndarray:
     """AMP discriminator features (reference build_amp_observations_smpl,
-    humanoid_amp.py:918-971): [root_h, root rot tan-norm (6), local root
+    humanoid_amp.py:918-971): [root_h?, root rot tan-norm (6), local root
     vel (3), local root ang vel (3), dof_obs subset (19·6), dof_vel subset
-    (19·3), local key body pos (4·3), shape (11)?, limb weights (10)?]."""
+    (19·3), local key body pos (4·3), shape (11)?, limb weights (10)?].
+    root_height_obs defaults False like the reference's ampRootHeightObs
+    (humanoid_amp.py:67): demos live on flat ground while the policy walks
+    terrain, so absolute root height would let the discriminator separate
+    the two trivially."""
     N = root_pos.shape[0]
+    if not upright:
+        root_rot = remove_base_rot(root_rot)
     heading_inv = quat.heading_quat_inv(root_rot)
     root_rot_obs = quat.to_tan_norm(quat.mul(heading_inv, root_rot))
     local_vel = quat.rotate(heading_inv, root_vel)
@@ -124,10 +145,10 @@ def amp_obs(root_pos, root_rot, root_vel, root_ang_vel, dof_pos, dof_vel,
     return jnp.concatenate(parts, axis=-1)
 
 
-AMP_OBS_DIM = 1 + 6 + 3 + 3 + len(DOF_SUBSET_JOINTS) * 9 + len(KEY_BODY_IDS) * 3
+AMP_OBS_DIM = 6 + 3 + 3 + len(DOF_SUBSET_JOINTS) * 9 + len(KEY_BODY_IDS) * 3
 
-# per-step AMP-obs block offsets (root_h 1 + rot 6 + vel 3 + ang_vel 3)
-_AMP_DOF_OBS_OFFSET = 13
+# per-step AMP-obs block offsets (rot 6 + vel 3 + ang_vel 3, no root_h)
+_AMP_DOF_OBS_OFFSET = 12
 _AMP_DOF_VEL_OFFSET = _AMP_DOF_OBS_OFFSET + len(DOF_SUBSET_JOINTS) * 6
 
 
@@ -150,9 +171,12 @@ def amp_dropout_mask(key, batch: int, steps: int, per_step: int,
     return jnp.tile(step_mask, (1, steps))
 
 
-def location_obs(root_pos, root_rot, traj_samples) -> jnp.ndarray:
+def location_obs(root_pos, root_rot, traj_samples,
+                 upright: bool = True) -> jnp.ndarray:
     """Future trajectory samples in the heading-local frame, xy only
     (reference compute_location_observations). traj_samples (N,S,3) → (N,S·2)."""
+    if not upright:
+        root_rot = remove_base_rot(root_rot)
     heading_inv = quat.heading_quat_inv(root_rot)
     delta = traj_samples - root_pos[:, None]
     local = quat.rotate(heading_inv[:, None], delta)
@@ -249,7 +273,7 @@ GROUP_JOINTS = np.array([0, 1, 5, 9, 3, 7, 16, 21, 18, 23])  # reference :1626
 
 
 def group_obs(body_pos, body_vel, root_rot, group_size: int, top_k: int = 5,
-              max_dist: float = 10.0) -> jnp.ndarray:
+              max_dist: float = 10.0, upright: bool = True) -> jnp.ndarray:
     """Crowd observation: heading-local positions of 10 selected joints of the
     top-k nearest people in the env's group, plus their root velocities;
     neighbors beyond max_dist are zeroed (reference compute_group_observation,
@@ -257,6 +281,8 @@ def group_obs(body_pos, body_vel, root_rot, group_size: int, top_k: int = 5,
     N, J, _ = body_pos.shape
     G = N // group_size
     root_pos = body_pos[:, 0]
+    if not upright:
+        root_rot = remove_base_rot(root_rot)
     heading_inv = quat.heading_quat_inv(root_rot)
 
     k_req = top_k
@@ -277,14 +303,20 @@ def group_obs(body_pos, body_vel, root_rot, group_size: int, top_k: int = 5,
                             sel_pos - rep(root_pos)[:, None])
     local_vel = quat.rotate(rep(heading_inv)[:, None], sel_vel)
     mask = (topk_dist.reshape(-1) <= max_dist)[:, None, None]
-    local_pos = local_pos * mask
-    local_vel = local_vel * mask
-    feat = jnp.concatenate([local_pos, local_vel], axis=1)      # (N·k,11,3)
-    out = feat.reshape(N, top_k, -1)
+    local_pos = local_pos * mask                                # (N·k,10,3)
+    local_vel = local_vel * mask                                # (N·k,1,3)
+    # reference memory layout: the whole k-neighbor position block first,
+    # then the k root velocities (compute_group_observation's final
+    # cat(dim=1).view(B,-1) flattens the contiguous (B,k,10,3) pos tensor
+    # followed by the (B,k,1,3) vel tensor)
+    pos_blk = local_pos.reshape(N, top_k * len(GROUP_JOINTS) * 3)
+    vel_blk = local_vel.reshape(N, top_k * 3)
     if k_req > top_k:   # small groups: pad missing neighbors with zeros
-        pad = jnp.zeros((N, k_req - top_k, out.shape[-1]))
-        out = jnp.concatenate([out, pad], axis=1)
-    return out.reshape(N, -1)
+        pz = jnp.zeros((N, (k_req - top_k) * len(GROUP_JOINTS) * 3))
+        vz = jnp.zeros((N, (k_req - top_k) * 3))
+        pos_blk = jnp.concatenate([pos_blk, pz], axis=-1)
+        vel_blk = jnp.concatenate([vel_blk, vz], axis=-1)
+    return jnp.concatenate([pos_blk, vel_blk], axis=-1)
 
 
 def velocity_map_obs(terrain, sensor_pos, sensor_rot, center_xy, grid_local,
@@ -401,7 +433,7 @@ def build_self_obs_flip(self_dim: int):
     mi = MIRROR_BODY
     idx = np.arange(self_dim)
     sign = np.ones(self_dim, np.float32)
-    o = 1                                             # root_h slot unchanged
+    o = 0                        # no root_h slot (rootHeightObs False)
     # local body pos, bodies 1..23, (x,y,z) → mirror body, −y
     for b in range(1, B):
         src = o + (mi[b] - 1) * 3

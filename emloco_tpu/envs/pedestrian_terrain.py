@@ -103,6 +103,17 @@ class EnvConfig(struct.PyTreeNode):
     # ref-state init: probability of motion-library state vs default pose
     # (reference StateInit Random / hybridInitProb semantics)
     ref_state_init_prob: float = struct.field(pytree_node=False, default=0.9)
+    # hard-negative motion sampling (reference hard_negative flag,
+    # humanoid.py:259 + update_sampling_weight, motion_lib_smpl.py:366-387):
+    # per-motion sampling probabilities live in EnvState and are refreshed
+    # from per-episode termination rates by the trainer
+    hard_negative: bool = struct.field(pytree_node=False, default=False)
+    hard_negative_temp: float = struct.field(pytree_node=False, default=0.2)
+    # shape/limb-weight obs gating (reference has_shape_obs / has_weight_obs,
+    # humanoid.py:228-231; the flagship configs enable shape obs only —
+    # has_weight_obs appears in no cfg yaml, so its default False holds)
+    has_shape_obs: bool = struct.field(pytree_node=False, default=True)
+    has_limb_weight_obs: bool = struct.field(pytree_node=False, default=False)
     # crowd observation (reference divide_group/group_obs, humanoid.py:222-226)
     group_obs: bool = struct.field(pytree_node=False, default=False)
     group_size: int = struct.field(pytree_node=False, default=128)
@@ -136,7 +147,8 @@ class EnvConfig(struct.PyTreeNode):
 
     @property
     def self_obs_dim(self):
-        return obs.SELF_OBS_DIM + 11 + 10  # + shape + limb weights
+        return (obs.SELF_OBS_DIM + 11 * self.has_shape_obs
+                + 10 * self.has_limb_weight_obs)
 
     @property
     def num_sensor_points(self):
@@ -158,7 +170,10 @@ class EnvConfig(struct.PyTreeNode):
 
     @property
     def amp_obs_per_step(self):
-        return obs.AMP_OBS_DIM + 11 + 10
+        # disc-side gating mirrors the obs side (reference has_shape_obs_disc
+        # True in every flagship cfg, has_weight_obs_disc absent → False)
+        return (obs.AMP_OBS_DIM + 11 * self.has_shape_obs
+                + 10 * self.has_limb_weight_obs)
 
     @property
     def num_actions(self):
@@ -185,6 +200,13 @@ class EnvState(struct.PyTreeNode):
     dr_scales: jnp.ndarray = None  # (N, NUM_DR_PROPS)
     dr_clock: jnp.ndarray = None   # () int32
     dr_last: jnp.ndarray = None    # (N,) int32
+    # hard-negative motion sampling state (reference update_sampling_weight
+    # bookkeeping, motion_lib_smpl.py:366-387) — None unless cfg.hard_negative
+    motion_weights: jnp.ndarray = None  # (M,) live sampling probabilities
+    cur_mid: jnp.ndarray = None         # (N,) int32 motion id per episode
+    motion_sampled: jnp.ndarray = None  # (M,) episodes finished per motion
+    motion_term: jnp.ndarray = None     # (M,) early terminations per motion
+    motion_succ: jnp.ndarray = None     # (M,) persistent success-rate est.
 
 
 class StepOutput(struct.PyTreeNode):
@@ -203,14 +225,19 @@ class PedestrianTerrainEnv:
     def __init__(self, cfg: EnvConfig, terrain: Heightfield,
                  motion_lib: ml.MotionLib,
                  betas: Optional[jnp.ndarray] = None,
-                 real_traj_bank: Optional[jnp.ndarray] = None):
+                 real_traj_bank: Optional[jnp.ndarray] = None,
+                 params: Optional[bm.BodyParams] = None):
         self.cfg = cfg
         self.terrain = terrain
         self.motion_lib = motion_lib
         self.tree = default_tree()
         if betas is None:
             betas = jnp.zeros((cfg.num_envs, 16))
-        self.params = bm.build_body_params(betas)
+        # params override: callers with a real SMPL model pass
+        # from_smpl_npz(...) params (vert-fit mesh colliders + regressed
+        # offsets); default is the procedural capsule asset
+        self.params = params if params is not None \
+            else bm.build_body_params(betas)
         self.model = build_model(self.params)
         self.real_traj_bank = real_traj_bank
         self.sensor_grid = obs.SENSOR_GRIDS[cfg.sensor_shape](
@@ -248,6 +275,10 @@ class PedestrianTerrainEnv:
         # 10-dim limb weight obs: per-group mass fraction + absolute group
         # mass (scaled) — reference humanoid_limb_and_weights (humanoid.py:766+)
         self.limb_weights = jnp.concatenate([gm / total, gm / 20.0], -1)
+        # obs-side gating (reference has_shape_obs / has_weight_obs)
+        self._obs_betas = self.params.betas if cfg.has_shape_obs else None
+        self._obs_limbw = (self.limb_weights if cfg.has_limb_weight_obs
+                           else None)
         # frozen joints: toes (+ hands) pinned to default targets
         frozen = []
         if cfg.freeze_toe:
@@ -303,13 +334,15 @@ class PedestrianTerrainEnv:
         idx = jax.random.randint(key, (n,), 0, table.shape[0])
         return table[idx]
 
-    def _reset_states(self, key, n):
+    def _reset_states(self, key, n, motion_weights=None):
         """Sample fresh per-env states: motion-lib pose, random heading,
         terrain spawn, new trajectory (reference _reset_actors +
-        _reset_task, humanoid_pedestrain_terrain.py:493-631)."""
+        _reset_task, humanoid_pedestrain_terrain.py:493-631). Returns the
+        sampled motion ids too (hard-negative bookkeeping)."""
         cfg = self.cfg
         keys = jax.random.split(key, 6)
-        mids = ml.sample_motions(self.motion_lib, keys[0], n)
+        mids = ml.sample_motions(self.motion_lib, keys[0], n,
+                                 weights=motion_weights)
         t = ml.sample_time(self.motion_lib, keys[1], mids)
         ms = ml.get_motion_state(self.motion_lib, mids, t)
 
@@ -360,7 +393,7 @@ class PedestrianTerrainEnv:
             keys[5], cfg.traj, root_pos, root_vel=root_vel,
             real_bank=self.real_traj_bank)
         # pin traj z to terrain height under each vertex (flat obs frame)
-        return physics, verts, inverted
+        return physics, verts, inverted, mids
 
     def _capture_locoval_inputs(self, physics: PhysicsState, verts):
         """Waypoints + initial pose/velocity for the LocoVal function,
@@ -383,14 +416,23 @@ class PedestrianTerrainEnv:
         cfg = self.cfg
         n = cfg.num_envs
         k1, k2, k3 = jax.random.split(key, 3)
-        physics, verts, inverted = self._reset_states(k1, n)
+        physics, verts, inverted, mids = self._reset_states(k1, n)
         wp, pose, vel = self._capture_locoval_inputs(physics, verts)
         amp = self._amp_obs_single(physics)
         hist = jnp.tile(amp[:, None], (1, cfg.num_amp_obs_steps, 1))
         clock0 = jnp.zeros((), jnp.int32)
         scales = self._sample_dr_scales(k3, n, clock0) if cfg.dr.enabled \
             else self._neutral_dr_scales(n)
+        hn = {}
+        if cfg.hard_negative:
+            M = self.motion_lib.num_motions
+            hn = dict(motion_weights=self.motion_lib.weights,
+                      cur_mid=mids,
+                      motion_sampled=jnp.zeros((M,)),
+                      motion_term=jnp.zeros((M,)),
+                      motion_succ=jnp.ones((M,)))
         return EnvState(
+            **hn,
             physics=physics,
             traj_verts=verts,
             inverted=inverted,
@@ -465,14 +507,14 @@ class PedestrianTerrainEnv:
         key_pos = pos[:, jnp.asarray(obs.KEY_BODY_IDS)]
         return obs.amp_obs(pos[:, 0], rot[:, 0], vel[:, 0], ang[:, 0],
                            dof_pos, dof_vel, key_pos,
-                           betas=self.params.betas,
-                           limb_weights=self.limb_weights)
+                           betas=self._obs_betas,
+                           limb_weights=self._obs_limbw)
 
     def _self_obs(self, physics: PhysicsState):
         pos, rot, vel, ang = body_frame_state(self.model, physics)
         return obs.humanoid_obs_max(pos, rot, vel, ang,
-                                    betas=self.params.betas,
-                                    limb_weights=self.limb_weights)
+                                    betas=self._obs_betas,
+                                    limb_weights=self._obs_limbw)
 
     def _task_obs(self, state: EnvState):
         cfg = self.cfg
@@ -538,8 +580,8 @@ class PedestrianTerrainEnv:
         pos, rot, vel, ang = body_frame_state(self.model, physics)
         fp, fr, fv, fa = obs.flip_body_state(pos, rot, vel, ang)
         self_obs = obs.humanoid_obs_max(fp, fr, fv, fa,
-                                        betas=self.params.betas,
-                                        limb_weights=self.limb_weights)
+                                        betas=self._obs_betas,
+                                        limb_weights=self._obs_limbw)
         task = self._task_obs(state)
         return jnp.concatenate([self_obs] + self._flip_task_parts(task), -1)
 
@@ -600,8 +642,11 @@ class PedestrianTerrainEnv:
             off += n_hm
         if cfg.group_obs:
             # relative positions/velocities of nearby people in the heading
-            # frame: mirror their lateral (y) components
-            grp = task[:, off:].reshape(task.shape[0], 5, 11, 3)
+            # frame: mirror their lateral (y) components — every group
+            # feature is an (x,y,z) triplet regardless of block layout
+            # (reference _compute_flip_task_obs view(B,-1,3),
+            # humanoid_pedestrain_terrain.py:481-484)
+            grp = task[:, off:].reshape(task.shape[0], -1, 3)
             grp = grp.at[..., 1].multiply(-1.0)
             parts.append(grp.reshape(task.shape[0], -1))
         return parts
@@ -768,7 +813,8 @@ class PedestrianTerrainEnv:
         cfg = self.cfg
         n = cfg.num_envs
         key, k1, k_dr = jax.random.split(state.rng, 3)
-        physics_new, verts_new, inv_new = self._reset_states(k1, n)
+        physics_new, verts_new, inv_new, mids_new = self._reset_states(
+            k1, n, motion_weights=state.motion_weights)
         wp, pose, vel = self._capture_locoval_inputs(physics_new, verts_new)
 
         def pick(a, b):
@@ -785,10 +831,25 @@ class PedestrianTerrainEnv:
             dr_scales = jnp.where(due[:, None], fresh, dr_scales)
             dr_last = jnp.where(due, state.dr_clock, dr_last)
 
+        # hard-negative bookkeeping: every finishing episode counts one
+        # sample of its motion; early terminations count one failure
+        # (reference update_sampling_history / update_termination_history,
+        # motion_lib_smpl.py:381-387)
+        hn = {}
+        if cfg.hard_negative:
+            d = done.astype(jnp.float32)
+            hn = dict(
+                motion_sampled=state.motion_sampled.at[state.cur_mid].add(d),
+                motion_term=state.motion_term.at[state.cur_mid].add(
+                    d * state.terminate_buf.astype(jnp.float32)),
+                cur_mid=pick(mids_new, state.cur_mid),
+            )
+
         physics = jax.tree.map(pick, physics_new, state.physics)
         amp_new = self._amp_obs_single(physics_new)
         hist_new = jnp.tile(amp_new[:, None], (1, cfg.num_amp_obs_steps, 1))
         return state.replace(
+            **hn,
             physics=physics,
             traj_verts=pick(verts_new, state.traj_verts),
             inverted=pick(inv_new, state.inverted),
@@ -802,15 +863,29 @@ class PedestrianTerrainEnv:
             dr_last=dr_last,
         )
 
+    def apply_hard_negative_update(self, state: EnvState) -> EnvState:
+        """Refresh the live motion-sampling probabilities from the
+        accumulated per-episode termination stats (reference
+        update_sampling_weight, motion_lib_smpl.py:366-377). Pure and
+        jit-safe; the trainer calls it once per epoch."""
+        if not self.cfg.hard_negative:
+            return state
+        w, succ, sampled, term = ml.hard_negative_update(
+            state.motion_succ, state.motion_sampled, state.motion_term,
+            temp=self.cfg.hard_negative_temp)
+        return state.replace(motion_weights=w, motion_succ=succ,
+                             motion_sampled=sampled, motion_term=term)
+
     # ------------------------------------------------------------------
     # AMP demo fetch (reference fetch_amp_obs_demo, humanoid_amp.py:168-220)
     # ------------------------------------------------------------------
 
-    def fetch_amp_obs_demo(self, key, num_samples: int):
+    def fetch_amp_obs_demo(self, key, num_samples: int, motion_weights=None):
         cfg = self.cfg
         S = cfg.num_amp_obs_steps
         k1, k2 = jax.random.split(key)
-        mids = ml.sample_motions(self.motion_lib, k1, num_samples)
+        mids = ml.sample_motions(self.motion_lib, k1, num_samples,
+                                 weights=motion_weights)
         truncate = cfg.dt * (S - 1)
         t0 = ml.sample_time(self.motion_lib, k2, mids, truncate_time=truncate)
         t0 = t0 + truncate
@@ -822,7 +897,10 @@ class PedestrianTerrainEnv:
         betas16 = ms["betas"]
         a = obs.amp_obs(ms["root_pos"], ms["root_rot"], ms["root_vel"],
                         ms["root_ang_vel"], ms["dof_pos"], ms["dof_vel"],
-                        ms["key_pos"], betas=betas16,
-                        limb_weights=jnp.tile(self.limb_weights[:1],
-                                              (len(mids_rep), 1)))
+                        ms["key_pos"],
+                        betas=betas16 if self.cfg.has_shape_obs else None,
+                        limb_weights=(jnp.tile(self.limb_weights[:1],
+                                               (len(mids_rep), 1))
+                                      if self.cfg.has_limb_weight_obs
+                                      else None))
         return a.reshape(num_samples, -1)

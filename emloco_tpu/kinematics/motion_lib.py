@@ -200,25 +200,31 @@ def load_reference_pkl(path: str, tree=None, max_motions=None) -> MotionLib:
 # Sampling and state query (pure, jit-safe)
 # ---------------------------------------------------------------------------
 
-def sample_motions(lib: MotionLib, key, n: int) -> jnp.ndarray:
-    """Weighted motion sampling (reference sample_motions, :419-427)."""
-    return jax.random.choice(key, lib.num_motions, (n,), p=lib.weights)
+def sample_motions(lib: MotionLib, key, n: int, weights=None) -> jnp.ndarray:
+    """Weighted motion sampling (reference sample_motions,
+    motion_lib_smpl.py:390-395). `weights` overrides the library's static
+    prior — the hard-negative path threads the live per-motion sampling
+    probabilities through EnvState so updating them never retraces the
+    compiled step (the lib itself is a jit closure constant)."""
+    p = lib.weights if weights is None else weights
+    return jax.random.choice(key, lib.num_motions, (n,), p=p)
 
 
-def update_hard_negative_weights(lib: MotionLib, motion_ids, successes,
-                                 smoothing: float = 0.95,
-                                 temp: float = 1.0) -> MotionLib:
-    """Hard-negative sampling: upweight motions the policy fails on
-    (reference update_sampling_prob / success-rate tracking,
-    motion_lib_smpl.py:366-387). successes (n,) in {0,1} per sampled id."""
-    fail = 1.0 - successes.astype(jnp.float32)
-    per_motion_fail = jnp.zeros((lib.num_motions,)).at[motion_ids].add(fail)
-    per_motion_cnt = jnp.zeros((lib.num_motions,)).at[motion_ids].add(1.0)
-    rate = per_motion_fail / jnp.maximum(per_motion_cnt, 1.0)
-    new_w = smoothing * lib.weights + (1 - smoothing) * \
-        jax.nn.softmax(rate / temp)
-    new_w = new_w / new_w.sum()
-    return lib.replace(weights=new_w)
+def hard_negative_update(succ_rate, sampled, terminated, temp: float = 0.2):
+    """Hard-negative sampling refresh (reference update_sampling_weight,
+    motion_lib_smpl.py:366-377): for every motion sampled since the last
+    refresh, success rate = 1 − terminations/samples; the new sampling
+    probability is exp(−succ_rate/temp) normalized (temp 0.2), so motions
+    the policy fails on are drawn more often. Histories reset to zero, the
+    success-rate estimate persists for motions not seen this round.
+
+    Returns (weights (M,), succ_rate (M,), zeroed sampled, zeroed term)."""
+    seen = sampled > 0
+    new_rate = jnp.where(
+        seen, 1.0 - terminated / jnp.maximum(sampled, 1.0), succ_rate)
+    w = jnp.exp(-new_rate / temp)
+    return (w / w.sum(), new_rate,
+            jnp.zeros_like(sampled), jnp.zeros_like(terminated))
 
 
 def sample_time(lib: MotionLib, key, motion_ids, truncate_time=0.0):

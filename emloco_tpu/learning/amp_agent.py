@@ -413,6 +413,11 @@ class AMPAgent:
                               nan=0.0, posinf=0.0, neginf=0.0)
         (env_state, last_obs, _), batch = jax.lax.scan(
             step_fn, (ts.env_state, obs0, k_roll), None, length=T)
+        # hard-negative motion sampling: refresh the live per-motion
+        # sampling probabilities from this epoch's episode outcomes
+        # (reference update_sampling_weight, motion_lib_smpl.py:366-387;
+        # no-op unless env cfg.hard_negative)
+        env_state = self.env.apply_hard_negative_update(env_state)
         ts = ts.replace(env_state=env_state, key=key)
 
         advs, returns, comb_reward, disc_r = self.compute_gae(ts, batch,
@@ -480,9 +485,11 @@ class AMPAgent:
         batch_size = T * N
         mb_size = batch_size // cfg.num_minibatches
 
-        demo_raw = self.env.fetch_amp_obs_demo(k_demo,
-                                               cfg.num_minibatches
-                                               * cfg.amp_batch_size)
+        # demos follow the same live sampling distribution as the resets
+        # (the reference's fetch_amp_obs_demo shares _sampling_prob)
+        demo_raw = self.env.fetch_amp_obs_demo(
+            k_demo, cfg.num_minibatches * cfg.amp_batch_size,
+            motion_weights=env_state.motion_weights)
         demo_n = ts.amp_norm.normalize(demo_raw).reshape(
             cfg.num_minibatches, cfg.amp_batch_size, -1)
         replay_n = ts.amp_norm.normalize(replay_rows).reshape(

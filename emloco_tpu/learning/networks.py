@@ -121,8 +121,20 @@ class AMPSeptValueNet(nn.Module):
                                 self._people_feat(people)], -1)
 
     def _people_feat(self, people):
-        per = self.people_obs_dim // self.pointnet_topk
-        p = people.reshape(people.shape[:-1] + (self.pointnet_topk, per))
+        # group obs layout is reference-exact: the whole k-neighbor joint-
+        # position block first, then the k root velocities (observations.
+        # group_obs). Regroup into per-person rows before the pointnet.
+        # Deviation (improvement): the reference's own view(B, topk, -1)
+        # (amp_network_sept_builder.py:62) slices 33 consecutive floats per
+        # "point", which straddles person boundaries in that layout; here
+        # each point is exactly one person's [10 joints + root vel].
+        k = self.pointnet_topk
+        per = self.people_obs_dim // k
+        pos = people[..., :self.people_obs_dim - 3 * k]
+        vel = people[..., self.people_obs_dim - 3 * k:]
+        p = jnp.concatenate(
+            [pos.reshape(pos.shape[:-1] + (k, per - 3)),
+             vel.reshape(vel.shape[:-1] + (k, 3))], -1)
         for i, layer in enumerate(self.point_net):
             p = layer(p)
             if i < len(self.point_net) - 1:

@@ -33,10 +33,40 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "env") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+# EnvState fields that are NOT per-env even though they live in the env
+# state: the rng key, the global DR clock, and the per-MOTION hard-negative
+# sampling bookkeeping (whose leading dim is the motion count — which can
+# collide with num_envs, which is exactly why sharding is decided by FIELD
+# PATH here, never by leading-dim sniffing).
+REPLICATED_ENV_STATE_FIELDS = frozenset({
+    "rng", "dr_clock",
+    "motion_weights", "motion_sampled", "motion_term", "motion_succ",
+    # getup curriculum scalars (traced state, envs/getup.py:40-46)
+    "fall_init_prob", "recovery_episode_prob",
+})
+
+
+def _path_names(path) -> list:
+    out = []
+    for k in path:
+        if hasattr(k, "name"):
+            out.append(k.name)
+        elif hasattr(k, "key"):
+            out.append(k.key)
+    return out
+
+
 def shard_env_axis(tree: Any, mesh: Mesh, num_envs: int,
                    axis: str = "env") -> Any:
-    """Place every leaf whose leading dim == num_envs on the env axis;
-    replicate everything else (params, optimizer, norms, buffers).
+    """Explicit-spec placement: leaves inside an `env_state` subtree (or an
+    EnvState passed as the root) are sharded on the env axis — except the
+    enumerated non-env fields (REPLICATED_ENV_STATE_FIELDS) — and everything
+    else (params, optimizer, norms, replay buffers, demo pools) replicates.
+
+    Placement is decided by pytree FIELD PATH, not by array shape: a replay
+    buffer or motion table whose leading dim happens to equal num_envs must
+    still replicate. A leaf selected for env sharding whose leading dim is
+    NOT num_envs is a structural error and raises.
 
     num_envs must divide evenly over the mesh — uneven env shards would
     silently change per-device batch shapes (and XLA's implicit padding
@@ -51,14 +81,30 @@ def shard_env_axis(tree: Any, mesh: Mesh, num_envs: int,
             f"{num_envs + n_dev - num_envs % n_dev})")
     env_sharding = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
+    # an EnvState passed directly (duck-typed) roots the env subtree at []
+    root_is_env_state = hasattr(tree, "physics") and hasattr(tree,
+                                                            "amp_obs_hist")
 
-    def place(leaf):
-        if hasattr(leaf, "shape") and getattr(leaf, "ndim", 0) >= 1 \
-                and leaf.shape[0] == num_envs:
+    def place(path, leaf):
+        names = _path_names(path)
+        if root_is_env_state:
+            env_rel = names
+        elif "env_state" in names:
+            env_rel = names[names.index("env_state") + 1:]
+        else:
+            env_rel = None
+        if env_rel is not None and env_rel and \
+                env_rel[0] not in REPLICATED_ENV_STATE_FIELDS:
+            if getattr(leaf, "ndim", 0) < 1 or leaf.shape[0] != num_envs:
+                raise ValueError(
+                    f"env_state field {'.'.join(names)} has shape "
+                    f"{getattr(leaf, 'shape', ())}, expected leading dim "
+                    f"num_envs={num_envs}; if this field is not per-env, "
+                    f"add it to REPLICATED_ENV_STATE_FIELDS")
             return jax.device_put(leaf, env_sharding)
         return jax.device_put(leaf, rep)
 
-    return jax.tree.map(place, tree)
+    return jax.tree_util.tree_map_with_path(place, tree)
 
 
 def pmean_metrics(metrics: dict, axis: str = "env") -> dict:

@@ -413,22 +413,25 @@ class NdjsonScenes:
                 w = arr[s:s + TOTAL]
                 if np.isnan(w[:, 0]).any():
                     continue
-                # drop neighbours that are far from the primary at the last
-                # obs frame or have missing frames (NaN), reference
-                # drop_distant_far / drop_ped_with_missing_frame
-                ref = w[OBS_FRAMES - 1, 0]
-                keep = [0]
-                for j in range(1, w.shape[1]):
-                    if np.isnan(w[:, j]).any():
-                        continue
-                    if np.linalg.norm(w[OBS_FRAMES - 1, j] - ref) \
-                            <= max_radius:
-                        keep.append(j)
+                # reference drop rules, applied per window rather than per
+                # scene (identical when one scene = one 21-frame track, the
+                # reference exports' shape):
+                #  * drop_ped_with_missing_frame (utils/data.py:79-91) drops
+                #    a neighbour with any NaN x in the first 9 OBSERVED
+                #    frames only — NaNs in the prediction horizon survive
+                #    and are zeroed after normalization (train_jta.py:108-111)
+                #  * drop_distant_far (utils/data.py:93-100) keeps a
+                #    neighbour whose nanmin squared distance to the primary
+                #    over ALL window frames is < r²
+                d2 = np.sum((w - w[:, 0:1]) ** 2, axis=-1)  # (T, N)
+                near = np.nanmin(d2, axis=0) < max_radius ** 2
+                keep = [0] + [
+                    j for j in range(1, w.shape[1])
+                    if not np.isnan(w[:OBS_FRAMES, j, 0]).any() and near[j]]
                 keep = keep[:max_people]
                 sl = slice(s, s + TOTAL)
-                self.windows.append({
-                    k: np.nan_to_num(v[sl][:, keep], nan=0.0)
-                    for k, v in sc.items()})
+                self.windows.append({k: v[sl][:, keep]
+                                     for k, v in sc.items()})
         if not self.windows:
             raise ValueError(f"no usable scenes in {path}")
         self.max_people = max_people
@@ -438,7 +441,13 @@ class NdjsonScenes:
         return len(self.windows)
 
     def batch(self, batch_size) -> SceneBatch:
-        B, N, T = batch_size, self.max_people, TOTAL
+        idx = self.rng.randint(0, len(self.windows), batch_size)
+        return self.window_batch(idx)
+
+    def window_batch(self, idx) -> SceneBatch:
+        """Assemble the given window indices into a SceneBatch —
+        deterministic; `batch` samples indices then delegates here."""
+        B, N, T = len(idx), self.max_people, TOTAL
         J3, J2 = self.num_3dpose, self.num_2dpose
         traj = np.zeros((B, T, N, 2), np.float32)
         box3 = np.zeros((B, T, N, 4), np.float32)
@@ -446,7 +455,6 @@ class NdjsonScenes:
         pose3 = np.zeros((B, T, N, J3, 3), np.float32)
         pose2 = np.zeros((B, T, N, J2, 2), np.float32)
         mask = np.zeros((B, N), bool)
-        idx = self.rng.randint(0, len(self.windows), B)
         for b, i in enumerate(idx):
             w = self.windows[i]
             n = w["traj"].shape[1]
@@ -463,6 +471,14 @@ class NdjsonScenes:
         init_pose, init_vel = extract_locoval_inputs(
             tokens, num_3dpose=min(J3, 24))
         tokens, _ = normalize_scene(tokens)
+        # NaNs (neighbour frames missing in the prediction horizon, or a
+        # cue absent from the export) survive normalization and are zeroed
+        # HERE, like the reference masks them post-normalization
+        # (train_jta.py:108-111) — zeroing raw coords pre-normalization
+        # would instead inject a spurious −origin delta
+        tokens = np.nan_to_num(tokens, nan=0.0)
+        init_pose = np.nan_to_num(init_pose, nan=0.0)
+        init_vel = np.nan_to_num(init_vel, nan=0.0)
         obs = tokens[:, :OBS_FRAMES]
         gt_future = tokens[:, OBS_FRAMES:, 0, 0, :2]
         # host numpy (see SyntheticScenes.batch): one device transfer per

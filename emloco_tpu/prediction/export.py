@@ -19,18 +19,35 @@ from typing import Optional, Sequence
 import numpy as np
 
 
+# The reference's hand-typed knot table (load_jta_traj.py:72): 13 phases in
+# [0, 0.8487]·100 at ~7.07 ( = 100/(10·√2) ) spacing with rounding drift
+# (0.2122 and 0.5658 carry a +0.0001 correction). The spline is evaluated at
+# 0..100, i.e. the last ~15 vertices EXTRAPOLATE the natural cubic past the
+# final waypoint — the bank deliberately overshoots the 13-waypoint horizon
+# so the sim episode (101-vertex track) outlives the predicted window.
+REF_TRAJ_PHASE = np.array(
+    [0.0000, 0.0707, 0.1414, 0.2122, 0.2829, 0.3536, 0.4243,
+     0.4950, 0.5658, 0.6365, 0.7072, 0.7779, 0.8487]) * 100
+
+
 def spline_to_vertices(waypoints: np.ndarray, num_verts: int = 101,
                        waypoint_dt: float = 0.4) -> np.ndarray:
-    """(W, 2) waypoints at waypoint_dt spacing → (num_verts, 2) cubic-spline
-    resample over the same duration (reference load_jta_traj.py:72,92-98)."""
+    """(W, 2) waypoints → (num_verts, 2) natural cubic spline evaluated at
+    integer phases 0..num_verts-1, reference-exact for W=13
+    (load_jta_traj.py:72,92-95: CubicSpline(traj_phase, scene_data, axis=0,
+    bc_type='natural') at np.arange(101), extrapolating past the last knot).
+    waypoint_dt is accepted for call-site compatibility; the reference's
+    phase table, not time, fixes the knot locations."""
     from scipy.interpolate import CubicSpline
 
     W = len(waypoints)
-    t = np.arange(W) * waypoint_dt
-    ts = np.linspace(0.0, t[-1], num_verts)
-    cs_x = CubicSpline(t, waypoints[:, 0])
-    cs_y = CubicSpline(t, waypoints[:, 1])
-    return np.stack([cs_x(ts), cs_y(ts)], -1).astype(np.float32)
+    if W == len(REF_TRAJ_PHASE):
+        phase = REF_TRAJ_PHASE
+    else:   # same ~100/(10√2) spacing for non-standard waypoint counts
+        phase = np.arange(W) * (100.0 / (10.0 * np.sqrt(2.0)))
+    cs = CubicSpline(phase, np.asarray(waypoints)[:, :2], axis=0,
+                     bc_type="natural")
+    return cs(np.arange(num_verts)).astype(np.float32)
 
 
 def export_traj_bank(

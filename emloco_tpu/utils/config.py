@@ -53,6 +53,13 @@ class RunConfig:
     save_every: int = 200
     terrain: dict = dataclasses.field(default_factory=dict)
     motions: Optional[str] = None        # motion pkl path (None → synthetic)
+    # SMPL model npz for vert-fit mesh colliders + regressed offsets
+    # (kinematics.body_model.from_smpl_npz); None → auto: when
+    # engine.mesh_contacts is on, fall back to the committed fixture so
+    # self-contact/getup runs get real per-beta collision spheres instead
+    # of capsule-axis defaults (reference builds per-beta vertex colliders,
+    # smpl_local_robot.py:83-146)
+    smpl_npz: Optional[str] = None
     real_traj_pkl: Optional[str] = None  # real-path bank (None → synthetic)
     ndjson: Optional[str] = None         # real JTA/JRDB ndjson scenes for the
     ndjson_val: Optional[str] = None     # predictor (None → synthetic)
@@ -115,6 +122,7 @@ def load_config(yaml_path: Optional[str] = None,
         save_every=int(raw.get("save_every", 200)),
         terrain=raw.get("terrain", {}),
         motions=raw.get("motions"),
+        smpl_npz=raw.get("smpl_npz"),
         real_traj_pkl=raw.get("real_traj_pkl"),
         ndjson=raw.get("ndjson"),
         ndjson_val=raw.get("ndjson_val"),

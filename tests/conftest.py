@@ -24,6 +24,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache (same recipe as the CLI, __graft_entry__.py):
+# the suite is compile-bound (~20 min cold), and most of it is re-compiling
+# identical programs run-to-run. XLA:CPU cache entries are machine-specific,
+# which is fine here — the cache lives on the machine running the tests.
+# EMLOCO_TEST_NO_CACHE=1 opts out (e.g. after an XLA upgrade).
+if os.environ.get("EMLOCO_TEST_NO_CACHE") != "1":
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/emloco_jax_tests"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
 
 import pytest  # noqa: E402
 

@@ -60,10 +60,11 @@ def test_sim_kinematics_amp_obs_consistency():
     # positions/rotations (first 13 + dof obs) must agree tightly; velocity
     # features agree to finite-difference tolerance
     err = np.abs(a_motion - a_sim)
-    # layout: [root_h 1, rot 6, vel 3, angvel 3, dof_obs 114, dof_vel 57, key 12]
-    pos_like = np.concatenate([err[:, 0:7], err[:, 13:127], err[:, 184:196]],
+    # layout: [rot 6, vel 3, angvel 3, dof_obs 114, dof_vel 57, key 12]
+    # (no root_h slot — ampRootHeightObs False, humanoid_amp.py:67)
+    pos_like = np.concatenate([err[:, 0:6], err[:, 12:126], err[:, 183:195]],
                               axis=1)
-    vel_like = np.concatenate([err[:, 7:13], err[:, 127:184]], axis=1)
+    vel_like = np.concatenate([err[:, 6:12], err[:, 126:183]], axis=1)
     assert pos_like.max() < 5e-3, f"pose mismatch {pos_like.max():.5f}"
     assert vel_like.max() < 0.5, f"velocity mismatch {vel_like.max():.3f}"
 

@@ -623,3 +623,92 @@ def test_merged_assembly_matches_4d():
     Q_m = R._q_contact_merged(kpen[:, :C], nrm, kpen,
                               jnp.concatenate([Jn_a, Jn_sa], axis=1))
     np.testing.assert_allclose(np.asarray(Q_m), np.asarray(Q_o), atol=1e-3)
+
+    # --- gated self-contact builders: the 4-D oracle (_self_contact_rows)
+    # stays exercised against the merged production variant (ADVICE r3 #1) ---
+    (Jc4s, Jn4s, nrm4, act4, dt4, pen4, wn4, wt4), (cA4, cB4) = \
+        R._self_contact_rows(model, x, q, st.body_v, st.body_w, term2, cfg,
+                             True)
+    (Gms, Jnms, nrmm, actm, dtm, penm, wnm, wtm), (cAm, cBm) = \
+        R._self_contact_rows_merged(model, x, q, st.body_v, st.body_w, t2m,
+                                    cfg, True)
+    np.testing.assert_allclose(np.asarray(Gms).reshape(N, K, 3, R.NA),
+                               np.asarray(Jc4s[..., 3:]), atol=1e-4)
+    assert float(jnp.abs(Jc4s[..., :3]).max()) == 0.0
+    np.testing.assert_allclose(np.asarray(Jnms), np.asarray(Jn4s[..., 3:]),
+                               atol=1e-4)
+    for a, b in ((nrm4, nrmm), (act4, actm), (dt4, dtm), (pen4, penm),
+                 (wn4, wnm), (wt4, wtm), (cA4, cAm), (cB4, cBm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    # --- mesh-table statics through the full merged assembly (ADVICE r3 #2:
+    # the ISELC/P/FLC constants for table="mesh" were pinned only at the
+    # row level) ---
+    C_m = pts_m.shape[1]
+    km = jax.random.split(jax.random.PRNGKey(23), 4)
+    nrm_m = jax.random.normal(km[0], (N, C_m, 3))
+    nrm_m = nrm_m / jnp.linalg.norm(nrm_m, axis=-1, keepdims=True)
+    wn_m = jnp.abs(jax.random.normal(km[1], (N, C_m)))
+    wt_m = 0.5 * jnp.abs(jax.random.normal(km[2], (N, C_m)))
+    kpen_m = jnp.abs(jax.random.normal(km[3], (N, C_m + K)))
+    Jn_m4 = jnp.einsum("nci,ncij->ncj", nrm_m, Jc_m)
+    Jn_ma = R._normal_rows_merged(nrm_m, Gc_m, "mesh")
+    np.testing.assert_allclose(np.asarray(Jn_ma), np.asarray(Jn_m4[..., 3:]),
+                               atol=1e-4)
+    Jc_all2 = jnp.concatenate([Jc_m, Jcs], axis=1)
+    Jn_all2 = jnp.concatenate([Jn_m4, Jns], axis=1)
+    At_o2 = R._assemble_lhs(model, Jv4, W4, diag,
+                            jnp.concatenate([wn_m, wn_s], axis=1),
+                            jnp.concatenate([wt_m, wt_s], axis=1),
+                            Jn_all2, Jc_all2)
+    At_m2, rhs_m2 = R._assemble_lhs_rhs(
+        model, G, W, q, st.body_v, st.body_w, f_lin, dt, Q_rest, diag,
+        (Gc_m, Jn_ma, nrm_m, wn_m, wt_m), (Gcs, Jn_sa, wn_s, wt_s), "mesh")
+    scale2 = float(jnp.abs(At_o2).max())
+    np.testing.assert_allclose(np.asarray(At_m2), np.asarray(At_o2),
+                               atol=2e-4 * scale2)
+    np.testing.assert_allclose(np.asarray(rhs_m2), np.asarray(rhs_o),
+                               atol=2e-4 * rscale)
+    Q_o2 = jnp.einsum("nc,ncj->nj", kpen_m, Jn_all2)
+    Q_m2 = R._q_contact_merged(kpen_m[:, :C_m], nrm_m, kpen_m,
+                               jnp.concatenate([Jn_ma, Jn_sa], axis=1))
+    np.testing.assert_allclose(np.asarray(Q_m2), np.asarray(Q_o2), atol=1e-3)
+
+
+def test_mesh_colliders_beta_variation_shifts_contacts():
+    """Vert-fit mesh colliders respond to body shape: different betas give
+    measurably different sphere geometry AND a different ground-contact
+    force distribution over bodies in a fall (VERDICT r3 item 7 — the
+    convex-hull analog of smpl_local_robot.py:83-146; capsule-axis default
+    spheres ignore the skinned surface)."""
+    import os
+
+    from emloco_tpu.kinematics.body_model import from_smpl_npz
+
+    path = os.path.join(os.path.dirname(__file__), "data", "smpl_fixture.npz")
+    betas = jnp.zeros((2, 10)).at[1, 0].set(2.0).at[1, 1].set(-2.0)
+    bp = from_smpl_npz(path, betas)
+    # geometry varies with beta (a capsule-axis default with shared radii
+    # would only move via bone lengths; the vert fit moves every sphere)
+    dc = np.abs(np.asarray(bp.mesh_points[0]) - np.asarray(bp.mesh_points[1]))
+    assert dc.max() > 0.01, dc.max()
+    dr_ = np.abs(np.asarray(bp.mesh_point_radius[0])
+                 - np.asarray(bp.mesh_point_radius[1]))
+    assert dr_.max() > 0.003, dr_.max()
+
+    # knock the humanoid over and accumulate per-body contact load
+    model = build_model(bp)
+    terrain = flat_terrain(extent=20.0, cell=0.1)
+    st = rest_state(model)
+    st = st.replace(u=st.u.at[:, 3].set(6.0))      # hard roll about x
+    cfg = EngineConfig(n_substeps=2, mesh_contacts=True)
+    acc = jnp.zeros((2, bm.NUM_BODIES))
+    for _ in range(30):
+        st = step(model, terrain, st, jnp.zeros((2, 23, 3)), cfg)
+        acc = acc + jnp.linalg.norm(st.contact_force, axis=-1)
+    acc = np.asarray(acc)
+    assert np.isfinite(acc).all() and acc.sum(-1).min() > 1.0
+    p0 = acc[0] / acc[0].sum()
+    p1 = acc[1] / acc[1].sum()
+    # the two shapes load the ground through measurably different bodies
+    assert np.abs(p0 - p1).sum() > 0.05, np.abs(p0 - p1).sum()

@@ -171,11 +171,11 @@ def test_heading_inversion_hard_negatives():
 def test_cnn_network_variant():
     from emloco_tpu.learning.networks import AMPSeptCNNNet
 
-    net = AMPSeptCNNNet(num_actions=69, self_obs_dim=379, traj_obs_dim=30,
+    net = AMPSeptCNNNet(num_actions=69, self_obs_dim=378, traj_obs_dim=30,
                         task_obs_dim=30 + 16 * 16, sensor_res=16,
                         mlp_units=(64,), task_units=(32,), disc_units=(32,))
     key = jax.random.PRNGKey(0)
-    obs = jax.random.normal(key, (3, 379 + 30 + 256))
+    obs = jax.random.normal(key, (3, 378 + 30 + 256))
     amp = jax.random.normal(key, (3, 100))
     params = net.init(key, obs, amp)
     mu, sigma, v, d, tv = net.apply(params, obs, amp)
@@ -414,3 +414,55 @@ def test_locoval_vru_waypoints():
     vel = jax.random.normal(jax.random.PRNGKey(3), (4, 2))
     v = vnet.apply(vts.vnet_params, traj, None, vel)
     assert v.shape == (4,)
+
+
+def test_hard_negative_update_semantics():
+    """hard_negative_update (reference update_sampling_weight,
+    motion_lib_smpl.py:366-377): failing motions' sampling probability
+    rises; unseen motions keep their success-rate estimate."""
+    from emloco_tpu.kinematics.motion_lib import hard_negative_update
+
+    succ = jnp.ones((3,))
+    sampled = jnp.asarray([10.0, 10.0, 0.0])
+    term = jnp.asarray([9.0, 1.0, 0.0])
+    w, succ2, s0, t0 = hard_negative_update(succ, sampled, term)
+    w, succ2 = np.asarray(w), np.asarray(succ2)
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-6)
+    assert w[0] > w[1] > w[2]          # 90% fail ≫ 10% fail > unseen
+    np.testing.assert_allclose(succ2, [0.1, 0.9, 1.0], atol=1e-6)
+    assert float(s0.sum()) == 0.0 and float(t0.sum()) == 0.0
+    # reference-exact form: prob ∝ exp(−succ/0.2)
+    expect = np.exp(-succ2 / 0.2)
+    np.testing.assert_allclose(w, expect / expect.sum(), atol=1e-6)
+
+
+def test_hard_negative_wired_through_training():
+    """With cfg.hard_negative the trainer tracks per-motion episode
+    outcomes, refreshes the live sampling weights each epoch, and resets
+    the histories (VERDICT r3 item 4: previously dead code)."""
+    cfg = EnvConfig(num_envs=4, sensor_res=8, episode_length=6,
+                    num_amp_obs_steps=3, hard_negative=True)
+    terrain = flat_terrain(extent=20.0, cell=0.1)
+    lib = ml.synthetic_walk_motions(speeds=(1.0, 2.0), duration=2.0)
+    env = PedestrianTerrainEnv(cfg, terrain, lib)
+    acfg = AMPConfig(horizon=8, num_minibatches=2, mini_epochs=1,
+                     amp_batch_size=8, amp_replay_size=64)
+    agent = AMPAgent(env, acfg)
+    ts = agent.init(jax.random.PRNGKey(0))
+    es = ts.env_state
+    assert es.motion_weights is not None and es.cur_mid is not None
+    np.testing.assert_allclose(np.asarray(es.motion_weights).sum(), 1.0,
+                               atol=1e-5)
+    ts, _ = agent.train_epoch(ts)
+    es = ts.env_state
+    w = np.asarray(es.motion_weights)
+    assert w.shape == (2,) and np.isfinite(w).all()
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-5)
+    # episode_length 6 < horizon 8 → every env finished ≥1 episode, so the
+    # refresh consumed the histories and zeroed them
+    assert float(np.asarray(es.motion_sampled).sum()) == 0.0
+    assert float(np.asarray(es.motion_term).sum()) == 0.0
+    assert np.asarray(es.cur_mid).shape == (4,)
+    assert set(np.asarray(es.cur_mid)) <= {0, 1}
+    # success-rate estimates were actually written for sampled motions
+    assert (np.asarray(es.motion_succ) <= 1.0).all()

@@ -142,3 +142,42 @@ def test_sharded_epoch_at_reference_scale_shape():
     # gather-to-replicated regression)
     out_sh = ts_sh.env_state.physics.root_pos.sharding
     assert out_sh.spec == jax.sharding.PartitionSpec("env")
+
+
+def test_shard_env_axis_replicates_colliding_buffers():
+    """The replay buffer and the hard-negative motion tables must REPLICATE
+    even when their leading dim equals num_envs (VERDICT r3 weak #2: the
+    old leading-dim heuristic silently env-sharded them). Placement is by
+    field path now; this pins the collision case."""
+    n = 16
+    terrain = flat_terrain(extent=20.0, cell=0.1)
+    # motion count == num_envs: the collision case for motion_weights
+    lib = ml.synthetic_walk_motions(speeds=tuple(1.0 + 0.05 * i
+                                                 for i in range(n)),
+                                    duration=1.5)
+    cfg = EnvConfig(num_envs=n, sensor_res=8, episode_length=24,
+                    num_amp_obs_steps=3, hard_negative=True)
+    env = PedestrianTerrainEnv(cfg, terrain, lib)
+    # replay size == num_envs: the collision case for replay_amp
+    agent = AMPAgent(env, AMPConfig(horizon=4, num_minibatches=2,
+                                    mini_epochs=1, amp_batch_size=8,
+                                    amp_replay_size=n))
+    ts0 = agent.init(jax.random.PRNGKey(0))
+    assert ts0.replay_amp.shape[0] == n
+    assert ts0.env_state.motion_weights.shape[0] == n
+
+    mesh = make_mesh(8)
+    ts_sh = shard_env_axis(ts0, mesh, n)
+    P = jax.sharding.PartitionSpec
+    # per-env leaves sharded
+    assert ts_sh.env_state.physics.root_pos.sharding.spec == P("env")
+    assert ts_sh.env_state.cur_mid.sharding.spec == P("env")
+    # colliding non-env leaves replicated
+    assert ts_sh.replay_amp.sharding.spec == P()
+    assert ts_sh.env_state.motion_weights.sharding.spec == P()
+    assert ts_sh.env_state.motion_sampled.sharding.spec == P()
+    # and a sharded epoch still runs end-to-end with finite outputs
+    with mesh:
+        ts_sh, m = agent.train_epoch(ts_sh)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k

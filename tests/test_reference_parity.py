@@ -621,3 +621,245 @@ def test_transmotion_limit_obs_parity(ref):
                         torch.from_numpy(np.zeros((B, N), bool)),
                         limit_obs=3))
     np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# MotionLib state query — blend/slerp/dof conversion
+# (reference get_motion_state_smpl, motion_lib_smpl.py:485-563)
+# ---------------------------------------------------------------------------
+
+def _load_ref_motion_lib_cls():
+    """Import pacer.utils.motion_lib_smpl with the SMPL-parser dependency
+    stubbed (smplx isn't installed and get_motion_state_smpl never touches
+    it); the blend/slerp code path imports cleanly on CPU torch."""
+    _ensure_ref_paths()
+    _load_isaacgym_torch_utils()
+    # motion_lib_smpl imports `poselib.poselib.*` (repo-root-relative); our
+    # sys.path resolves `poselib` to the INNER package, so alias the nested
+    # names onto it
+    import poselib  # noqa: F401
+    import poselib.core.rotation3d  # noqa: F401
+    import poselib.skeleton.skeleton3d  # noqa: F401
+    for nested, flat in (
+            ("poselib.poselib", "poselib"),
+            ("poselib.poselib.core", "poselib.core"),
+            ("poselib.poselib.core.rotation3d", "poselib.core.rotation3d"),
+            ("poselib.poselib.skeleton", "poselib.skeleton"),
+            ("poselib.poselib.skeleton.skeleton3d",
+             "poselib.skeleton.skeleton3d")):
+        sys.modules.setdefault(nested, sys.modules[flat])
+    for name, attrs in (
+            ("smplx", ("SMPL", "SMPLH", "SMPLX")),
+            ("uhc", ()), ("uhc.smpllib", ()),
+            ("uhc.smpllib.smpl_parser",
+             ("SMPL_Parser", "SMPLH_Parser", "SMPLX_Parser"))):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for a in attrs:
+                setattr(mod, a, object)
+            sys.modules[name] = mod
+    from pacer.utils.motion_lib_smpl import MotionLib as RefMotionLib
+    return RefMotionLib
+
+
+def test_motion_state_query_parity():
+    """ml.get_motion_state vs the reference blend kernel on the SAME frame
+    arrays: a bare MotionLibSMPL instance is populated with the flattened
+    frames of our synthetic library (frame indexing, blend weights, slerp
+    convention, exp-map dof conversion and key-pos extraction are the code
+    under test — frame CONTENT is shared by construction). Times include
+    exact frame boundaries, mid-blend points, t=0 and beyond-duration
+    clamps (VERDICT r3 item 5)."""
+    import jax.numpy as jnp
+    from emloco_tpu.envs.observations import KEY_BODY_IDS
+    from emloco_tpu.kinematics import motion_lib as ml
+
+    MotionLibSMPL = _load_ref_motion_lib_cls()
+    lib = ml.synthetic_walk_motions(speeds=(1.0, 1.6), duration=1.5)
+
+    F = int(np.asarray(lib.local_rot).shape[0])
+    J = 24
+    lrs = torch.from_numpy(np.asarray(lib.local_rot))
+    gts = torch.zeros((F, J, 3))
+    gts[:, 0] = torch.from_numpy(np.asarray(lib.root_pos))
+    for k, b in enumerate(KEY_BODY_IDS):
+        gts[:, int(b)] = torch.from_numpy(np.asarray(lib.key_pos[:, k]))
+    grs = torch.zeros((F, J, 4))
+    grs[..., 3] = 1.0
+    grs[:, 0] = lrs[:, 0]
+    gvs = torch.zeros((F, J, 3))
+    gvs[:, 0] = torch.from_numpy(np.asarray(lib.root_vel))
+    gavs = torch.zeros((F, J, 3))
+    gavs[:, 0] = torch.from_numpy(np.asarray(lib.root_ang_vel))
+    dvs = torch.from_numpy(np.asarray(lib.dof_vel))   # (F, 23, 3)
+
+    M = MotionLibSMPL.__new__(MotionLibSMPL)
+    M.lrs, M.gts, M.grs, M.gvs, M.gavs, M.dvs = lrs, gts, grs, gvs, gavs, dvs
+    M.length_starts = torch.from_numpy(np.asarray(lib.length_starts)).long()
+    M._motion_lengths = torch.from_numpy(np.asarray(lib.durations))
+    M._motion_num_frames = torch.from_numpy(
+        np.asarray(lib.num_frames)).long()
+    M._motion_dt = 1.0 / torch.from_numpy(np.asarray(lib.fps))
+    M._key_body_ids = torch.from_numpy(np.asarray(KEY_BODY_IDS)).long()
+    M._motion_aa = torch.zeros((F, 72))
+    M._motion_bodies = torch.from_numpy(np.asarray(lib.betas))
+    M._motion_limb_weights = torch.zeros((2, 10))
+    M.num_bodies = J
+
+    dt = float(1.0 / np.asarray(lib.fps)[0])
+    dur = float(np.asarray(lib.durations)[0])
+    times = np.array([0.0, dt, 5 * dt, 5.37 * dt, 0.5 * dur,
+                      dur - dt, dur, dur + 0.3, 17.5 * dt],
+                     np.float32)
+    mids = np.array([0, 1, 0, 1, 0, 1, 0, 1, 0], np.int32)
+
+    ref = M.get_motion_state_smpl(torch.from_numpy(mids).long(),
+                                  torch.from_numpy(times))
+    got = ml.get_motion_state(lib, jnp.asarray(mids), jnp.asarray(times))
+
+    np.testing.assert_allclose(np.asarray(got["root_pos"]),
+                               t2n(ref["root_pos"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["root_vel"]),
+                               t2n(ref["root_vel"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["root_ang_vel"]),
+                               t2n(ref["root_ang_vel"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["dof_vel"]).reshape(len(mids),
+                                                                  -1),
+                               t2n(ref["dof_vel"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["key_pos"]),
+                               t2n(ref["key_pos"]), atol=1e-4)
+    # rotations compare up to quaternion sign
+    rq = t2n(ref["root_rot"])
+    gq = np.asarray(got["root_rot"])
+    dot = np.abs((rq * gq).sum(-1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["dof_pos"]).reshape(
+        len(mids), -1), t2n(ref["dof_pos"]), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Retargeting — retarget_to_by_tpose (skeleton3d.py:813-1025)
+# ---------------------------------------------------------------------------
+
+def test_retarget_by_tpose_parity(ref):
+    """kinematics.retarget.retarget_motion vs poselib's
+    retarget_to_by_tpose on a saved source/target pair: a y-up, cm-scale
+    12-joint source skeleton mapped onto the 24-joint SMPL target through a
+    frame-aligning rotation and a 0.01 unit scale, with unmapped source
+    joints dropped (keep_nodes path) and unmapped target joints following
+    their mapped ancestors. Global poses agree ≤1e-3 (VERDICT r3 item 8)."""
+    import jax.numpy as jnp
+    from emloco_tpu.kinematics import body_model as bm
+    from emloco_tpu.kinematics.retarget import retarget_motion
+    from emloco_tpu.kinematics.skeleton import forward_kinematics
+
+    rng = np.random.default_rng(31)
+
+    # source: y-up cm-scale skeleton, extra "spine2" joint left unmapped
+    s_names = ["hips", "spine", "spine2", "neck", "head",
+               "lhip", "lknee", "lfoot", "rhip", "rknee", "rfoot",
+               "lshoulder"]
+    s_parents = np.array([-1, 0, 1, 2, 3, 0, 5, 6, 0, 8, 9, 2], np.int64)
+    s_offs = np.zeros((12, 3), np.float32)
+    for j in range(1, 12):
+        s_offs[j] = rng.normal(size=3) * 12.0           # ~cm bones
+    s_offs[:, 1] += 8.0
+
+    tgt_tree = bm.canonical_skeleton()
+    Jt = tgt_tree.num_joints
+
+    # mapping: source name -> target name (poselib convention); ours is the
+    # inverse dict. Toes/hands/elbows etc. stay unmapped on the target.
+    mapping = {"hips": "Pelvis", "spine": "Torso", "neck": "Neck",
+               "head": "Head", "lhip": "L_Hip", "lknee": "L_Knee",
+               "lfoot": "L_Ankle", "rhip": "R_Hip", "rknee": "R_Knee",
+               "rfoot": "R_Ankle", "lshoulder": "L_Shoulder"}
+
+    def rand_q(shape):
+        q = rng.normal(size=shape + (4,)).astype(np.float32)
+        return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+    F = 4
+    src_lrot = rand_q((F, 12))
+    src_root = (rng.normal(size=(F, 3)) * 30).astype(np.float32)
+    s_tpose_rot = np.zeros((12, 4), np.float32)
+    s_tpose_rot[:, 3] = 1.0
+    s_tpose_root = np.array([3.0, 90.0, -2.0], np.float32)
+    t_tpose_rot = np.zeros((Jt, 4), np.float32)
+    t_tpose_rot[:, 3] = 1.0
+    t_tpose_root = np.array([0.0, 0.0, 0.93], np.float32)
+    # y-up -> z-up: rotate -90 deg about x  (x,y,z) -> (x, -z, y)
+    ang = -np.pi / 2
+    R_align = np.array([np.sin(ang / 2), 0.0, 0.0, np.cos(ang / 2)],
+                       np.float32)
+    scale = 0.01
+
+    # --- reference ---
+    ident_xml = np.zeros((12, 4), np.float32)
+    ident_xml[:, 3] = 1.0
+    s_tree_t = ref.SkeletonTree(
+        s_names, torch.from_numpy(s_parents), torch.from_numpy(s_offs),
+        torch.from_numpy(ident_xml))
+    t_offs = np.asarray(tgt_tree.local_translation, np.float32)
+    t_xml = np.zeros((Jt, 4), np.float32)
+    t_xml[:, 3] = 1.0
+    t_tree_t = ref.SkeletonTree(
+        list(bm.BODY_NAMES), torch.from_numpy(
+            np.asarray(tgt_tree.parents, np.int64)),
+        torch.from_numpy(t_offs), torch.from_numpy(t_xml))
+    src_state = ref.SkeletonState.from_rotation_and_root_translation(
+        s_tree_t, torch.from_numpy(src_lrot), torch.from_numpy(src_root),
+        is_local=True)
+    s_tpose = ref.SkeletonState.from_rotation_and_root_translation(
+        s_tree_t, torch.from_numpy(s_tpose_rot),
+        torch.from_numpy(s_tpose_root), is_local=True)
+    t_tpose = ref.SkeletonState.from_rotation_and_root_translation(
+        t_tree_t, torch.from_numpy(t_tpose_rot),
+        torch.from_numpy(t_tpose_root), is_local=True)
+    # two compat shims for this poselib snapshot's internal drift: (a)
+    # SkeletonState lacks the .shape property the by_tpose wrapper asserts
+    # on, so call retarget_to with the unpacked tpose components — exactly
+    # what by_tpose forwards (skeleton3d.py:1014-1025); (b) its own
+    # keep_nodes_by_names (:270) builds SkeletonTree WITHOUT the
+    # local_xml_rotation argument its __init__ requires — default it to
+    # identity (the neutral value) for the duration of the call
+    orig_init = ref.SkeletonTree.__init__
+
+    def _patched(self, node_names, parent_indices, local_translation,
+                 local_xml_rotation=None):
+        if local_xml_rotation is None:
+            local_xml_rotation = torch.zeros(len(node_names), 4)
+            local_xml_rotation[:, 3] = 1.0
+        orig_init(self, node_names, parent_indices, local_translation,
+                  local_xml_rotation)
+
+    ref.SkeletonTree.__init__ = _patched
+    try:
+        out_ref = src_state.retarget_to(
+            mapping, s_tpose.local_rotation, s_tpose.root_translation,
+            t_tree_t, t_tpose.local_rotation, t_tpose.root_translation,
+            torch.from_numpy(R_align), scale)
+    finally:
+        ref.SkeletonTree.__init__ = orig_init
+    ref_gpos = t2n(out_ref.global_translation)
+    ref_grot = t2n(out_ref.global_rotation)
+
+    # --- ours ---
+    from emloco_tpu.kinematics.skeleton import SkeletonTree as JTree
+    s_tree_j = JTree(names=tuple(s_names),
+                     parents=np.asarray(s_parents, np.int32),
+                     local_translation=jnp.asarray(s_offs))
+    inv_map = {t: s for s, t in mapping.items()}
+    tl, tr = retarget_motion(
+        s_tree_j, tgt_tree, inv_map,
+        jnp.asarray(src_lrot), jnp.asarray(src_root),
+        source_tpose_rot=jnp.asarray(s_tpose_rot),
+        target_tpose_rot=jnp.asarray(t_tpose_rot),
+        source_tpose_root=jnp.asarray(s_tpose_root),
+        target_tpose_root=jnp.asarray(t_tpose_root),
+        rotation_to_target=jnp.asarray(R_align), scale=scale)
+    grot, gpos = forward_kinematics(tgt_tree, tl, tr)
+
+    np.testing.assert_allclose(np.asarray(gpos), ref_gpos, atol=1e-3)
+    dot = np.abs(np.sum(np.asarray(grot) * ref_grot, -1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-3)

@@ -70,22 +70,27 @@ def test_pointnet_people_permutation_invariance():
     o = jax.random.normal(key, (3, 7 + 6 + 165))
     params = net.init(key, o, jnp.zeros((3, 12)))
     mu, _ = net.apply(params, o, method=net.actor)
-    # shuffle the 5 people: actor output must not change
-    people = o[:, -165:].reshape(3, 5, 33)[:, [3, 1, 4, 0, 2]]
-    o2 = jnp.concatenate([o[:, :-165], people.reshape(3, 165)], -1)
+    # shuffle the 5 people: actor output must not change. Group-obs layout
+    # is [k·10 joint positions | k root velocities] (reference-exact), so a
+    # person permutation permutes the two blocks separately.
+    perm = [3, 1, 4, 0, 2]
+    pos = o[:, -165:-15].reshape(3, 5, 30)[:, perm]
+    vel = o[:, -15:].reshape(3, 5, 3)[:, perm]
+    o2 = jnp.concatenate([o[:, :-165], pos.reshape(3, 150),
+                          vel.reshape(3, 15)], -1)
     mu2, _ = net.apply(params, o2, method=net.actor)
     np.testing.assert_allclose(np.asarray(mu), np.asarray(mu2), atol=1e-5)
 
 
 def test_amp_dropout_mask_structure():
-    steps, per = 3, 217
+    steps, per = 3, 216
     m = np.asarray(obs.amp_dropout_mask(jax.random.PRNGKey(1), 64, steps,
                                         per, 0.3)).reshape(64, steps, per)
     # identical across window steps; root/key/shape dims never dropped
     assert (m == m[:, :1]).all()
-    assert (m[:, :, :13] == 1).all() and (m[:, :, 13 + 114 + 57:] == 1).all()
-    pos = m[:, 0, 13:127].reshape(64, 19, 6)
-    vel = m[:, 0, 127:184].reshape(64, 19, 3)
+    assert (m[:, :, :12] == 1).all() and (m[:, :, 12 + 114 + 57:] == 1).all()
+    pos = m[:, 0, 12:126].reshape(64, 19, 6)
+    vel = m[:, 0, 126:183].reshape(64, 19, 3)
     # a dropped joint zeroes BOTH its dof-obs and dof-vel blocks
     assert (pos[..., 0] == vel[..., 0]).all()
     assert ((pos == pos[..., :1]).all() and (vel == vel[..., :1]).all())
