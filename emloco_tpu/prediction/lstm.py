@@ -45,18 +45,30 @@ class LSTMPredictor(nn.Module):
         for t in range(in_F):                            # unrolled: in_F ≤ 9
             carry, _ = enc(carry, emb(xy[:, t]))
 
-        # decoder: autoregressive velocity residuals from the last position
-        head = nn.Dense(2 * c.nmode, name="out_proj",
+        # decoder: autoregressive velocity residuals from the last position,
+        # one recurrence PER MODE — every mode feeds back its OWN rollout
+        # (a true multi-sample decoder; modes diverge through both the
+        # learned mode embedding and their own feedback, not just the output
+        # head). Modes ride the batch axis, so the per-step work is one
+        # (B·M, H) matmul — same kernel shape class as before on the MXU.
+        M = c.nmode
+        head = nn.Dense(2, name="out_proj",
                         kernel_init=nn.initializers.zeros)
+        mode_emb = self.param("mode_emb", nn.initializers.normal(0.02),
+                              (M, H))
         last = xy[:, -1]
+        # b-major repeat ↔ per-b mode tile, so row b·M+m is (batch b, mode m)
+        dcarry = jnp.repeat(carry[0], M, axis=0), jnp.repeat(carry[1], M,
+                                                             axis=0)
+        cur = jnp.repeat(last, M, axis=0)                # (B·M, 2)
+        inp = emb(cur) + jnp.tile(mode_emb, (B, 1))
         outs = []
-        dcarry = carry
-        inp = emb(last)
         for _ in range(out_F):
             dcarry, h = dec(dcarry, inp)
-            dv = head(h).reshape(B, c.nmode, 2) * c.output_scale
-            outs.append(dv)
-            inp = emb(last + dv[:, 0])                   # feed primary mode
+            dv = head(h) * c.output_scale                # (B·M, 2)
+            outs.append(dv.reshape(B, M, 2))
+            cur = cur + dv                               # own-mode feedback
+            inp = emb(cur)
         vel = jnp.stack(outs, axis=1)                    # (B, out_F, M, 2)
         pred = last[:, None, None] + jnp.cumsum(vel, axis=1)
         obs_part = jnp.repeat(xy[:, :, None], c.nmode, axis=2)

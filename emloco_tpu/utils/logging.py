@@ -16,7 +16,7 @@ from typing import Optional
 
 class MetricsLogger:
     def __init__(self, out_dir: Optional[str] = None, name: str = "run",
-                 print_every: int = 1, use_tensorboard: bool = False):
+                 print_every: int = 1, use_tensorboard: bool = True):
         self.out_dir = out_dir
         self.print_every = print_every
         self._fh = None
@@ -26,12 +26,12 @@ class MetricsLogger:
             os.makedirs(out_dir, exist_ok=True)
             self._fh = open(os.path.join(out_dir, f"{name}.metrics.jsonl"),
                             "a")
-        if use_tensorboard:
-            try:
-                from tensorboardX import SummaryWriter
-                self._tb = SummaryWriter(os.path.join(out_dir or ".", "tb"))
-            except ImportError:
-                pass
+            if use_tensorboard:
+                # dependency-free native event writer (utils/tracking.py) —
+                # any TensorBoard install can tail out_dir/tb
+                from .tracking import TBWriter
+                self._tb = TBWriter(os.path.join(out_dir, "tb"),
+                                    filename_suffix=f".{name}")
 
     def log(self, step: int, metrics: dict, prefix: str = ""):
         row = {("%s%s" % (prefix, k)): (float(v) if hasattr(v, "__float__")
@@ -43,9 +43,8 @@ class MetricsLogger:
             self._fh.write(json.dumps(row) + "\n")
             self._fh.flush()
         if self._tb:
-            for k, v in row.items():
-                if isinstance(v, float):
-                    self._tb.add_scalar(k, v, step)
+            self._tb.scalars(step, {k: v for k, v in row.items()
+                                    if isinstance(v, float)})
         if step % self.print_every == 0:
             pretty = " ".join(f"{k}={v:.4g}" for k, v in row.items()
                               if isinstance(v, float) and k not in

@@ -34,3 +34,26 @@ def test_dotted_section_overrides():
 def test_unknown_key_raises():
     with pytest.raises(KeyError):
         load_config(None, ["env.not_a_field=1"])
+
+
+def test_tensorboard_event_writer_roundtrip(tmp_path):
+    """Native TensorBoard sink (utils/tracking.py — the reference's
+    wandb/tensorboard run tracking, run.py:344-353): records carry valid
+    TFRecord CRCs and scalars parse back exactly."""
+    from emloco_tpu.utils.logging import MetricsLogger
+    from emloco_tpu.utils.tracking import read_scalars
+
+    log = MetricsLogger(out_dir=str(tmp_path), name="t", print_every=10)
+    log.log(1, {"loss": 1.25, "reward": 0.5})
+    log.log(2, {"loss": 0.75})
+    log.close()
+    path = log._tb.path
+    rows = set(read_scalars(path))
+    assert (1, "loss", 1.25) in rows
+    assert (1, "reward", 0.5) in rows
+    assert (2, "loss", 0.75) in rows
+    # jsonl sink still written alongside
+    import json, os
+    with open(os.path.join(str(tmp_path), "t.metrics.jsonl")) as f:
+        lines = [json.loads(x) for x in f]
+    assert lines[0]["loss"] == 1.25 and lines[1]["step"] == 2

@@ -688,3 +688,43 @@ def test_eqmotion_vis_dict_adapter(tmp_path):
     ev = trainer.evaluate(ts.params, past, future, vnet_params=vp,
                           threshold=0.0)
     np.testing.assert_allclose(ade.mean(), ev["ade_min"], rtol=1e-5)
+
+
+def test_eqmotion_full_h36m_trains():
+    """The faithful EqMotion port (prediction/eqmotion_full.py — measured
+    logits parity in test_reference_parity) also TRAINS on the h36m-style
+    joints-as-nodes domain: loss decreases and predictions are equivariant
+    under global rotation (the architecture's design invariant)."""
+    import jax
+    import jax.numpy as jnp
+
+    from emloco_tpu.prediction import eqmotion as E
+    from emloco_tpu.prediction.eqmotion_full import (EqMotionFull,
+                                                     EqMotionFullConfig,
+                                                     EqMotionFullTrainer)
+
+    key = jax.random.PRNGKey(0)
+    past, future = E.synthetic_h36m_batch(key, batch=4, past=6, future=5)
+    cfg = EqMotionFullConfig(past=6, future=5, nf=24, channels=12,
+                             n_layers=2, n_agent=past.shape[1])
+    tr = EqMotionFullTrainer(cfg, lr=1e-3)
+    params, opt = tr.init(key, past)
+    step = jax.jit(tr.train_step)
+    losses = []
+    for i in range(12):
+        p, f = E.synthetic_h36m_batch(jax.random.fold_in(key, i), batch=4,
+                                      past=6, future=5)
+        params, opt, loss = step(params, opt, p, f)
+        losses.append(float(loss))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+    # SO(3) equivariance: rotating the inputs rotates the prediction
+    ang = 0.7
+    c, s = np.cos(ang), np.sin(ang)
+    R = jnp.asarray(np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32))
+    pred, _ = tr.predict(params, past)
+    pred_r, _ = tr.predict(params, jnp.einsum("ij,bntj->bnti", R, past))
+    np.testing.assert_allclose(np.asarray(pred_r),
+                               np.asarray(jnp.einsum("ij,bntj->bnti", R,
+                                                     pred)),
+                               atol=2e-4)
