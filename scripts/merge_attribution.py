@@ -98,6 +98,44 @@ def extra_chain(model, terrain, st, target_q, cfg, with_factor):
     return s
 
 
+def extra_chain_4d(model, terrain, st, target_q, cfg):
+    """The same once-per-step chain in the PRE-MERGE 4-D layout
+    (_build_jacobians/_point_jacobians/_assemble_lhs/_assemble_rhs) — its
+    in-situ marginal cost vs extra_chain's is the true end-to-end delta the
+    merged integration could ever have bought."""
+    dt = cfg.substep_dt
+    x, q = st.body_x, st.body_q
+    piv_j = x[:, 1:] + rd.quat.rotate(q[:, 1:], model.anchor_c[:, 1:])
+    pivots_x = jnp.concatenate([x[:, 0:1], piv_j], axis=1)
+    Jv4, W4, term2 = rd._build_jacobians(model, x, q, pivots_x)
+    pts, radius, gbody = rd._ground_geometry(model, x, q, cfg)
+    h, nrm = rd.height_and_normal_at(terrain, pts[..., :2])
+    pen = (h + radius - pts[..., 2]) * nrm[..., 2]
+    active = (pen > 0.0).astype(x.dtype)
+    Jc = rd._point_jacobians(pts, gbody, term2)
+    Jn = jnp.einsum("nci,ncij->ncj", nrm, Jc)
+    k_n = cfg.contact_stiffness
+    pen_f = active * jnp.minimum(pen, cfg.max_depenetration)
+    wn = active * dt * (dt * k_n + cfg.contact_damping)
+    wt = active * dt * 0.5
+    N = x.shape[0]
+    p = model.params
+    diag_joint = dt * p.kd + dt * dt * p.kp
+    diag = jnp.concatenate([
+        jnp.full((N, 3), dt * cfg.linear_damping),
+        jnp.full((N, 3), dt * cfg.angular_damping),
+        jnp.repeat(diag_joint, 3, axis=-1),
+    ], axis=-1)
+    gvec = jnp.array([0.0, 0.0, cfg.gravity])
+    f_lin, Q_rest = rd._gravity_bias_spring(model, x, q, st.body_v,
+                                            st.body_w, st.u, target_q, gvec)
+    Q_rest = Q_rest + jnp.einsum("nc,ncj->nj", k_n * pen_f, Jn)[:, :rd.NU]
+    At = rd._assemble_lhs(model, Jv4, W4, diag, wn, wt, Jn, Jc)
+    rhs = rd._assemble_rhs(model, Jv4, W4, q, st.body_v, st.body_w, f_lin,
+                           dt, Q_rest)
+    return jnp.sum(At[0, 0]) + jnp.sum(rhs[0])
+
+
 def timed(fn, st, tgt):
     out = fn(st, tgt)
     jax.block_until_ready(out)
@@ -142,18 +180,32 @@ def main():
                 return (s, t), None
             return jax.lax.scan(body, (st, tgt), None, length=ITERS)[0]
 
+        def plus4d(st, tgt, cfg=cfg):
+            def body(c, _):
+                s, t = c
+                s = rd.step(model, terrain, s, t, cfg, TREE)
+                target_q = quat.exp_map_to_quat(t)
+                extra = extra_chain_4d(model, terrain, s, target_q, cfg)
+                t = t + 1e-30 * s.u[0, 0] + 1e-30 * extra
+                return (s, t), None
+            return jax.lax.scan(body, (st, tgt), None, length=ITERS)[0]
+
         jb = jax.jit(base)
         jp0 = jax.jit(lambda s, t: plus(s, t, False))
         jp1 = jax.jit(lambda s, t: plus(s, t, True))
+        jp4 = jax.jit(plus4d)
         t_base = timed(jb, st0, tgt0)
         t_chain = timed(jp0, st0, tgt0)
         t_factor = timed(jp1, st0, tgt0)
+        t_4d = timed(jp4, st0, tgt0)
         row = {
             "cfg": cfg_name, "envs": N,
             "step_ms": round(t_base * 1e3, 3),
             "step_plus_chain_ms": round(t_chain * 1e3, 3),
             "step_plus_chain_factor_ms": round(t_factor * 1e3, 3),
+            "step_plus_chain4d_ms": round(t_4d * 1e3, 3),
             "marginal_chain_ms": round((t_chain - t_base) * 1e3, 3),
+            "marginal_chain4d_ms": round((t_4d - t_base) * 1e3, 3),
             "marginal_factor_ms": round((t_factor - t_chain) * 1e3, 3),
             "chain_pct_of_step": round(100 * (t_chain - t_base) / t_base, 1),
         }
