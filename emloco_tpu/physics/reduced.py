@@ -208,6 +208,9 @@ _TW_M = np.zeros((B, 3, 3, MROWS, NA), np.float32)
 for _k in range(B):
     for _i in range(3):
         _TW_M[_k, :, _i, 3 * _k + _i, :] = _JW_EXT[_k]
+# stacked [term1 | term2] static: G = einsum("nkj,kjmc", [x | pivots], _G_M)
+# emits the merged body rows in ONE dot (no separate t1m f32 intermediate)
+_G_M = np.concatenate([_E1_M, _F_M], axis=0)             # (48, 3, 72, 72)
 # (N,B,3) → (N,72) merger (one-hot contraction, not a tiled-minor reshape)
 _FL_M = np.zeros((B, 3, MROWS), np.float32)
 for _k in range(B):
@@ -468,18 +471,29 @@ def _mass_matrix_from_jac(model: Model, Jv4, W4):
 # Row-merged production path (see the scaffolding note above _E1_M)
 # ---------------------------------------------------------------------------
 
-def _build_rows_merged(model: Model, x, q, pivots_x):
+def _build_rows_merged(model: Model, x, q, pivots_x, out_dtype=jnp.float32):
     """Merged body-Jacobian rows: G (N,72,72) angular Jv rows, W (N,72,72)
     inertia rows √D·RᵀJw, t2m (N,72,72) the shared pivot contraction (reused
     by every contact/self row build). Row m = 3k+i is body k, component i;
-    the identity linear block is implicit (handled in assembly)."""
+    the identity linear block is implicit (handled in assembly).
+
+    G is emitted by ONE dot against the stacked [x | pivots] static (no f32
+    t1m intermediate), and all three outputs are cast to `out_dtype` in the
+    dot epilogues — with cfg.rows_bf16 that halves the chain's dominant HBM
+    writes (the accumulation stays f32)."""
     p = model.params
-    t1m = jnp.einsum("nkj,kjmc->nmc", x, jnp.asarray(_E1_M))
-    t2m = jnp.einsum("naj,ajmc->nmc", pivots_x, jnp.asarray(_F_M))
+    N = x.shape[0]
+    xp = jnp.concatenate([x, pivots_x], axis=1)          # (N, 48, 3)
+    G = jnp.einsum("nkj,kjmc->nmc", xp, jnp.asarray(_G_M),
+                   preferred_element_type=jnp.float32).astype(out_dtype)
+    t2m = jnp.einsum("naj,ajmc->nmc", pivots_x, jnp.asarray(_F_M),
+                     preferred_element_type=jnp.float32).astype(out_dtype)
     R = quat.to_matrix(q)
     sD = jnp.einsum("nki,kim->nm", jnp.sqrt(p.inertia), jnp.asarray(_FL_M))
-    W = sD[..., None] * jnp.einsum("nkji,kjimc->nmc", R, jnp.asarray(_TW_M))
-    return t1m + t2m, W, t2m
+    W = (sD[..., None]
+         * jnp.einsum("nkji,kjimc->nmc", R, jnp.asarray(_TW_M),
+                      preferred_element_type=jnp.float32)).astype(out_dtype)
+    return G, W, t2m
 
 
 def _point_rows_merged(points, table: str, t2m):
@@ -488,20 +502,27 @@ def _point_rows_merged(points, table: str, t2m):
     implicit). For table="self", `points` is (N,K,2,3) [cA, cB] stacked and
     the rows are the RELATIVE pair Jacobian (linear block exactly zero)."""
     E1C, OH, _, _, _ = _merged_point_statics(table)
+    rdt = t2m.dtype
     if table == "self":
         t1 = jnp.einsum("ncsj,csjrd->nrd", points, jnp.asarray(E1C))
     else:
         t1 = jnp.einsum("ncj,cjrd->nrd", points, jnp.asarray(E1C))
-    return t1 + jnp.einsum("nmd,rm->nrd", t2m, jnp.asarray(OH))
+    # OH is a (signed) one-hot row selector — the t2m "contraction" is exact
+    # in any dtype; accumulate f32 and cast so bf16 rows stay bf16-sized
+    return (t1.astype(rdt)
+            + jnp.einsum("nmd,rm->nrd", t2m, jnp.asarray(OH, rdt),
+                         preferred_element_type=jnp.float32).astype(rdt))
 
 
 def _normal_rows_merged(nrm, Gc, table: str):
     """Jn_ang (N,C,72): per-contact normal-projected angular rows,
     Σ_i n_i·Gc[3c+i] (the merged analog of nᵀ·Jc's angular part)."""
     _, _, P, FLC, _ = _merged_point_statics(table)
-    nrm_m = jnp.einsum("nci,cir->nr", nrm, jnp.asarray(FLC))
-    return jnp.einsum("cr,nrd->ncd", jnp.asarray(P),
-                      nrm_m[..., None] * Gc)
+    rdt = Gc.dtype
+    nrm_m = jnp.einsum("nci,cir->nr", nrm, jnp.asarray(FLC)).astype(rdt)
+    return jnp.einsum("cr,nrd->ncd", jnp.asarray(P, rdt),
+                      nrm_m[..., None] * Gc,
+                      preferred_element_type=jnp.float32).astype(rdt)
 
 
 def _q_contact_merged(kpen_g, nrm_g, kpen_all, Jn_a_all):
@@ -536,39 +557,45 @@ def _assemble_lhs_rhs(model: Model, G, W, q, v_b, w_b, f_lin, dt, Q_rest,
 
 def _assemble_lhs_merged(model: Model, G, W, diag, ground, selfrows,
                          table: str):
+    """ONE weighted Gram matmul for the whole 75×75 LHS.
+
+    Every LHS term is Σ_rows w·r rᵀ for a row family r = [lin(3) | ang(72)]:
+      body rows    r = [e_i | G_m],    w = m_k        (Jvᵀ m Jv, all blocks)
+      inertia rows r = [0   | W_m],    w = 1          (WᵀW)
+      point rows   r = [e_i | Gc_r],   w = wt_c       (wt·JcᵀJc)
+      normal rows  r = [n_c | Jn_c],   w = wn_c−wt_c  ((wn−wt)·JnᵀJn)
+      self rows    r = [0   | ·],      pair-difference linear columns cancel
+    so stacking them into R (N, M, 75) and contracting (w∘R)ᵀR emits the
+    full matrix — lin-lin corner, lin-ang strips, ang-ang block — in a
+    single batched dot (75 lanes pad to the same 128 as 72: the strips are
+    FREE). Replaces 9 small batched matmuls + block concats whose operand
+    re-reads made the LHS the chain's HBM bill (scripts/merge_attribution.py:
+    chain = 74% of the step; bf16 rows halve the remaining traffic)."""
     p = model.params
     Gc, Jn_a, nrm, wn, wt = ground
     _, _, _, _, ISELC = _merged_point_statics(table)
-    isel = jnp.asarray(_ISEL_M)
-    iselc = jnp.asarray(ISELC)
+    rdt = G.dtype
+    N = G.shape[0]
+    isel = jnp.broadcast_to(jnp.asarray(_ISEL_M, rdt), (N, MROWS, 3))
+    iselc = jnp.broadcast_to(jnp.asarray(ISELC, rdt), (N,) + ISELC.shape)
     mass_m = jnp.repeat(p.mass, 3, axis=-1)              # (N,72)
-    wt_r = jnp.repeat(wt, 3, axis=-1)                    # (N,3C)
-    wnt = wn - wt
-    mG = mass_m[..., None] * G
-    wGc = wt_r[..., None] * Gc
-    wJn = wnt[..., None] * Jn_a
-    # ang-ang block (72,72,N)
-    A_aa = jnp.einsum("nmc,nmd->cdn", mG, G)
-    A_aa = A_aa + jnp.einsum("nmc,nmd->cdn", W, W)
-    A_aa = A_aa + jnp.einsum("nrc,nrd->cdn", wGc, Gc)
-    A_aa = A_aa + jnp.einsum("ncd,nce->den", wJn, Jn_a)
-    # lin-ang strip (3,72,N): Jv_lin is identity per body / per contact row
-    A_la = jnp.einsum("nmc,mi->icn", mG, isel)
-    A_la = A_la + jnp.einsum("nrc,ri->icn", wGc, iselc)
-    A_la = A_la + jnp.einsum("nci,ncd->idn", wnt[..., None] * nrm, Jn_a)
-    # lin-lin corner (3,3,N)
-    s0 = p.mass.sum(-1) + wt.sum(-1)
-    A_ll = (jnp.eye(3, dtype=G.dtype)[:, :, None] * s0[None, None, :]
-            + jnp.einsum("nci,ncj->ijn", wnt[..., None] * nrm, nrm))
+    rows = [jnp.concatenate([isel, G], -1),
+            jnp.concatenate([jnp.zeros((N, MROWS, 3), rdt), W], -1),
+            jnp.concatenate([iselc, Gc], -1),
+            jnp.concatenate([nrm.astype(rdt), Jn_a], -1)]
+    wgt = [mass_m, jnp.ones_like(mass_m),
+           jnp.repeat(wt, 3, axis=-1), wn - wt]
     if selfrows is not None:
         Gcs, Jn_sa, wn_s, wt_s = selfrows
-        wts_r = jnp.repeat(wt_s, 3, axis=-1)
-        A_aa = A_aa + jnp.einsum("nrc,nrd->cdn", wts_r[..., None] * Gcs, Gcs)
-        A_aa = A_aa + jnp.einsum("ncd,nce->den",
-                                 (wn_s - wt_s)[..., None] * Jn_sa, Jn_sa)
-    top = jnp.concatenate([A_ll, A_la], axis=1)          # (3,75,N)
-    bot = jnp.concatenate([jnp.swapaxes(A_la, 0, 1), A_aa], axis=1)
-    At = jnp.concatenate([top, bot], axis=0)             # (75,75,N)
+        rows += [jnp.concatenate(
+                     [jnp.zeros(Gcs.shape[:2] + (3,), rdt), Gcs], -1),
+                 jnp.concatenate(
+                     [jnp.zeros(Jn_sa.shape[:2] + (3,), rdt), Jn_sa], -1)]
+        wgt += [jnp.repeat(wt_s, 3, axis=-1), wn_s - wt_s]
+    R = jnp.concatenate(rows, axis=1)                    # (N, M, 75)
+    wv = jnp.concatenate(wgt, axis=1).astype(rdt)        # (N, M)
+    At = jnp.einsum("nmc,nmd->cdn", wv[..., None] * R, R,
+                    preferred_element_type=jnp.float32)
     return At + jnp.eye(NU, dtype=At.dtype)[:, :, None] * diag.T[:, None, :]
 
 
@@ -582,13 +609,17 @@ def _assemble_rhs_merged(model: Model, G, W, q, v_b, w_b, f_lin, dt, Q_rest):
     exactly ONCE here; the identity linear block reduces to a body sum."""
     p = model.params
     fl = jnp.asarray(_FL_M)
+    rdt = G.dtype
     fvec = p.mass[..., None] * v_b + dt * f_lin          # (N,B,3)
-    fm = jnp.einsum("nki,kim->nm", fvec, fl)
+    fm = jnp.einsum("nki,kim->nm", fvec, fl).astype(rdt)
     v2 = jnp.sqrt(p.inertia) * quat.rotate_inv(q, w_b)
-    v2m = jnp.einsum("nki,kim->nm", v2, fl)
+    v2m = jnp.einsum("nki,kim->nm", v2, fl).astype(rdt)
     Mu = jnp.concatenate(
         [fvec.sum(axis=1).T,
-         jnp.einsum("nmc,nm->cn", G, fm) + jnp.einsum("nmc,nm->cn", W, v2m)],
+         jnp.einsum("nmc,nm->cn", G, fm,
+                    preferred_element_type=jnp.float32)
+         + jnp.einsum("nmc,nm->cn", W, v2m,
+                      preferred_element_type=jnp.float32)],
         axis=0)                                          # (75,N)
     return Mu + dt * Q_rest.T
 
@@ -1091,7 +1122,8 @@ def _contact_and_jacobians(model: Model, terrain, st: PhysicsState,
 
     piv_j = x[:, 1:] + quat.rotate(q[:, 1:], model.anchor_c[:, 1:])
     pivots_x = jnp.concatenate([x[:, 0:1], piv_j], axis=1)
-    G, W, t2m = _build_rows_merged(model, x, q, pivots_x)
+    rdt = jnp.bfloat16 if cfg.rows_bf16 else jnp.float32
+    G, W, t2m = _build_rows_merged(model, x, q, pivots_x, rdt)
 
     diag_joint = dt * p.kd + dt * dt * p.kp
     diag = jnp.concatenate([
@@ -1174,7 +1206,9 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     piv_j = x[:, 1:] + quat.rotate(q[:, 1:], model.anchor_c[:, 1:])
     pivots_x = jnp.concatenate([x[:, 0:1], piv_j], axis=1)   # (N,24ext,3)
 
-    G, W, t2m = _build_rows_merged(model, x, q, pivots_x)
+    G, W, t2m = _build_rows_merged(
+        model, x, q, pivots_x,
+        jnp.bfloat16 if cfg.rows_bf16 else jnp.float32)
 
     gvec = jnp.array([0.0, 0.0, cfg.gravity])
     f_lin, Q_rest = _gravity_bias_spring(model, x, q, v_b, w_b, u,

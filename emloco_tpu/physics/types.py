@@ -63,6 +63,17 @@ class EngineConfig(struct.PyTreeNode):
     # the same once-per-step Jacobian approximation PhysX TGS makes
     # (pacer.yaml:94-99). False = fully re-assembled implicit substeps.
     tgs_step: bool = struct.field(pytree_node=False, default=True)
+    # store the merged Jacobian row tensors (G, W, t2m, Gc, Jn) in bfloat16:
+    # the factor chain is HBM-bound on these (N,·,72) arrays (measured 6.9 ms
+    # = 74% of the 9.35 ms step at 4,096 envs, scripts/merge_attribution.py)
+    # and TPU matmuls already compute in bf16 with f32 accumulation, so
+    # halving row storage halves the chain's memory traffic. Penetrations,
+    # forces, the assembled LHS/RHS, and the solve stay float32; rows carry
+    # ~0.4% relative rounding — the same order as PhysX's f32 iterative
+    # solver tolerances. Equivalence vs the 4-D f32 oracle is pinned with
+    # rows_bf16=False; physics-quality invariants (standing force, energy)
+    # are pinned WITH it on (tests/test_engine.py).
+    rows_bf16: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def substep_dt(self) -> float:

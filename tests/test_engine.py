@@ -712,3 +712,28 @@ def test_mesh_colliders_beta_variation_shifts_contacts():
     p1 = acc[1] / acc[1].sum()
     # the two shapes load the ground through measurably different bodies
     assert np.abs(p0 - p1).sum() > 0.05, np.abs(p0 - p1).sum()
+
+
+def test_bf16_rows_match_f32_physics():
+    """cfg.rows_bf16 (default) stores the merged Jacobian rows in bfloat16
+    to halve the factor chain's HBM traffic (scripts/merge_attribution.py:
+    the chain is ~74% of the production step). The rounding enters only
+    through the row projections — forces, penetrations, the assembled
+    LHS/RHS, and the solve stay f32 — so settled physics must agree with
+    the f32 rows path to well under a percent."""
+    model, terrain = make_world(2)
+    st_lo = rest_state(model)
+    st_hi = st_lo
+    cfg_lo = EngineConfig()                 # rows_bf16=True default
+    cfg_hi = EngineConfig(rows_bf16=False)
+    tgt = jnp.zeros((2, 23, 3))
+    for _ in range(60):                     # 2 s, settled standing
+        st_lo = step(model, terrain, st_lo, tgt, cfg_lo)
+        st_hi = step(model, terrain, st_hi, tgt, cfg_hi)
+    f_lo = float(st_lo.contact_force[..., 2].sum(-1).mean())
+    f_hi = float(st_hi.contact_force[..., 2].sum(-1).mean())
+    assert abs(f_lo - f_hi) / f_hi < 0.01, (f_lo, f_hi)
+    dz = np.abs(np.asarray(st_lo.root_pos - st_hi.root_pos))
+    assert dz.max() < 2e-3, dz.max()        # rest trajectory within 2 mm
+    du = np.abs(np.asarray(st_lo.u - st_hi.u))
+    assert du.max() < 0.05, du.max()
