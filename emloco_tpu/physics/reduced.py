@@ -42,7 +42,8 @@ from flax import struct
 from ..kinematics import body_model as bm
 from ..kinematics.skeleton import forward_kinematics
 from ..ops import quat
-from .terrain import Heightfield, height_and_normal_at
+from .terrain import (Heightfield, corner_patch, height_and_normal_at,
+                      height_and_normal_at_patch)
 from .types import EngineConfig
 
 B = bm.NUM_BODIES            # 24
@@ -958,6 +959,18 @@ def _ground_geometry(model: Model, x, q, cfg):
     return pts, radius, _CONTACT_BODY
 
 
+def _terrain_contact_lookup(terrain, x, pts, cfg: EngineConfig):
+    """Contact-path height+normal: per-env corner-patch window when
+    cfg.terrain_patch is set (one gather row per env), else the direct
+    global corner-texture gather (one row per contact point)."""
+    if cfg.terrain_patch and terrain.corner_tex is not None:
+        patch, xb, yb = corner_patch(terrain, x[:, 0, :2],
+                                     cfg.terrain_patch)
+        return height_and_normal_at_patch(terrain, patch, xb, yb,
+                                          pts[..., :2])
+    return height_and_normal_at(terrain, pts[..., :2])
+
+
 def _contact_points(model: Model, x, q):
     """Capsule end-sphere centers: body_x is the capsule center (COM), so the
     two sphere centers sit at ∓axis·half in the COM frame."""
@@ -1134,7 +1147,7 @@ def _contact_and_jacobians(model: Model, terrain, st: PhysicsState,
 
     table = "mesh" if cfg.mesh_contacts else "capsule"
     pts, radius, ground_body = _ground_geometry(model, x, q, cfg)
-    h, nrm = height_and_normal_at(terrain, pts[..., :2])
+    h, nrm = _terrain_contact_lookup(terrain, x, pts, cfg)
     pen = (h + radius - pts[..., 2]) * nrm[..., 2]
     active = (pen > 0.0).astype(x.dtype)
     Gc = _point_rows_merged(pts, table, t2m)
@@ -1228,7 +1241,7 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     # friction, active-set masked ----
     table = "mesh" if cfg.mesh_contacts else "capsule"
     pts, radius, ground_body = _ground_geometry(model, x, q, cfg)
-    h, nrm = height_and_normal_at(terrain, pts[..., :2])  # one packed gather
+    h, nrm = _terrain_contact_lookup(terrain, x, pts, cfg)
     pen = (h + radius - pts[..., 2]) * nrm[..., 2]
     active = (pen > 0.0).astype(x.dtype)
 

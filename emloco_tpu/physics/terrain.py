@@ -12,6 +12,7 @@ builds terrain, once per training run).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -146,6 +147,46 @@ def height_and_normal_at(hf: Heightfield, xy: jnp.ndarray):
     cost; see Heightfield.corner_tex)."""
     x0, y0, fx, fy = _bilinear_parts(hf, xy)
     h00, h10, h01, h11 = _corners(hf, x0, y0)
+    h = (h00 * (1 - fx) * (1 - fy) + h10 * fx * (1 - fy)
+         + h01 * (1 - fx) * fy + h11 * fx * fy)
+    return h, _normal_from_corners(hf, h00, h10, h01, h11, fx, fy)
+
+
+def corner_patch(hf: Heightfield, center_xy: jnp.ndarray, size: int):
+    """Per-env local window of the packed corner texture, fetched as ONE
+    dynamic-slice row per env (a vmapped dynamic_slice lowers to a gather
+    whose per-ROW cost is what TPU charges — one row per env instead of one
+    per contact point). Returns (patch (N, s, s, 4), xb (N,), yb (N,)) with
+    the window clamped inside the grid; s = min(size, H-1, W-1)."""
+    gx, gy = _grid_coords_xy(hf, center_xy[..., 0], center_xy[..., 1])
+    H, W = hf.heights.shape
+    sx = min(size, H - 1)
+    sy = min(size, W - 1)
+    xb = jnp.clip(jnp.floor(gx).astype(jnp.int32) - sx // 2, 0, H - 1 - sx)
+    yb = jnp.clip(jnp.floor(gy).astype(jnp.int32) - sy // 2, 0, W - 1 - sy)
+    patch = jax.vmap(lambda a, b: jax.lax.dynamic_slice(
+        hf.corner_tex, (a, b, 0), (sx, sy, 4)))(xb, yb)
+    return patch, xb, yb
+
+
+def height_and_normal_at_patch(hf: Heightfield, patch, xb, yb,
+                               xy: jnp.ndarray):
+    """height_and_normal_at through a corner_patch window: identical math,
+    the per-point corner fetch done by two one-hot contractions inside the
+    per-env patch (matmuls instead of gather rows). Exact wherever the
+    query's cell lies inside the window; points farther than ~size/2 cells
+    from the patch center clamp to the window edge (contact points live
+    within the humanoid's ~1.2 m reach of the root, so a 32-cell window at
+    0.1 m cells has 1.6 m of margin)."""
+    x0, y0, fx, fy = _bilinear_parts(hf, xy)             # (N, C)
+    sx, sy = patch.shape[1], patch.shape[2]
+    lx = jnp.clip(x0 - xb[:, None], 0, sx - 1)
+    ly = jnp.clip(y0 - yb[:, None], 0, sy - 1)
+    ohx = (lx[..., None] == jnp.arange(sx)).astype(patch.dtype)
+    ohy = (ly[..., None] == jnp.arange(sy)).astype(patch.dtype)
+    rows = jnp.einsum("ncs,nstk->nctk", ohx, patch)      # (N, C, sy, 4)
+    t = jnp.einsum("nct,nctk->nck", ohy, rows)           # (N, C, 4)
+    h00, h10, h01, h11 = t[..., 0], t[..., 1], t[..., 2], t[..., 3]
     h = (h00 * (1 - fx) * (1 - fy) + h10 * fx * (1 - fy)
          + h01 * (1 - fx) * fy + h11 * fx * fy)
     return h, _normal_from_corners(hf, h00, h10, h01, h11, fx, fy)

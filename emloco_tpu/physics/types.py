@@ -74,6 +74,14 @@ class EngineConfig(struct.PyTreeNode):
     # rows_bf16=False; physics-quality invariants (standing force, energy)
     # are pinned WITH it on (tests/test_engine.py).
     rows_bf16: bool = struct.field(pytree_node=False, default=True)
+    # contact-path terrain lookup through a per-env corner-texture window of
+    # this many cells (0 = direct global gather): one dynamic-slice row per
+    # env + one-hot interpolation matmuls replace one gather row per contact
+    # point (TPU gathers charge per row). Exact while contact points stay
+    # within ~(patch/2)·cell of the root — 1.6 m at the default 0.1 m cells,
+    # vs the humanoid's ~1.2 m reach; farther points clamp to the window
+    # edge (such states are termination-bound ragdoll flights).
+    terrain_patch: int = struct.field(pytree_node=False, default=0)
 
     @property
     def substep_dt(self) -> float:

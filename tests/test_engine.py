@@ -737,3 +737,43 @@ def test_bf16_rows_match_f32_physics():
     assert dz.max() < 2e-3, dz.max()        # rest trajectory within 2 mm
     du = np.abs(np.asarray(st_lo.u - st_hi.u))
     assert du.max() < 0.05, du.max()
+
+
+def test_terrain_patch_lookup_matches_global():
+    """cfg.terrain_patch routes the contact-path terrain lookup through a
+    per-env corner-texture window (one dynamic-slice row per env + one-hot
+    interpolation) instead of one gather row per contact point. Same
+    corners, same math — heights and normals must be EXACT wherever the
+    contact points lie within the window, including envs whose window
+    clamps at the grid border."""
+    from emloco_tpu.physics.terrain import (corner_patch, height_and_normal_at,
+                                            height_and_normal_at_patch,
+                                            make_heightfield)
+    rng = np.random.RandomState(3)
+    hf = make_heightfield(rng.uniform(-0.3, 0.3, (64, 80)).astype(np.float32),
+                          cell=0.1, origin=(-3.2, -4.0),
+                          spawnable_xy=np.zeros((1, 2), np.float32))
+    N, C = 16, 28
+    # roots spread over the grid incl. the borders; points within 1.2 m
+    root = jnp.asarray(rng.uniform([-3.2, -4.0], [3.2, 4.0], (N, 2)),
+                       jnp.float32)
+    pts = root[:, None] + jnp.asarray(rng.uniform(-1.2, 1.2, (N, C, 2)),
+                                      jnp.float32)
+    h_g, n_g = height_and_normal_at(hf, pts)
+    patch, xb, yb = corner_patch(hf, root, 32)
+    h_p, n_p = height_and_normal_at_patch(hf, patch, xb, yb, pts)
+    np.testing.assert_array_equal(np.asarray(h_g), np.asarray(h_p))
+    np.testing.assert_array_equal(np.asarray(n_g), np.asarray(n_p))
+
+    # and through the engine: one step on rough terrain, patch vs global
+    model, _ = make_world(2)
+    st = rest_state(model)
+    tgt = jnp.zeros((2, 23, 3))
+    cfg_g = EngineConfig()
+    cfg_p = EngineConfig(terrain_patch=32)
+    s_g, s_p = st, st
+    for _ in range(30):
+        s_g = step(model, hf, s_g, tgt, cfg_g)
+        s_p = step(model, hf, s_p, tgt, cfg_p)
+    np.testing.assert_allclose(np.asarray(s_g.root_pos),
+                               np.asarray(s_p.root_pos), atol=1e-6)
