@@ -209,6 +209,35 @@ def _triangular_solves(w_ref, y_ref, z_ref, limbs, s_lo):
             z_ref[k, :] = (y_ref[k, :] - acc) / w_ref[k, k, :]
 
 
+def _permute_matrix_in_bm(w_ref, a_ref, chunks):
+    """Batch-major variant: a_ref block is (LANES, M, M) — XLA's native
+    batched-dot output layout — and the permute FUSES the env-last
+    transpose into the chunk moves (VMEM relayout instead of an HBM
+    round-trip through a materialized (M, M, N) array)."""
+    roff = 0
+    for rlo, rhi in chunks:
+        coff = 0
+        for clo, chi in chunks:
+            w_ref[roff:roff + rhi - rlo, coff:coff + chi - clo, :] = \
+                jnp.transpose(a_ref[:, rlo:rhi, clo:chi], (1, 2, 0))
+            coff += chi - clo
+        roff += rhi - rlo
+
+
+def _permute_vec_in_bm(y_ref, b_ref, chunks):
+    off = 0
+    for lo, hi in chunks:
+        y_ref[off:off + hi - lo, :] = b_ref[:, lo:hi].T
+        off += hi - lo
+
+
+def _permute_vec_out_bm(x_ref, z_ref, chunks):
+    off = 0
+    for lo, hi in chunks:
+        x_ref[:, lo:hi] = z_ref[off:off + hi - lo, :].T
+        off += hi - lo
+
+
 def _chol_solve_blocked_kernel(a_ref, b_ref, x_ref, w_ref, y_ref, z_ref,
                                *, chunks, limbs, s_lo):
     """Permuted block-arrow Cholesky solve (fused factor+solve). chunks:
@@ -351,6 +380,145 @@ def cholesky_resolve_blocked_t(L: jnp.ndarray, bt: jnp.ndarray,
         interpret=interpret,
     )(L, bt)
     return x[:, :N]
+
+
+def _chol_solve_blocked_bm_kernel(a_ref, b_ref, x_ref, w_ref, y_ref, z_ref,
+                                  *, chunks, limbs, s_lo):
+    """Batch-major fused solve: A (LANES, M, M), b (LANES, M) blocks; the
+    env-last relayout the solve math needs happens inside the permutes."""
+    _permute_matrix_in_bm(w_ref, a_ref, chunks)
+    _permute_vec_in_bm(y_ref, b_ref, chunks)
+    _factor_body(w_ref, limbs, s_lo)
+    _triangular_solves(w_ref, y_ref, z_ref, limbs, s_lo)
+    _permute_vec_out_bm(x_ref, z_ref, chunks)
+
+
+def _chol_factor_blocked_bm_kernel(a_ref, l_ref, w_ref, *, chunks, limbs,
+                                   s_lo):
+    """Batch-major factor: A block (LANES, M, M) in; L stays env-last
+    (M, M, LANES) — it is produced and consumed only by these kernels."""
+    _permute_matrix_in_bm(w_ref, a_ref, chunks)
+    _factor_body(w_ref, limbs, s_lo)
+    l_ref[:] = w_ref[:]
+
+
+def _chol_resolve_blocked_bm_kernel(l_ref, b_ref, x_ref, y_ref, z_ref,
+                                    *, chunks, limbs, s_lo):
+    """Batch-major resolve: permuted env-last L, batch-major b/x blocks."""
+    _permute_vec_in_bm(y_ref, b_ref, chunks)
+    _triangular_solves(l_ref, y_ref, z_ref, limbs, s_lo)
+    _permute_vec_out_bm(x_ref, z_ref, chunks)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunks", "limbs", "s_lo", "interpret"))
+def cholesky_solve_blocked(A: jnp.ndarray, b: jnp.ndarray,
+                           chunks, limbs, s_lo: int,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Batch-major block-arrow SPD solve: A (N, M, M), b (N, M) → x (N, M).
+
+    Same block-arrow requirements as cholesky_solve_blocked_t. Takes the
+    batched-dot NATIVE layouts (XLA emits (n, c, d) from "nmc,nmd->ncd"
+    without a relayout) and fuses the env-last transpose the solve math
+    needs into the kernel's in-VMEM permute — the (M, M, N) relayout never
+    round-trips HBM."""
+    M = A.shape[-1]
+    N = A.shape[0]
+    pad = (-N) % LANES
+    if pad:
+        A = jnp.pad(A, ((0, pad), (0, 0), (0, 0)))
+        b = jnp.pad(b, ((0, pad), (0, 0)))
+    Nf = A.shape[0]
+    kernel = functools.partial(_chol_solve_blocked_bm_kernel,
+                               chunks=tuple(chunks), limbs=tuple(limbs),
+                               s_lo=s_lo)
+    x = pl.pallas_call(
+        kernel,
+        grid=(Nf // LANES,),
+        in_specs=[
+            pl.BlockSpec((LANES, M, M), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, M), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((LANES, M), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Nf, M), A.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((M, M, LANES), A.dtype),
+            pltpu.VMEM((M, LANES), A.dtype),
+            pltpu.VMEM((M, LANES), A.dtype),
+        ],
+        interpret=interpret,
+    )(A, b)
+    return x[:N]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunks", "limbs", "s_lo", "interpret"))
+def cholesky_factor_blocked(A: jnp.ndarray, chunks, limbs, s_lo: int,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Batch-major factor: A (N, M, M) → permuted env-last L (M, M, N)
+    for cholesky_resolve_blocked."""
+    M = A.shape[-1]
+    N = A.shape[0]
+    pad = (-N) % LANES
+    if pad:
+        A = jnp.pad(A, ((0, pad), (0, 0), (0, 0)))
+    Nf = A.shape[0]
+    kernel = functools.partial(_chol_factor_blocked_bm_kernel,
+                               chunks=tuple(chunks), limbs=tuple(limbs),
+                               s_lo=s_lo)
+    L = pl.pallas_call(
+        kernel,
+        grid=(Nf // LANES,),
+        in_specs=[pl.BlockSpec((LANES, M, M), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((M, M, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, M, Nf), A.dtype),
+        scratch_shapes=[pltpu.VMEM((M, M, LANES), A.dtype)],
+        interpret=interpret,
+    )(A)
+    return L[:, :, :N]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunks", "limbs", "s_lo", "interpret"))
+def cholesky_resolve_blocked(L: jnp.ndarray, b: jnp.ndarray,
+                             chunks, limbs, s_lo: int,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Batch-major resolve with a cholesky_factor_blocked factor:
+    L (M, M, N), b (N, M) → x (N, M)."""
+    M = L.shape[0]
+    N = L.shape[-1]
+    pad = (-N) % LANES
+    if pad:
+        L = jnp.pad(L, ((0, 0), (0, 0), (0, pad)))
+        b = jnp.pad(b, ((0, pad), (0, 0)))
+    Nf = L.shape[-1]
+    kernel = functools.partial(_chol_resolve_blocked_bm_kernel,
+                               chunks=tuple(chunks), limbs=tuple(limbs),
+                               s_lo=s_lo)
+    x = pl.pallas_call(
+        kernel,
+        grid=(Nf // LANES,),
+        in_specs=[
+            pl.BlockSpec((M, M, LANES), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, M), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((LANES, M), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Nf, M), L.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((M, LANES), L.dtype),
+            pltpu.VMEM((M, LANES), L.dtype),
+        ],
+        interpret=interpret,
+    )(L, b)
+    return x[:N]
 
 
 def backend_supports_pallas() -> bool:

@@ -536,7 +536,8 @@ def _q_contact_merged(kpen_g, nrm_g, kpen_all, Jn_a_all):
 
 
 def _assemble_lhs_rhs(model: Model, G, W, q, v_b, w_b, f_lin, dt, Q_rest,
-                      diag, ground, selfrows, table: str):
+                      diag, ground, selfrows, table: str,
+                      batch_major: bool = False):
     """Fused LHS/RHS assembly in the row-merged layout (PRODUCTION path).
 
     A = Jvᵀm Jv + WᵀW + wt·JcᵀJc + (wn−wt)·JnᵀJn + diag, composed from
@@ -551,13 +552,14 @@ def _assemble_lhs_rhs(model: Model, G, W, q, v_b, w_b, f_lin, dt, Q_rest,
     selfrows = None | (Gcs (N,3K,72), Jn_sa (N,K,72), wn_s, wt_s (N,K))
                — angular blocks only (pair rows' linear columns are zero).
     """
-    return (_assemble_lhs_merged(model, G, W, diag, ground, selfrows, table),
+    return (_assemble_lhs_merged(model, G, W, diag, ground, selfrows, table,
+                                 batch_major=batch_major),
             _assemble_rhs_merged(model, G, W, q, v_b, w_b, f_lin, dt,
-                                 Q_rest))
+                                 Q_rest, batch_major=batch_major))
 
 
 def _assemble_lhs_merged(model: Model, G, W, diag, ground, selfrows,
-                         table: str):
+                         table: str, batch_major: bool = False):
     """ONE weighted Gram matmul for the whole 75×75 LHS.
 
     Every LHS term is Σ_rows w·r rᵀ for a row family r = [lin(3) | ang(72)]:
@@ -595,13 +597,21 @@ def _assemble_lhs_merged(model: Model, G, W, diag, ground, selfrows,
         wgt += [jnp.repeat(wt_s, 3, axis=-1), wn_s - wt_s]
     R = jnp.concatenate(rows, axis=1)                    # (N, M, 75)
     wv = jnp.concatenate(wgt, axis=1).astype(rdt)        # (N, M)
+    if batch_major:
+        # XLA's native batched-dot layout (n, c, d) — no post-dot relayout;
+        # the batch-major Pallas solver transposes in VMEM instead
+        At = jnp.einsum("nmc,nmd->ncd", wv[..., None] * R, R,
+                        preferred_element_type=jnp.float32)
+        return At + jnp.eye(NU, dtype=At.dtype)[None] * diag[:, :, None]
     At = jnp.einsum("nmc,nmd->cdn", wv[..., None] * R, R,
                     preferred_element_type=jnp.float32)
     return At + jnp.eye(NU, dtype=At.dtype)[:, :, None] * diag.T[:, None, :]
 
 
-def _assemble_rhs_merged(model: Model, G, W, q, v_b, w_b, f_lin, dt, Q_rest):
-    """rhs = M·u + dt·Q via matvecs (no dense M), env-last (c, n).
+def _assemble_rhs_merged(model: Model, G, W, q, v_b, w_b, f_lin, dt, Q_rest,
+                         batch_major: bool = False):
+    """rhs = M·u + dt·Q via matvecs (no dense M), env-last (c, n) — or
+    batch-major (n, c) for the batch-major solver path.
 
     The forward matvecs never touch the Jacobians: Jv·u IS the body-
     velocity cache v_b, and W·u = √D·Rᵀ·w_b — both elementwise. The Gᵀ
@@ -615,6 +625,15 @@ def _assemble_rhs_merged(model: Model, G, W, q, v_b, w_b, f_lin, dt, Q_rest):
     fm = jnp.einsum("nki,kim->nm", fvec, fl).astype(rdt)
     v2 = jnp.sqrt(p.inertia) * quat.rotate_inv(q, w_b)
     v2m = jnp.einsum("nki,kim->nm", v2, fl).astype(rdt)
+    if batch_major:
+        Mu = jnp.concatenate(
+            [fvec.sum(axis=1),
+             jnp.einsum("nmc,nm->nc", G, fm,
+                        preferred_element_type=jnp.float32)
+             + jnp.einsum("nmc,nm->nc", W, v2m,
+                          preferred_element_type=jnp.float32)],
+            axis=-1)                                     # (N,75)
+        return Mu + dt * Q_rest
     Mu = jnp.concatenate(
         [fvec.sum(axis=1).T,
          jnp.einsum("nmc,nm->cn", G, fm,
@@ -1037,10 +1056,15 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
     predicted end-of-step penetration while RHS forces stay gated by true
     penetration (no adhesion)."""
     from .pallas_linalg import (backend_supports_pallas,
+                                cholesky_factor_blocked,
                                 cholesky_factor_blocked_t,
+                                cholesky_resolve_blocked,
                                 cholesky_resolve_blocked_t)
     dt = cfg.substep_dt
     use_pallas = backend_supports_pallas()
+    # batch-major only pairs with the blocked kernels (or the jnp fallback,
+    # which natively wants batch-major anyway)
+    bm = cfg.batch_major_solver and (cfg.blocked_solver or not use_pallas)
     gvec = jnp.array([0.0, 0.0, cfg.gravity])
     k_n = cfg.contact_stiffness
     d_n = cfg.contact_damping
@@ -1057,10 +1081,19 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
     Q_rest = Q_rest + _q_contact_merged(k_n * pen_f[:, :ng], nrm[:, :ng],
                                         k_n * pen_f, Jn_a_all)
     rhs_t = _assemble_rhs_merged(model, G, W, st.body_q, st.body_v,
-                                 st.body_w, f_lin, dt, Q_rest)
-    At = _assemble_lhs_merged(model, G, W, diag, ground, selfrows, table)
-    At = At + 1e-8 * jnp.eye(NU)[:, :, None]
-    if use_pallas:
+                                 st.body_w, f_lin, dt, Q_rest,
+                                 batch_major=bm)
+    At = _assemble_lhs_merged(model, G, W, diag, ground, selfrows, table,
+                              batch_major=bm)
+    At = At + 1e-8 * (jnp.eye(NU)[None] if bm else jnp.eye(NU)[:, :, None])
+    if use_pallas and bm:
+        L = cholesky_factor_blocked(At, _ARROW_CHUNKS, _ARROW_LIMBS,
+                                    _ARROW_S)
+
+        def resolve(rhs):
+            return cholesky_resolve_blocked(
+                L, rhs, _ARROW_CHUNKS, _ARROW_LIMBS, _ARROW_S)
+    elif use_pallas:
         L = cholesky_factor_blocked_t(At, _ARROW_CHUNKS, _ARROW_LIMBS,
                                       _ARROW_S)
 
@@ -1068,10 +1101,11 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
             return cholesky_resolve_blocked_t(
                 L, rhs, _ARROW_CHUNKS, _ARROW_LIMBS, _ARROW_S).T
     else:
-        L = jnp.linalg.cholesky(jnp.moveaxis(At, -1, 0))
+        L = jnp.linalg.cholesky(At if bm else jnp.moveaxis(At, -1, 0))
 
         def resolve(rhs):
-            return jax.scipy.linalg.cho_solve((L, True), rhs.T)
+            return jax.scipy.linalg.cho_solve((L, True),
+                                              rhs if bm else rhs.T)
 
     onehot = _readback_onehot(cfg)
     u_new = _velocity_clamp(resolve(rhs_t), cfg)
@@ -1106,7 +1140,7 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
         Q_r = Q_r + _q_contact_merged(k_n * pf[:, :ng], nrm[:, :ng],
                                       k_n * pf, Jn_a_all)
         rhs = _assemble_rhs_merged(model, G, W, st.body_q, st.body_v,
-                                   st.body_w, f_l, dt, Q_r)
+                                   st.body_w, f_l, dt, Q_r, batch_major=bm)
         u2 = _velocity_clamp(resolve(rhs), cfg)
         st2 = _integrate_pose(model, st, u2, dt, tree)
         cf = _readback_contact(st2, pts, ground_body, self_pts, nrm, act,
@@ -1298,19 +1332,25 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     Q_rest = Q_rest + _q_contact_merged(k_n * pen_f[:, :ng], nrm_g,
                                         k_n * pen_f, Jn_a_all)
 
-    At, rhs_t = _assemble_lhs_rhs(model, G, W, q, v_b, w_b, f_lin, dt,
-                                  Q_rest, diag, (Gc, Jn_a, nrm_g, wn, wt),
-                                  selfrows, table)
-    # env-last (·,·,N)
-
-    # ---- solve ----
     from .pallas_linalg import (backend_supports_pallas,
+                                cholesky_solve_blocked,
                                 cholesky_solve_blocked_t,
                                 cholesky_solve_soa_t)
-    At = At + 1e-8 * jnp.eye(NU)[:, :, None]
-    if backend_supports_pallas():
+    use_pallas = backend_supports_pallas()
+    bm = cfg.batch_major_solver and (cfg.blocked_solver or not use_pallas)
+    At, rhs_t = _assemble_lhs_rhs(model, G, W, q, v_b, w_b, f_lin, dt,
+                                  Q_rest, diag, (Gc, Jn_a, nrm_g, wn, wt),
+                                  selfrows, table, batch_major=bm)
+    # env-last (·,·,N), or batch-major (N,·,·) when bm
+
+    # ---- solve ----
+    At = At + 1e-8 * (jnp.eye(NU)[None] if bm else jnp.eye(NU)[:, :, None])
+    if use_pallas:
         # SoA Pallas kernel: one HBM read of A, factorization stays in VMEM
-        if cfg.blocked_solver:
+        if cfg.blocked_solver and bm:
+            u_new = cholesky_solve_blocked(
+                At, rhs_t, _ARROW_CHUNKS, _ARROW_LIMBS, _ARROW_S)
+        elif cfg.blocked_solver:
             # block-arrow factorization along the tree's branch-induced
             # sparsity (zero fill-in, exact) — ~5× fewer VPU flops
             u_new = cholesky_solve_blocked_t(
@@ -1318,9 +1358,9 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
         else:
             u_new = cholesky_solve_soa_t(At, rhs_t).T
     else:
-        A = jnp.moveaxis(At, -1, 0)
-        L = jnp.linalg.cholesky(A)
-        u_new = jax.scipy.linalg.cho_solve((L, True), rhs_t.T)
+        L = jnp.linalg.cholesky(At if bm else jnp.moveaxis(At, -1, 0))
+        u_new = jax.scipy.linalg.cho_solve((L, True),
+                                           rhs_t if bm else rhs_t.T)
 
     u_new = _velocity_clamp(u_new, cfg)
     st2 = _integrate_pose(model, state, u_new, dt, tree)

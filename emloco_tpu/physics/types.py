@@ -82,6 +82,14 @@ class EngineConfig(struct.PyTreeNode):
     # vs the humanoid's ~1.2 m reach; farther points clamp to the window
     # edge (such states are termination-bound ragdoll flights).
     terrain_patch: int = struct.field(pytree_node=False, default=0)
+    # assemble the LHS/RHS in batch-major (N, 75, 75)/(N, 75) — the layouts
+    # XLA's batched dot emits natively — and let the Pallas solver fuse the
+    # env-last relayout its lane math needs into its in-VMEM permute. Kills
+    # the HBM round-trip of the (75,75,N) transpose that the env-last
+    # emission otherwise pays after the Gram matmul. Only meaningful with
+    # blocked_solver (the SoA kernel has no batch-major entry; without
+    # Pallas the jnp fallback natively wants batch-major anyway).
+    batch_major_solver: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def substep_dt(self) -> float:

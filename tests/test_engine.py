@@ -777,3 +777,41 @@ def test_terrain_patch_lookup_matches_global():
         s_p = step(model, hf, s_p, tgt, cfg_p)
     np.testing.assert_allclose(np.asarray(s_g.root_pos),
                                np.asarray(s_p.root_pos), atol=1e-6)
+
+
+def test_batch_major_solver_matches_default():
+    """cfg.batch_major_solver assembles the LHS/RHS in XLA's native batched
+    layouts (N,75,75)/(N,75) and the batch-major Pallas kernels fuse the
+    env-last relayout into their in-VMEM permutes. Kernel outputs must be
+    exact vs the env-last kernels (interpret mode), and engine trajectories
+    must agree with the default path (bf16 rows make the only difference a
+    contraction-order rounding)."""
+    from emloco_tpu.physics import pallas_linalg as PL
+    from emloco_tpu.physics import reduced as R
+
+    model, terrain = make_world(4)
+    st0 = rest_state(model)
+    tgt = jnp.zeros((4, 23, 3))
+    sA, sB = st0, st0
+    for _ in range(40):
+        sA = step(model, terrain, sA, tgt, EngineConfig())
+        sB = step(model, terrain, sB, tgt,
+                  EngineConfig(batch_major_solver=True))
+    assert float(jnp.abs(sA.root_pos - sB.root_pos).max()) < 1e-4
+    assert float(jnp.abs(sA.u - sB.u).max()) < 0.01
+
+    # kernel-level exactness on a real assembled LHS (interpret mode)
+    (G, W, ground, selfrows, *rest) = R._contact_and_jacobians(
+        model, terrain, st0, EngineConfig())
+    table, diag = rest[-1], rest[5]
+    At = R._assemble_lhs_merged(model, G, W, diag, ground, selfrows,
+                                table) + 1e-6 * jnp.eye(R.NU)[:, :, None]
+    At_bm = jnp.moveaxis(At, -1, 0)
+    b = jnp.asarray(np.random.RandomState(0).randn(4, R.NU), jnp.float32)
+    args = (R._ARROW_CHUNKS, R._ARROW_LIMBS, R._ARROW_S)
+    x_t = PL.cholesky_solve_blocked_t(At, b.T, *args, interpret=True).T
+    x_bm = PL.cholesky_solve_blocked(At_bm, b, *args, interpret=True)
+    np.testing.assert_array_equal(np.asarray(x_t), np.asarray(x_bm))
+    L_bm = PL.cholesky_factor_blocked(At_bm, *args, interpret=True)
+    x2 = PL.cholesky_resolve_blocked(L_bm, b, *args, interpret=True)
+    np.testing.assert_array_equal(np.asarray(x_t), np.asarray(x2))
