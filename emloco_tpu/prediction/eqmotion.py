@@ -32,6 +32,19 @@ from flax import struct
 from . import metrics as M
 
 
+def _safe_arccos(cos):
+    """arccos with the reference's [-1,1] clamp (model_t.py:119) but a
+    bounded gradient: d/dx arccos is -1/sqrt(1-x²) = -inf at the clamp
+    boundary, and real ETH-UCY tracks are grid-interpolated straight lines
+    whose turning-cos is EXACTLY 1 — torch/jax both emit inf->NaN grads
+    there (the reference survives only because mocap data is noisy).
+    Forward value is exact; the gradient is evaluated eps inside."""
+    c = jnp.clip(cos, -1.0, 1.0)
+    safe = jnp.clip(c, -1.0 + 1e-6, 1.0 - 1e-6)
+    return (jnp.arccos(safe)
+            + jax.lax.stop_gradient(jnp.arccos(c) - jnp.arccos(safe)))
+
+
 @dataclasses.dataclass(frozen=True)
 class EqMotionConfig:
     past_length: int = 8
@@ -105,7 +118,7 @@ class EqMotion(nn.Module):
         vp = jnp.concatenate([vel[:, :, :1], vel[:, :, :-1]], 2)
         cos = jnp.sum(vp * vel, -1) / (
             jnp.linalg.norm(vp, axis=-1) * speed + 1e-6)
-        angle = jnp.arccos(jnp.clip(cos, -1, 1))
+        angle = _safe_arccos(cos)
         h = nn.Dense(c.hidden_nf // 2)(speed)
         h = jnp.concatenate([h, nn.Dense(c.hidden_nf // 2)(angle)], -1)
 
@@ -170,7 +183,13 @@ class EqMotionTrainer:
 
         def loss_fn(p):
             pred = self.model.apply(p, past)              # (B,A,M,Tf,2)
-            err = jnp.linalg.norm(pred[:, 0] - future[:, 0:1], axis=-1)
+            # sqrt(Σd²+1e-12), not linalg.norm: real scenes contain standing
+            # pedestrians whose window is one repeated point — the model's
+            # translation-equivariant init predicts the future EXACTLY there
+            # (z=0 → heads emit center), and norm's gradient at 0 is NaN,
+            # which one Adam step spreads to every parameter.
+            d = pred[:, 0] - future[:, 0:1]
+            err = jnp.sqrt(jnp.sum(d * d, -1) + 1e-12)
             wta = err.mean(-1).min(-1).mean()             # ego-agent WTA
             total = wta
             vloss = 0.0
@@ -429,7 +448,18 @@ def ethucy_windows(path: str, past: int = 8, future: int = 12,
     equivariant message weights vanish; the reference instead carries a
     validity mask, get_valid_mask2, main_eth_diverse.py:258).
 
+    `path` may be a comma-separated list of txt files (the leave-one-out
+    protocol trains on several scenes): windows are built PER FILE and
+    concatenated — frame ids collide across scenes, so sliding one window
+    over a naive row concat would fabricate cross-scene co-presence.
+
     Returns (past (S, A, Tp, 2), future (S, A, Tf, 2)) float32 arrays."""
+    if "," in path:
+        parts = [ethucy_windows(p, past, future, num_agents, stride,
+                                pad_offset)
+                 for p in path.split(",") if p]
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
     frames, table = read_ethucy_txt(path)
     T = past + future
     past_out, future_out = [], []

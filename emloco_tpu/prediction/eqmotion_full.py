@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .eqmotion import _safe_arccos
+
 
 def _safe_norm(d, axis=-1):
     """sqrt(Σd²+1e-12): forward-identical to torch.norm at 2e-4 tolerance,
@@ -207,7 +209,7 @@ class EqMotionFull(nn.Module):
         cos = jnp.sum(vel_pre * vel, -1) / (
             (jnp.linalg.norm(vel_pre, axis=-1) + 1e-6)
             * (jnp.linalg.norm(vel, axis=-1) + 1e-6))
-        vel_angle = jnp.arccos(jnp.clip(cos, -1.0, 1.0))
+        vel_angle = _safe_arccos(cos)
 
         x_center = jnp.mean(x, axis=(1, 2), keepdims=True)
         x = x - x_center
@@ -324,7 +326,9 @@ class EqMotionFullTrainer:
         def loss_fn(p):
             h, x, vel = self.featurize(past)
             pred, _ = self.model.apply(p, h, x, vel)
-            return jnp.mean(jnp.linalg.norm(pred - future, axis=-1))
+            # _safe_norm, not linalg.norm: a static joint the model predicts
+            # exactly puts norm's gradient at 0/0 (see eqmotion.py loss_fn)
+            return jnp.mean(_safe_norm(pred - future))
 
         loss, grads = _jax.value_and_grad(loss_fn)(params)
         updates, opt_state = self.tx.update(grads, opt_state, params)

@@ -560,6 +560,24 @@ def test_ethucy_reader_and_training():
     assert np.isfinite(last) and last < first
 
 
+def test_ethucy_windows_multi_file():
+    """Comma-separated scene lists build windows PER FILE (the leave-one-out
+    protocol trains on several scenes whose frame ids collide; reference
+    main_eth_diverse.py concatenates per-scene datasets, never raw rows):
+    the multi-file result is exactly the per-file results stacked."""
+    import os
+
+    from emloco_tpu.prediction.eqmotion import ethucy_windows
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "ethucy_fixture.txt")
+    p1, f1 = ethucy_windows(path, num_agents=4)
+    p2, f2 = ethucy_windows(f"{path},{path}", num_agents=4)
+    assert p2.shape[0] == 2 * p1.shape[0]
+    np.testing.assert_array_equal(p2, np.concatenate([p1, p1]))
+    np.testing.assert_array_equal(f2, np.concatenate([f1, f1]))
+
+
 def test_jrdb_2d_only_export_path(tmp_path):
     """2D-cue-only exports (reference Reader_jrdb_2dbox variant,
     trajnetplusplustools/reader.py:10-143 / jrdb_2dbox.yaml — the JRDB
