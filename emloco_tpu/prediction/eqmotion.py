@@ -361,26 +361,84 @@ def h36m_config(past=10, future=10, nmode=1) -> EqMotionConfig:
                           nmode=nmode)
 
 
+def load_md17_structure(molecule: str = "aspirin"):
+    """Real molecule bond topology for the MD17 domain: the reference ships
+    the heavy-atom adjacency its preprocess derives from the MD17 dumps
+    (md17/preprocess.py:59 → processed_dataset/aspirin_structure.npy, 13
+    atoms = aspirin's 9 C + 4 O). Returns the (N, N) 0/1 matrix, or None
+    when the mount is absent (callers fall back to the synthetic chain).
+    EMLOCO_MD17_DIR overrides the search path."""
+    import os
+    for root in (os.environ.get("EMLOCO_MD17_DIR"),
+                 "/root/reference/EqMotion/md17/processed_dataset"):
+        if not root:
+            continue
+        p = os.path.join(root, f"{molecule}_structure.npy")
+        if os.path.exists(p):
+            adj = np.load(p)
+            if adj.ndim == 2 and adj.shape[0] == adj.shape[1]:
+                return (np.asarray(adj) > 0.5).astype(np.float32)
+    return None
+
+
+def _embed_structure(adj: np.ndarray, bond_len: float = 1.4,
+                     iters: int = 800, seed: int = 0) -> np.ndarray:
+    """Deterministic 3-D equilibrium geometry for a bond graph: gradient
+    descent on harmonic bond springs (rest = bond_len) plus a short-range
+    repulsion between non-bonded atoms — the standard force-directed embed.
+    Host-side numpy; runs once per dataset like the reference's preprocess."""
+    n = adj.shape[0]
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, 3) * 0.5
+    bonded = adj > 0.5
+    np.fill_diagonal(bonded, True)                        # mask self-pairs
+    for _ in range(iters):
+        d = x[:, None] - x[None]                          # (N,N,3)
+        dist = np.sqrt((d ** 2).sum(-1)) + 1e-9
+        f_bond = np.where(adj > 0.5, dist - bond_len, 0.0)
+        rep = np.where(~bonded & (dist < 2.0 * bond_len),
+                       dist - 2.0 * bond_len, 0.0)        # soft repulsion
+        coef = (f_bond + 0.3 * rep) / dist
+        x = x - 0.05 * (coef[..., None] * d).sum(1)
+        x -= x.mean(0)
+    return x.astype(np.float32)
+
+
 def synthetic_md17_batch(key, batch=8, atoms=13, past=25, future=25,
-                         dt=0.02, k_bond=8.0, damping=0.02):
+                         dt=0.02, k_bond=8.0, damping=0.02, structure=None):
     """Molecular-dynamics domain (the reference's EqMotion/md17 variant:
     atom trajectories of one molecule, past 25 → future 25 frames,
-    dataset_md17.py:10-56 loads (B,T,N,3) position arrays). Synthetic stand-in
-    (the real MD17 npy dumps cannot be downloaded here): a fixed chain+skip
-    bond topology with harmonic bonds around the equilibrium geometry,
-    damped symplectic Euler in one lax.scan. The dynamics are
+    dataset_md17.py:10-56 loads (B,T,N,3) position arrays). The real MD17
+    trajectory dumps cannot be downloaded here, so trajectories are
+    simulated: harmonic bonds around the equilibrium geometry, damped
+    symplectic Euler in one lax.scan. `structure` takes a real (N, N) bond
+    adjacency (load_md17_structure() for the reference's aspirin matrix) —
+    then the topology is the real molecule's and only the dynamics are
+    synthetic; default is a fixed chain+skip graph. The dynamics are
     E(3)-equivariant — each batch element gets a random global rotation —
     which is the property the model family exists to exploit.
     Returns (past, future) shaped (B, atoms, T, 3)."""
     k1, k2, k3 = jax.random.split(key, 3)
-    # equilibrium geometry: a jittered 3-D zig-zag chain (one fixed molecule
-    # per call, like one MD17 molecule type per dataset)
-    t = jnp.arange(atoms, dtype=jnp.float32)
-    eq = jnp.stack([t * 1.2,
-                    0.6 * jnp.cos(t * 2.1),
-                    0.6 * jnp.sin(t * 1.3)], -1)          # (N, 3)
-    bonds = [(i, i + 1) for i in range(atoms - 1)]
-    bonds += [(i, i + 2) for i in range(atoms - 2)]       # angle stiffness
+    if structure is not None:
+        adj = np.asarray(structure)
+        atoms = adj.shape[0]
+        eq = jnp.asarray(_embed_structure(adj))           # (N, 3)
+        ii, jj = np.nonzero(np.triu(adj, 1))
+        bonds = list(zip(ii.tolist(), jj.tolist()))
+        # angle stiffness: second neighbours (atoms sharing a bonded atom)
+        two_hop = (adj @ adj > 0.5) & (adj < 0.5)
+        np.fill_diagonal(two_hop, False)
+        ii2, jj2 = np.nonzero(np.triu(two_hop, 1))
+        bonds += list(zip(ii2.tolist(), jj2.tolist()))
+    else:
+        # equilibrium geometry: a jittered 3-D zig-zag chain (one fixed
+        # molecule per call, like one MD17 molecule type per dataset)
+        t = jnp.arange(atoms, dtype=jnp.float32)
+        eq = jnp.stack([t * 1.2,
+                        0.6 * jnp.cos(t * 2.1),
+                        0.6 * jnp.sin(t * 1.3)], -1)      # (N, 3)
+        bonds = [(i, i + 1) for i in range(atoms - 1)]
+        bonds += [(i, i + 2) for i in range(atoms - 2)]   # angle stiffness
     bi = jnp.array([b[0] for b in bonds])
     bj = jnp.array([b[1] for b in bonds])
     r0 = jnp.linalg.norm(eq[bi] - eq[bj], axis=-1)        # rest lengths

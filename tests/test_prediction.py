@@ -673,6 +673,50 @@ def test_eqmotion_md17_domain():
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
 
 
+def test_eqmotion_md17_real_structure():
+    """MD17 with the REAL aspirin bond topology (reference
+    md17/preprocess.py:59 heavy-atom adjacency; dataset_md17.py:23 loads it
+    as edge_attr): the embed satisfies the bond graph, the harmonic
+    dynamics hold bonded distances near rest length, and training learns."""
+    import jax
+    from emloco_tpu.prediction import eqmotion as E
+
+    adj = E.load_md17_structure("aspirin")
+    if adj is None:
+        import pytest
+        pytest.skip("reference MD17 structure not mounted")
+    assert adj.shape == (13, 13) and (adj == adj.T).all()
+    eq = E._embed_structure(adj)
+    ii, jj = np.nonzero(np.triu(adj, 1))
+    bond_d = np.linalg.norm(eq[ii] - eq[jj], axis=-1)
+    assert abs(bond_d.mean() - 1.4) < 0.3                 # bonds near rest
+    nb = (adj < 0.5) & ~np.eye(13, dtype=bool)
+    d_all = np.linalg.norm(eq[:, None] - eq[None], axis=-1)
+    assert d_all[nb].min() > 0.9                          # no atom overlap
+
+    key = jax.random.PRNGKey(0)
+    past, future = E.synthetic_md17_batch(key, batch=4, past=12, future=12,
+                                          structure=adj)
+    assert past.shape == (4, 13, 12, 3)
+    fut = np.asarray(future)
+    bd = np.linalg.norm(fut[:, ii][..., -1, :] - fut[:, jj][..., -1, :],
+                        axis=-1)
+    assert np.isfinite(fut).all() and bd.max() < 4.0 and bd.min() > 0.2
+
+    cfg = E.md17_config(past=12, future=12, nmode=1)
+    cfg = type(cfg)(**{**cfg.__dict__, "hidden_nf": 32, "hid_channel": 16,
+                       "n_layers": 2})
+    trainer = E.EqMotionTrainer(cfg, lr=2e-3)
+    ts, _ = trainer.init(jax.random.PRNGKey(1), past)
+    losses = []
+    for i in range(12):
+        p, f = E.synthetic_md17_batch(jax.random.fold_in(key, i), batch=4,
+                                      past=12, future=12, structure=adj)
+        ts, aux = trainer.train_step(ts, None, p, f)
+        losses.append(float(aux["wta"]))
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
 def test_eqmotion_vis_dict_adapter(tmp_path):
     """vis_dict adapter (reference ETH-UCY-Trajectory-Visualizer tool):
     EqMotion batches plot through the shared comparison/diff-histogram
