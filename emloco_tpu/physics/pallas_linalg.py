@@ -209,21 +209,6 @@ def _triangular_solves(w_ref, y_ref, z_ref, limbs, s_lo):
             z_ref[k, :] = (y_ref[k, :] - acc) / w_ref[k, k, :]
 
 
-def _permute_matrix_in_bm(w_ref, a_ref, chunks):
-    """Batch-major variant: a_ref block is (LANES, M, M) — XLA's native
-    batched-dot output layout — and the permute FUSES the env-last
-    transpose into the chunk moves (VMEM relayout instead of an HBM
-    round-trip through a materialized (M, M, N) array)."""
-    roff = 0
-    for rlo, rhi in chunks:
-        coff = 0
-        for clo, chi in chunks:
-            w_ref[roff:roff + rhi - rlo, coff:coff + chi - clo, :] = \
-                jnp.transpose(a_ref[:, rlo:rhi, clo:chi], (1, 2, 0))
-            coff += chi - clo
-        roff += rhi - rlo
-
-
 def _permute_vec_in_bm(y_ref, b_ref, chunks):
     off = 0
     for lo, hi in chunks:
@@ -382,24 +367,45 @@ def cholesky_resolve_blocked_t(L: jnp.ndarray, bt: jnp.ndarray,
     return x[:, :N]
 
 
-def _chol_solve_blocked_bm_kernel(a_ref, b_ref, x_ref, w_ref, y_ref, z_ref,
-                                  *, chunks, limbs, s_lo):
-    """Batch-major fused solve: A (LANES, M, M), b (LANES, M) blocks; the
-    env-last relayout the solve math needs happens inside the permutes."""
-    _permute_matrix_in_bm(w_ref, a_ref, chunks)
-    _permute_vec_in_bm(y_ref, b_ref, chunks)
-    _factor_body(w_ref, limbs, s_lo)
-    _triangular_solves(w_ref, y_ref, z_ref, limbs, s_lo)
-    _permute_vec_out_bm(x_ref, z_ref, chunks)
+def _to_env_last_kernel(a_ref, o_ref):
+    """(E, RC, Y) block → (RC, Y, E): the batch-major→env-last relayout,
+    row-chunked so in+out blocks stay ~1 MB (a full (LANES, M, M) +
+    (M, M, LANES) pair double-buffers to ~21 MB — measured compile OOM
+    against the v5e 16 MB scoped-VMEM limit)."""
+    o_ref[:] = jnp.transpose(a_ref[:], (1, 2, 0))
 
 
-def _chol_factor_blocked_bm_kernel(a_ref, l_ref, w_ref, *, chunks, limbs,
-                                   s_lo):
-    """Batch-major factor: A block (LANES, M, M) in; L stays env-last
-    (M, M, LANES) — it is produced and consumed only by these kernels."""
-    _permute_matrix_in_bm(w_ref, a_ref, chunks)
-    _factor_body(w_ref, limbs, s_lo)
-    l_ref[:] = w_ref[:]
+@functools.partial(jax.jit,
+                   static_argnames=("out_rows", "block_rows", "interpret"))
+def to_env_last(A: jnp.ndarray, out_rows: int | None = None,
+                block_rows: int = 16, interpret: bool = False) -> jnp.ndarray:
+    """Pallas relayout (N, X, Y) → (X', Y, N), X' = out_rows or X. XLA
+    lowers this transpose as an HBM-unfriendly minor-dim shuffle; here each
+    (LANES, block_rows, Y) chunk transposes in VMEM. Mosaic needs block
+    second-minor dims divisible by 8, so X pads up to a block_rows multiple
+    (producers like gram_diag emit the padded X directly via their own
+    out_rows to skip the pad copy); out_rows crops the output back — the
+    final output block is partial and Pallas clips its out-of-range rows."""
+    N, X, Y = A.shape
+    Xo = X if out_rows is None else out_rows
+    rpad = (-X) % block_rows
+    if rpad:
+        A = jnp.pad(A, ((0, 0), (0, rpad), (0, 0)))
+    pad = (-N) % LANES
+    if pad:
+        A = jnp.pad(A, ((0, pad), (0, 0), (0, 0)))
+    Nf, Xf = A.shape[0], A.shape[1]
+    out = pl.pallas_call(
+        _to_env_last_kernel,
+        grid=(Nf // LANES, Xf // block_rows),
+        in_specs=[pl.BlockSpec((LANES, block_rows, Y), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block_rows, Y, LANES), lambda i, j: (j, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Xo, Y, Nf), A.dtype),
+        interpret=interpret,
+    )(A)
+    return out[:, :, :N]
 
 
 def _chol_resolve_blocked_bm_kernel(l_ref, b_ref, x_ref, y_ref, z_ref,
@@ -417,70 +423,26 @@ def cholesky_solve_blocked(A: jnp.ndarray, b: jnp.ndarray,
                            interpret: bool = False) -> jnp.ndarray:
     """Batch-major block-arrow SPD solve: A (N, M, M), b (N, M) → x (N, M).
 
-    Same block-arrow requirements as cholesky_solve_blocked_t. Takes the
-    batched-dot NATIVE layouts (XLA emits (n, c, d) from "nmc,nmd->ncd"
-    without a relayout) and fuses the env-last transpose the solve math
-    needs into the kernel's in-VMEM permute — the (M, M, N) relayout never
-    round-trips HBM."""
-    M = A.shape[-1]
-    N = A.shape[0]
-    pad = (-N) % LANES
-    if pad:
-        A = jnp.pad(A, ((0, pad), (0, 0), (0, 0)))
-        b = jnp.pad(b, ((0, pad), (0, 0)))
-    Nf = A.shape[0]
-    kernel = functools.partial(_chol_solve_blocked_bm_kernel,
-                               chunks=tuple(chunks), limbs=tuple(limbs),
-                               s_lo=s_lo)
-    x = pl.pallas_call(
-        kernel,
-        grid=(Nf // LANES,),
-        in_specs=[
-            pl.BlockSpec((LANES, M, M), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, M), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((LANES, M), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Nf, M), A.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((M, M, LANES), A.dtype),
-            pltpu.VMEM((M, LANES), A.dtype),
-            pltpu.VMEM((M, LANES), A.dtype),
-        ],
-        interpret=interpret,
-    )(A, b)
-    return x[:N]
+    Composition: the Pallas to_env_last relayout + the env-last solve
+    kernel. A fused kernel staging whole (LANES, M, M) + (M, M, LANES)
+    blocks double-buffers past the v5e 16 MB scoped-VMEM limit (measured
+    compile OOM); the chunked relayout keeps every block ~1.5 MB and the
+    known-good env-last kernel unchanged."""
+    x = cholesky_solve_blocked_t(to_env_last(A, interpret=interpret), b.T,
+                                 chunks, limbs, s_lo, interpret=interpret)
+    return x.T
 
 
 @functools.partial(jax.jit,
                    static_argnames=("chunks", "limbs", "s_lo", "interpret"))
 def cholesky_factor_blocked(A: jnp.ndarray, chunks, limbs, s_lo: int,
                             interpret: bool = False) -> jnp.ndarray:
-    """Batch-major factor: A (N, M, M) → permuted env-last L (M, M, N)
-    for cholesky_resolve_blocked."""
-    M = A.shape[-1]
-    N = A.shape[0]
-    pad = (-N) % LANES
-    if pad:
-        A = jnp.pad(A, ((0, pad), (0, 0), (0, 0)))
-    Nf = A.shape[0]
-    kernel = functools.partial(_chol_factor_blocked_bm_kernel,
-                               chunks=tuple(chunks), limbs=tuple(limbs),
-                               s_lo=s_lo)
-    L = pl.pallas_call(
-        kernel,
-        grid=(Nf // LANES,),
-        in_specs=[pl.BlockSpec((LANES, M, M), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((M, M, LANES), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, M, Nf), A.dtype),
-        scratch_shapes=[pltpu.VMEM((M, M, LANES), A.dtype)],
-        interpret=interpret,
-    )(A)
-    return L[:, :, :N]
+    """Batch-major factor: A (N, M, M) → permuted env-last L (M, M, N) for
+    cholesky_resolve_blocked. Same relayout composition (and VMEM
+    rationale) as cholesky_solve_blocked."""
+    return cholesky_factor_blocked_t(to_env_last(A, interpret=interpret),
+                                     chunks, limbs, s_lo,
+                                     interpret=interpret)
 
 
 @functools.partial(jax.jit,
@@ -519,6 +481,72 @@ def cholesky_resolve_blocked(L: jnp.ndarray, b: jnp.ndarray,
         interpret=interpret,
     )(L, b)
     return x[:N]
+
+
+def _gram_diag_kernel(r_ref, w_ref, d_ref, o_ref, *, envs):
+    """Per-env weighted Gram: R (envs, M, C), w (envs, M), d (envs, C) →
+    At (envs, C', C) f32 with At[e, :C] = R[e]ᵀ·(w[e]∘R[e]) + diag(d[e]);
+    rows C:C' (the to_env_last staging pad) stay unwritten.
+
+    One MXU dot per env (contract the M sublane dim — the 'AᵀB' form), f32
+    accumulation from bf16 rows; the diagonal lands via an eye mask instead
+    of 75 scalar updates."""
+    C = r_ref.shape[-1]
+    eye = jnp.eye(C, dtype=jnp.float32)
+    for e in range(envs):                    # static unroll
+        r = r_ref[e]                                      # (M, C)
+        # w arrives (M, 1): a lane-broadcast multiply — the (M,)→(M,1)
+        # minor-dim reshape is unsupported in Mosaic for 16-bit types
+        rw = r * w_ref[e]
+        acc = jax.lax.dot_general(rw, r, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        o_ref[e, :C, :] = acc + eye * d_ref[e][None, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_envs", "out_rows", "interpret"))
+def gram_diag(R: jnp.ndarray, w: jnp.ndarray, diag: jnp.ndarray,
+              block_envs: int = 8, out_rows: int | None = None,
+              interpret: bool = False) -> jnp.ndarray:
+    """Batched weighted Gram + diagonal, batch-major:
+    At[n] = R[n]ᵀ·(w[n]∘R[n]) + diag(diag[n]) for R (N, M, C) → (N, C, C).
+
+    XLA lowers the equivalent "nmc,nmd->ncd" einsum as a batched-small-dot
+    whose 75-wide output tiles pad to 128 on BOTH MXU dims and whose
+    operands re-round-trip HBM — measured 3.19 ms in-situ at 4,096 envs
+    (scripts/gram_probe.py) against ~0.45 ms of unavoidable traffic (read
+    R once + write At once). This kernel streams R through VMEM in
+    block_envs-sized chunks and emits the LHS batch-major. Rows may be
+    bf16 (f32 accumulation on the MXU — tighter than the einsum, which
+    rounds w∘R to bf16 before its dot). out_rows > C pads the output's
+    second-minor dim at write time (rows C:out_rows unwritten) so
+    to_env_last can consume it chunked without an XLA pad copy."""
+    N, M, C = R.shape
+    Co = C if out_rows is None else out_rows
+    pad = (-N) % block_envs
+    if pad:
+        R = jnp.pad(R, ((0, pad), (0, 0), (0, 0)))
+        w = jnp.pad(w, ((0, pad), (0, 0)))
+        diag = jnp.pad(diag, ((0, pad), (0, 0)))
+    Nf = R.shape[0]
+    kernel = functools.partial(_gram_diag_kernel, envs=block_envs)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Nf // block_envs,),
+        in_specs=[
+            pl.BlockSpec((block_envs, M, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_envs, M, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_envs, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_envs, Co, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Nf, Co, C), jnp.float32),
+        interpret=interpret,
+    )(R, w[..., None], diag)
+    return out[:N]
 
 
 def backend_supports_pallas() -> bool:

@@ -537,7 +537,7 @@ def _q_contact_merged(kpen_g, nrm_g, kpen_all, Jn_a_all):
 
 def _assemble_lhs_rhs(model: Model, G, W, q, v_b, w_b, f_lin, dt, Q_rest,
                       diag, ground, selfrows, table: str,
-                      batch_major: bool = False):
+                      batch_major: bool = False, gram: bool = False):
     """Fused LHS/RHS assembly in the row-merged layout (PRODUCTION path).
 
     A = Jvᵀm Jv + WᵀW + wt·JcᵀJc + (wn−wt)·JnᵀJn + diag, composed from
@@ -553,13 +553,14 @@ def _assemble_lhs_rhs(model: Model, G, W, q, v_b, w_b, f_lin, dt, Q_rest,
                — angular blocks only (pair rows' linear columns are zero).
     """
     return (_assemble_lhs_merged(model, G, W, diag, ground, selfrows, table,
-                                 batch_major=batch_major),
+                                 batch_major=batch_major, gram=gram),
             _assemble_rhs_merged(model, G, W, q, v_b, w_b, f_lin, dt,
                                  Q_rest, batch_major=batch_major))
 
 
 def _assemble_lhs_merged(model: Model, G, W, diag, ground, selfrows,
-                         table: str, batch_major: bool = False):
+                         table: str, batch_major: bool = False,
+                         gram: bool = False):
     """ONE weighted Gram matmul for the whole 75×75 LHS.
 
     Every LHS term is Σ_rows w·r rᵀ for a row family r = [lin(3) | ang(72)]:
@@ -574,6 +575,35 @@ def _assemble_lhs_merged(model: Model, G, W, diag, ground, selfrows,
     FREE). Replaces 9 small batched matmuls + block concats whose operand
     re-reads made the LHS the chain's HBM bill (scripts/merge_attribution.py:
     chain = 74% of the step; bf16 rows halve the remaining traffic)."""
+    R, wv = _merged_rows(model, G, W, ground, selfrows, table)
+    if gram:
+        # fused Pallas weighted Gram + diag: one MXU dot per env streamed
+        # through VMEM (pallas_linalg.gram_diag, batch-major output); the
+        # env-last solver layout comes from the chunked Pallas relayout
+        # instead of XLA's HBM-hostile minor-dim transpose. The gram
+        # output carries the relayout's 8-row staging pad directly
+        # (out_rows) so no XLA pad copy sits between the two kernels.
+        from .pallas_linalg import gram_diag, to_env_last
+        d32 = diag.astype(jnp.float32)
+        if batch_major:
+            return gram_diag(R, wv, d32)
+        staged = NU + (-NU) % 16
+        return to_env_last(gram_diag(R, wv, d32, out_rows=staged),
+                           out_rows=NU)
+    if batch_major:
+        # XLA's native batched-dot layout (n, c, d) — no post-dot relayout;
+        # the batch-major solver path relayouts in its Pallas composition
+        At = jnp.einsum("nmc,nmd->ncd", wv[..., None] * R, R,
+                        preferred_element_type=jnp.float32)
+        return At + jnp.eye(NU, dtype=At.dtype)[None] * diag[:, :, None]
+    At = jnp.einsum("nmc,nmd->cdn", wv[..., None] * R, R,
+                    preferred_element_type=jnp.float32)
+    return At + jnp.eye(NU, dtype=At.dtype)[:, :, None] * diag.T[:, None, :]
+
+
+def _merged_rows(model: Model, G, W, ground, selfrows, table: str):
+    """Stack every LHS row family into R (N, M, 75) + weights wv (N, M)
+    (the [lin(3) | ang(72)] row table in _assemble_lhs_merged's docstring)."""
     p = model.params
     Gc, Jn_a, nrm, wn, wt = ground
     _, _, _, _, ISELC = _merged_point_statics(table)
@@ -597,15 +627,7 @@ def _assemble_lhs_merged(model: Model, G, W, diag, ground, selfrows,
         wgt += [jnp.repeat(wt_s, 3, axis=-1), wn_s - wt_s]
     R = jnp.concatenate(rows, axis=1)                    # (N, M, 75)
     wv = jnp.concatenate(wgt, axis=1).astype(rdt)        # (N, M)
-    if batch_major:
-        # XLA's native batched-dot layout (n, c, d) — no post-dot relayout;
-        # the batch-major Pallas solver transposes in VMEM instead
-        At = jnp.einsum("nmc,nmd->ncd", wv[..., None] * R, R,
-                        preferred_element_type=jnp.float32)
-        return At + jnp.eye(NU, dtype=At.dtype)[None] * diag[:, :, None]
-    At = jnp.einsum("nmc,nmd->cdn", wv[..., None] * R, R,
-                    preferred_element_type=jnp.float32)
-    return At + jnp.eye(NU, dtype=At.dtype)[:, :, None] * diag.T[:, None, :]
+    return R, wv
 
 
 def _assemble_rhs_merged(model: Model, G, W, q, v_b, w_b, f_lin, dt, Q_rest,
@@ -1065,6 +1087,7 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
     # batch-major only pairs with the blocked kernels (or the jnp fallback,
     # which natively wants batch-major anyway)
     bm = cfg.batch_major_solver and (cfg.blocked_solver or not use_pallas)
+    gk = cfg.gram_kernel and use_pallas
     gvec = jnp.array([0.0, 0.0, cfg.gravity])
     k_n = cfg.contact_stiffness
     d_n = cfg.contact_damping
@@ -1084,7 +1107,7 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
                                  st.body_w, f_lin, dt, Q_rest,
                                  batch_major=bm)
     At = _assemble_lhs_merged(model, G, W, diag, ground, selfrows, table,
-                              batch_major=bm)
+                              batch_major=bm, gram=gk)
     At = At + 1e-8 * (jnp.eye(NU)[None] if bm else jnp.eye(NU)[:, :, None])
     if use_pallas and bm:
         L = cholesky_factor_blocked(At, _ARROW_CHUNKS, _ARROW_LIMBS,
@@ -1338,9 +1361,10 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
                                 cholesky_solve_soa_t)
     use_pallas = backend_supports_pallas()
     bm = cfg.batch_major_solver and (cfg.blocked_solver or not use_pallas)
+    gk = cfg.gram_kernel and use_pallas
     At, rhs_t = _assemble_lhs_rhs(model, G, W, q, v_b, w_b, f_lin, dt,
                                   Q_rest, diag, (Gc, Jn_a, nrm_g, wn, wt),
-                                  selfrows, table, batch_major=bm)
+                                  selfrows, table, batch_major=bm, gram=gk)
     # env-last (·,·,N), or batch-major (N,·,·) when bm
 
     # ---- solve ----

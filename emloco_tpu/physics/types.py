@@ -90,6 +90,12 @@ class EngineConfig(struct.PyTreeNode):
     # blocked_solver (the SoA kernel has no batch-major entry; without
     # Pallas the jnp fallback natively wants batch-major anyway).
     batch_major_solver: bool = struct.field(pytree_node=False, default=False)
+    # emit the merged LHS with the Pallas gram_diag kernel instead of XLA's
+    # batched einsum: one MXU dot per env streamed through VMEM, diag
+    # fused; the env-last solver layout comes from the chunked Pallas
+    # to_env_last relayout rather than XLA's transpose. Pallas backends
+    # only (the einsum is the fallback elsewhere).
+    gram_kernel: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def substep_dt(self) -> float:

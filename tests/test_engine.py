@@ -815,3 +815,56 @@ def test_batch_major_solver_matches_default():
     L_bm = PL.cholesky_factor_blocked(At_bm, *args, interpret=True)
     x2 = PL.cholesky_resolve_blocked(L_bm, b, *args, interpret=True)
     np.testing.assert_array_equal(np.asarray(x_t), np.asarray(x2))
+
+
+def test_gram_diag_kernel_matches_einsum():
+    """cfg.gram_kernel: the Pallas fused weighted-Gram+diag emits the same
+    batch-major LHS as the XLA einsum path, on REAL assembled rows (bf16,
+    self-contact families included) and with env counts that exercise the
+    block padding."""
+    from emloco_tpu.physics import pallas_linalg as PL
+    from emloco_tpu.physics import reduced as R
+
+    model, terrain = make_world(4)
+    st0 = rest_state(model)
+    (G, W, ground, selfrows, *rest) = R._contact_and_jacobians(
+        model, terrain, st0, EngineConfig())
+    table, diag = rest[-1], rest[5]
+    rows, wv = R._merged_rows(model, G, W, ground, selfrows, table)
+    ref = R._assemble_lhs_merged(model, G, W, diag, ground, selfrows,
+                                 table, batch_major=True)
+    out = PL.gram_diag(rows, wv, diag.astype(jnp.float32),
+                       block_envs=8, interpret=True)     # pads 4 → 8
+    # bf16-rounding-scale agreement with the einsum (which rounds w∘R to
+    # bf16 BEFORE the dot) ...
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=0.05)
+    # ... and the kernel is the MORE exact path: its f32 accumulation of
+    # exact bf16 products tracks an f64 gold to float precision
+    r64 = np.asarray(rows[0], np.float64)
+    w64 = np.asarray(wv[0], np.float64)
+    gold = ((w64[:, None] * r64).T @ r64
+            + np.diag(np.asarray(diag[0], np.float64)))
+    assert np.abs(np.asarray(out)[0] - gold).max() < 1e-4
+    # random rows at a non-divisible env count + f32 exactness
+    rng = np.random.RandomState(1)
+    Rr = jnp.asarray(rng.randn(5, 40, 75), jnp.float32)
+    w = jnp.asarray(rng.rand(5, 40), jnp.float32)
+    d = jnp.asarray(rng.rand(5, 75), jnp.float32)
+    ref2 = (jnp.einsum("nmc,nmd->ncd", w[..., None] * Rr, Rr,
+                       preferred_element_type=jnp.float32)
+            + jnp.eye(75)[None] * d[:, :, None])
+    out2 = PL.gram_diag(Rr, w, d, block_envs=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=0, atol=1e-5)
+    # the chunked batch-major -> env-last relayout is an exact transpose
+    # (incl. the env pad/crop), so gram + relayout == the env-last einsum
+    el = PL.to_env_last(out2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(el),
+                                  np.moveaxis(np.asarray(out2), 0, -1))
+    # the staged production composition (gram emits the 16-row staging pad,
+    # the relayout crops it) is also exact
+    el2 = PL.to_env_last(PL.gram_diag(Rr, w, d, block_envs=4, out_rows=80,
+                                      interpret=True),
+                         out_rows=75, interpret=True)
+    np.testing.assert_array_equal(np.asarray(el2), np.asarray(el))
