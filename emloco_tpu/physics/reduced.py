@@ -537,7 +537,8 @@ def _q_contact_merged(kpen_g, nrm_g, kpen_all, Jn_a_all):
 
 def _assemble_lhs_rhs(model: Model, G, W, q, v_b, w_b, f_lin, dt, Q_rest,
                       diag, ground, selfrows, table: str,
-                      batch_major: bool = False, gram: bool = False):
+                      batch_major: bool = False, gram: bool = False,
+                      sqrt_gram: bool = False):
     """Fused LHS/RHS assembly in the row-merged layout (PRODUCTION path).
 
     A = Jvᵀm Jv + WᵀW + wt·JcᵀJc + (wn−wt)·JnᵀJn + diag, composed from
@@ -553,14 +554,15 @@ def _assemble_lhs_rhs(model: Model, G, W, q, v_b, w_b, f_lin, dt, Q_rest,
                — angular blocks only (pair rows' linear columns are zero).
     """
     return (_assemble_lhs_merged(model, G, W, diag, ground, selfrows, table,
-                                 batch_major=batch_major, gram=gram),
+                                 batch_major=batch_major, gram=gram,
+                                 sqrt_gram=sqrt_gram),
             _assemble_rhs_merged(model, G, W, q, v_b, w_b, f_lin, dt,
                                  Q_rest, batch_major=batch_major))
 
 
 def _assemble_lhs_merged(model: Model, G, W, diag, ground, selfrows,
                          table: str, batch_major: bool = False,
-                         gram: bool = False):
+                         gram: bool = False, sqrt_gram: bool = False):
     """ONE weighted Gram matmul for the whole 75×75 LHS.
 
     Every LHS term is Σ_rows w·r rᵀ for a row family r = [lin(3) | ang(72)]:
@@ -576,6 +578,23 @@ def _assemble_lhs_merged(model: Model, G, W, diag, ground, selfrows,
     re-reads made the LHS the chain's HBM bill (scripts/merge_attribution.py:
     chain = 74% of the step; bf16 rows halve the remaining traffic)."""
     R, wv = _merged_rows(model, G, W, ground, selfrows, table)
+    if sqrt_gram and not gram:
+        # single-operand symmetric contraction: S = √w∘R used on BOTH dot
+        # sides — XLA CSEs the operand, halving the (N, M, 75) row
+        # materialization and deduplicating the two ~0.5 ms pre-dot layout
+        # copies the (w∘R, R) form pays (trace: copy.578/579). Valid only
+        # when every weight is ≥ 0 (callers check the static inequality);
+        # same bf16 rounding budget (two roundings per product either way)
+        # and the Gram term becomes exactly PSD.
+        S = jnp.sqrt(wv)[..., None] * R
+        if batch_major:
+            At = jnp.einsum("nmc,nmd->ncd", S, S,
+                            preferred_element_type=jnp.float32)
+            return At + jnp.eye(NU, dtype=At.dtype)[None] * diag[:, :, None]
+        At = jnp.einsum("nmc,nmd->cdn", S, S,
+                        preferred_element_type=jnp.float32)
+        return (At + jnp.eye(NU, dtype=At.dtype)[:, :, None]
+                * diag.T[:, None, :])
     if gram:
         # fused Pallas weighted Gram + diag: one MXU dot per env streamed
         # through VMEM (pallas_linalg.gram_diag, batch-major output); the
@@ -599,6 +618,22 @@ def _assemble_lhs_merged(model: Model, G, W, diag, ground, selfrows,
     At = jnp.einsum("nmc,nmd->cdn", wv[..., None] * R, R,
                     preferred_element_type=jnp.float32)
     return At + jnp.eye(NU, dtype=At.dtype)[:, :, None] * diag.T[:, None, :]
+
+
+def _sqrt_gram_ok(cfg) -> bool:
+    """Static guard for the single-operand √w Gram: every merged-row weight
+    is ≥ 0 iff the normal weight dominates the capped friction weight,
+    dt·k_n + d_n ≥ max_friction_damping (wn − wt = gate·dt·(dt·k_n + d_n −
+    d_t) with d_t ≤ max_friction_damping; mass/inertia/wt weights are
+    nonnegative by construction). STRICT inequality: at exact equality the
+    capped-friction normal rows carry weight exactly 0 and the
+    XLA-CPU-jitted step was observed to go NaN (dt=1/120 test configs;
+    the de-optimized trace is clean — a fusion artifact this guard keeps
+    out of reach on every backend). All fields are static config floats,
+    so the check never traces."""
+    return (cfg.sqrt_gram
+            and cfg.substep_dt * cfg.contact_stiffness + cfg.contact_damping
+            > cfg.max_friction_damping)
 
 
 def _merged_rows(model: Model, G, W, ground, selfrows, table: str):
@@ -1088,6 +1123,7 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
     # which natively wants batch-major anyway)
     bm = cfg.batch_major_solver and (cfg.blocked_solver or not use_pallas)
     gk = cfg.gram_kernel and use_pallas
+    sg = _sqrt_gram_ok(cfg)
     gvec = jnp.array([0.0, 0.0, cfg.gravity])
     k_n = cfg.contact_stiffness
     d_n = cfg.contact_damping
@@ -1107,7 +1143,7 @@ def _tgs_step(model: Model, terrain, state: PhysicsState, target_q,
                                  st.body_w, f_lin, dt, Q_rest,
                                  batch_major=bm)
     At = _assemble_lhs_merged(model, G, W, diag, ground, selfrows, table,
-                              batch_major=bm, gram=gk)
+                              batch_major=bm, gram=gk, sqrt_gram=sg)
     At = At + 1e-8 * (jnp.eye(NU)[None] if bm else jnp.eye(NU)[:, :, None])
     if use_pallas and bm:
         L = cholesky_factor_blocked(At, _ARROW_CHUNKS, _ARROW_LIMBS,
@@ -1362,9 +1398,11 @@ def _implicit_substep(model: Model, terrain, state: PhysicsState, target_q,
     use_pallas = backend_supports_pallas()
     bm = cfg.batch_major_solver and (cfg.blocked_solver or not use_pallas)
     gk = cfg.gram_kernel and use_pallas
+    sg = _sqrt_gram_ok(cfg)
     At, rhs_t = _assemble_lhs_rhs(model, G, W, q, v_b, w_b, f_lin, dt,
                                   Q_rest, diag, (Gc, Jn_a, nrm_g, wn, wt),
-                                  selfrows, table, batch_major=bm, gram=gk)
+                                  selfrows, table, batch_major=bm, gram=gk,
+                                  sqrt_gram=sg)
     # env-last (·,·,N), or batch-major (N,·,·) when bm
 
     # ---- solve ----

@@ -94,8 +94,19 @@ class EngineConfig(struct.PyTreeNode):
     # batched einsum: one MXU dot per env streamed through VMEM, diag
     # fused; the env-last solver layout comes from the chunked Pallas
     # to_env_last relayout rather than XLA's transpose. Pallas backends
-    # only (the einsum is the fallback elsewhere).
+    # only (the einsum is the fallback elsewhere). Measured OFF at 4,096
+    # envs: the kernels are fast in isolation (1.04 + 0.75 ms vs ~3.0 ms
+    # for XLA's chain) but the custom-call boundary restructures the whole
+    # step graph (+420 HLO ops, step 6.1 → 21 ms) — see RESULTS.md r4.
     gram_kernel: bool = struct.field(pytree_node=False, default=False)
+    # contract the merged LHS as (√w∘R)ᵀ(√w∘R) — ONE operand instead of
+    # (w∘R, R): halves the row materialization and dedups the pre-dot
+    # layout copies XLA inserts (measured 2×0.5 ms of the 3.0 ms LHS chain
+    # at 4,096 envs), and makes the Gram term exactly PSD. Requires every
+    # row weight ≥ 0, i.e. dt·k_n + d_n ≥ max_friction_damping — checked
+    # statically; configs violating it fall back to the two-operand form.
+    # Measured: step 6.15 → 5.38 ms at 4,096 envs (scripts/step_bench.py).
+    sqrt_gram: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def substep_dt(self) -> float:

@@ -47,10 +47,14 @@ TREE = default_tree()
 
 CONFIGS = {
     "default": EngineConfig(),
+    "sqrt": EngineConfig(sqrt_gram=True),
     "gram": EngineConfig(gram_kernel=True),
     "bm": EngineConfig(batch_major_solver=True),
     "bm+gram": EngineConfig(batch_major_solver=True, gram_kernel=True),
 }
+if os.environ.get("BENCH_CONFIGS"):
+    keep = os.environ["BENCH_CONFIGS"].split(",")
+    CONFIGS = {k: v for k, v in CONFIGS.items() if k in keep}
 
 
 def make_state(model):

@@ -817,6 +817,41 @@ def test_batch_major_solver_matches_default():
     np.testing.assert_array_equal(np.asarray(x_t), np.asarray(x2))
 
 
+def test_sqrt_gram_matches_two_operand():
+    """cfg.sqrt_gram contracts (√w∘R) with itself instead of (w∘R, R):
+    same LHS to bf16 rounding, identical trajectories to the rounding
+    budget, and the static guard rejects configs where wn−wt can go
+    negative (dt·k_n + d_n < max_friction_damping)."""
+    from emloco_tpu.physics import reduced as R
+
+    model, terrain = make_world(4)
+    st0 = rest_state(model)
+    (G, W, ground, selfrows, *rest) = R._contact_and_jacobians(
+        model, terrain, st0, EngineConfig())
+    table, diag = rest[-1], rest[5]
+    ref = R._assemble_lhs_merged(model, G, W, diag, ground, selfrows, table)
+    sym = R._assemble_lhs_merged(model, G, W, diag, ground, selfrows, table,
+                                 sqrt_gram=True)
+    ref_n, sym_n = np.asarray(ref), np.asarray(sym)
+    scale = np.abs(ref_n).max()
+    assert np.abs(sym_n - ref_n).max() < 0.01 * scale    # bf16 rounding
+    # trajectories agree to the rounding budget
+    tgt = jnp.zeros((4, 23, 3))
+    sA, sB = st0, st0
+    for _ in range(40):
+        sA = step(model, terrain, sA, tgt, EngineConfig(sqrt_gram=False))
+        sB = step(model, terrain, sB, tgt, EngineConfig(sqrt_gram=True))
+    assert float(jnp.abs(sA.root_pos - sB.root_pos).max()) < 1e-3
+    assert float(jnp.abs(sA.u - sB.u).max()) < 0.05
+    # static guard: default holds with equality; a weaker normal weight
+    # falls back to the two-operand form
+    assert R._sqrt_gram_ok(EngineConfig(sqrt_gram=True))
+    assert not R._sqrt_gram_ok(EngineConfig(sqrt_gram=True,
+                                            contact_stiffness=1000.0,
+                                            max_friction_damping=1e5))
+    assert not R._sqrt_gram_ok(EngineConfig(sqrt_gram=False))
+
+
 def test_gram_diag_kernel_matches_einsum():
     """cfg.gram_kernel: the Pallas fused weighted-Gram+diag emits the same
     batch-major LHS as the XLA einsum path, on REAL assembled rows (bf16,
