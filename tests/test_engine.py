@@ -843,7 +843,19 @@ def test_sqrt_gram_matches_two_operand():
         sB = step(model, terrain, sB, tgt, EngineConfig(sqrt_gram=True))
     assert float(jnp.abs(sA.root_pos - sB.root_pos).max()) < 1e-3
     assert float(jnp.abs(sA.u - sB.u).max()) < 0.05
-    # static guard: default holds with equality; a weaker normal weight
+    # self-contact and mesh row families share the weight contract: the
+    # sym LHS matches the two-operand form for both variants too
+    for vcfg in (EngineConfig(self_contact=True),
+                 EngineConfig(mesh_contacts=True)):
+        (G2, W2, ground2, self2, *rest2) = R._contact_and_jacobians(
+            model, terrain, st0, vcfg)
+        t2, d2 = rest2[-1], rest2[5]
+        a = np.asarray(R._assemble_lhs_merged(model, G2, W2, d2, ground2,
+                                              self2, t2))
+        b = np.asarray(R._assemble_lhs_merged(model, G2, W2, d2, ground2,
+                                              self2, t2, sqrt_gram=True))
+        assert np.abs(b - a).max() < 0.01 * max(np.abs(a).max(), 1.0)
+    # static guard: default holds strictly; a weaker normal weight
     # falls back to the two-operand form
     assert R._sqrt_gram_ok(EngineConfig(sqrt_gram=True))
     assert not R._sqrt_gram_ok(EngineConfig(sqrt_gram=True,
