@@ -577,7 +577,6 @@ def _assemble_lhs_merged(model: Model, G, W, diag, ground, selfrows,
     FREE). Replaces 9 small batched matmuls + block concats whose operand
     re-reads made the LHS the chain's HBM bill (scripts/merge_attribution.py:
     chain = 74% of the step; bf16 rows halve the remaining traffic)."""
-    R, wv = _merged_rows(model, G, W, ground, selfrows, table)
     if sqrt_gram and not gram:
         # single-operand symmetric contraction: S = √w∘R used on BOTH dot
         # sides — XLA CSEs the operand, halving the (N, M, 75) row
@@ -585,8 +584,14 @@ def _assemble_lhs_merged(model: Model, G, W, diag, ground, selfrows,
         # copies the (w∘R, R) form pays (trace: copy.578/579). Valid only
         # when every weight is ≥ 0 (callers check the static inequality);
         # same bf16 rounding budget (two roundings per product either way)
-        # and the Gram term becomes exactly PSD.
-        S = jnp.sqrt(wv)[..., None] * R
+        # and the Gram term becomes exactly PSD. The weights land PER
+        # FAMILY before the row concat (_merged_rows weight_fn): with the
+        # self-contact families XLA stops fusing a 6-input concat with a
+        # post-concat multiply and materializes three full (N, M, 75)
+        # passes (concat 0.77 + multiply 0.64 + relayout 0.77 ms at 4,096
+        # envs); per-family multiplies fuse into the family builders.
+        S, _ = _merged_rows(model, G, W, ground, selfrows, table,
+                            weight_fn=lambda w: jnp.sqrt(w))
         if batch_major:
             At = jnp.einsum("nmc,nmd->ncd", S, S,
                             preferred_element_type=jnp.float32)
@@ -595,6 +600,7 @@ def _assemble_lhs_merged(model: Model, G, W, diag, ground, selfrows,
                         preferred_element_type=jnp.float32)
         return (At + jnp.eye(NU, dtype=At.dtype)[:, :, None]
                 * diag.T[:, None, :])
+    R, wv = _merged_rows(model, G, W, ground, selfrows, table)
     if gram:
         # fused Pallas weighted Gram + diag: one MXU dot per env streamed
         # through VMEM (pallas_linalg.gram_diag, batch-major output); the
@@ -636,9 +642,17 @@ def _sqrt_gram_ok(cfg) -> bool:
             > cfg.max_friction_damping)
 
 
-def _merged_rows(model: Model, G, W, ground, selfrows, table: str):
+def _merged_rows(model: Model, G, W, ground, selfrows, table: str,
+                 weight_fn=None):
     """Stack every LHS row family into R (N, M, 75) + weights wv (N, M)
-    (the [lin(3) | ang(72)] row table in _assemble_lhs_merged's docstring)."""
+    (the [lin(3) | ang(72)] row table in _assemble_lhs_merged's docstring).
+
+    With `weight_fn` (e.g. jnp.sqrt for the single-operand √w Gram), each
+    family is scaled by weight_fn(w) BEFORE the concat and wv is returned
+    as ones: the per-family multiplies fuse into the family builders'
+    epilogues, where a post-concat multiply over the full (N, M, 75) stack
+    stops fusing once the self-contact families push the concat to six
+    inputs (three extra full-stack HBM passes, trace-measured)."""
     p = model.params
     Gc, Jn_a, nrm, wn, wt = ground
     _, _, _, _, ISELC = _merged_point_statics(table)
@@ -651,7 +665,7 @@ def _merged_rows(model: Model, G, W, ground, selfrows, table: str):
             jnp.concatenate([jnp.zeros((N, MROWS, 3), rdt), W], -1),
             jnp.concatenate([iselc, Gc], -1),
             jnp.concatenate([nrm.astype(rdt), Jn_a], -1)]
-    wgt = [mass_m, jnp.ones_like(mass_m),
+    wgt = [mass_m, None,                                 # inertia w == 1
            jnp.repeat(wt, 3, axis=-1), wn - wt]
     if selfrows is not None:
         Gcs, Jn_sa, wn_s, wt_s = selfrows
@@ -660,8 +674,16 @@ def _merged_rows(model: Model, G, W, ground, selfrows, table: str):
                  jnp.concatenate(
                      [jnp.zeros(Jn_sa.shape[:2] + (3,), rdt), Jn_sa], -1)]
         wgt += [jnp.repeat(wt_s, 3, axis=-1), wn_s - wt_s]
+    if weight_fn is not None:
+        rows = [r if w is None
+                else r * weight_fn(w.astype(rdt))[..., None]
+                for r, w in zip(rows, wgt)]
+        R = jnp.concatenate(rows, axis=1)                # (N, M, 75)
+        return R, jnp.ones(R.shape[:2], rdt)
     R = jnp.concatenate(rows, axis=1)                    # (N, M, 75)
-    wv = jnp.concatenate(wgt, axis=1).astype(rdt)        # (N, M)
+    wv = jnp.concatenate(
+        [jnp.ones_like(mass_m) if w is None else w for w in wgt],
+        axis=1).astype(rdt)                              # (N, M)
     return R, wv
 
 
