@@ -205,10 +205,16 @@ def main():
     state2, r = rollout(state)
     jax.block_until_ready(r)
 
-    t0 = time.perf_counter()
-    state3, r = rollout(state2)
-    jax.block_until_ready(r)
-    dt = time.perf_counter() - t0
+    # median of 3 timed repeats: single-shot runs through the tunnel drift
+    # ±3% between identical invocations (514.6k vs 528.4k on the same code,
+    # VERDICT r4 weak #5) — the median pins round-over-round deltas
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state2, r = rollout(state2)
+        jax.block_until_ready(r)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
     steps_per_sec = num_envs * steps / dt
     print(json.dumps({

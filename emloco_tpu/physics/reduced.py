@@ -483,7 +483,6 @@ def _build_rows_merged(model: Model, x, q, pivots_x, out_dtype=jnp.float32):
     dot epilogues — with cfg.rows_bf16 that halves the chain's dominant HBM
     writes (the accumulation stays f32)."""
     p = model.params
-    N = x.shape[0]
     xp = jnp.concatenate([x, pivots_x], axis=1)          # (N, 48, 3)
     G = jnp.einsum("nkj,kjmc->nmc", xp, jnp.asarray(_G_M),
                    preferred_element_type=jnp.float32).astype(out_dtype)

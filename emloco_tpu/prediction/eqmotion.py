@@ -362,15 +362,18 @@ def h36m_config(past=10, future=10, nmode=1) -> EqMotionConfig:
 
 
 def load_md17_structure(molecule: str = "aspirin"):
-    """Real molecule bond topology for the MD17 domain: the reference ships
-    the heavy-atom adjacency its preprocess derives from the MD17 dumps
+    """Real molecule bond topology for the MD17 domain: the reference's
+    preprocess derives a heavy-atom adjacency from the MD17 dumps
     (md17/preprocess.py:59 → processed_dataset/aspirin_structure.npy, 13
-    atoms = aspirin's 9 C + 4 O). Returns the (N, N) 0/1 matrix, or None
-    when the mount is absent (callers fall back to the synthetic chain).
-    EMLOCO_MD17_DIR overrides the search path."""
+    atoms = aspirin's 9 C + 4 O). The aspirin matrix is committed as a
+    repo fixture (prediction/fixtures/) so runtime never depends on this
+    machine's mount layout; EMLOCO_MD17_DIR points at an external
+    processed_dataset dir for other molecules. Returns the (N, N) 0/1
+    matrix, or None when unavailable (callers fall back to the synthetic
+    chain)."""
     import os
-    for root in (os.environ.get("EMLOCO_MD17_DIR"),
-                 "/root/reference/EqMotion/md17/processed_dataset"):
+    fixture_dir = os.path.join(os.path.dirname(__file__), "fixtures")
+    for root in (os.environ.get("EMLOCO_MD17_DIR"), fixture_dir):
         if not root:
             continue
         p = os.path.join(root, f"{molecule}_structure.npy")
@@ -421,6 +424,11 @@ def synthetic_md17_batch(key, batch=8, atoms=13, past=25, future=25,
     k1, k2, k3 = jax.random.split(key, 3)
     if structure is not None:
         adj = np.asarray(structure)
+        # `structure` defines the atom count; a conflicting explicit
+        # `atoms` argument is a caller error, not a silent override
+        assert atoms == 13 or atoms == adj.shape[0], (
+            f"atoms={atoms} conflicts with structure of {adj.shape[0]} "
+            f"atoms; omit `atoms` when passing `structure`")
         atoms = adj.shape[0]
         eq = jnp.asarray(_embed_structure(adj))           # (N, 3)
         ii, jj = np.nonzero(np.triu(adj, 1))
