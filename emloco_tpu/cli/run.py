@@ -356,9 +356,17 @@ def cmd_train_eqmotion(cfg, args):
     if args.valuenet:
         vnet = ValuePoseNet(use_pose=False, use_vel=True)  # :172-177
         vp, _ = load_pytree(args.valuenet)
+    model = None
+    if args.arch == "full":
+        from ..prediction.eqmotion_full import (EqMotionFullEth,
+                                                eth_full_config)
+        model = EqMotionFullEth(eth_full_config(
+            past=cfg.eqmotion.past_length, future=cfg.eqmotion.future_length,
+            nmode=cfg.eqmotion.nmode, channels=args.channels))
     trainer = EqMotionTrainer(cfg.eqmotion, vnet=vnet,
                               valueloss_w=args.valueloss_w if vnet else 0.0,
-                              value_loss_mode=args.value_loss_mode)
+                              value_loss_mode=args.value_loss_mode,
+                              model=model)
     key = jax.random.PRNGKey(cfg.seed)
     if cfg.ethucy:
         tr_past, tr_future = ethucy_windows(cfg.ethucy)
@@ -632,6 +640,14 @@ def main(argv=None):
                    default="all",
                    help="train-eqmotion: apply the value loss to all modes "
                         "(reference) or only the WTA-winning head")
+    p.add_argument("--arch", choices=["compact", "full"], default="compact",
+                   help="train-eqmotion: compact re-derivation or the "
+                        "architecture-exact port (eqmotion_full) on the "
+                        "eth 20-mode interface (main_eth_diverse.py:292)")
+    p.add_argument("--channels", type=int, default=64,
+                   help="train-eqmotion --arch full: equivariant channel "
+                        "count (main_eth_diverse.py:119-122: 128 for "
+                        "zara1, else 64)")
     p.add_argument("--threshold", type=float, default=0.7,
                    help="eval-predictor: LocoVal filter threshold "
                         "(reference evaluate_jta.py:526)")

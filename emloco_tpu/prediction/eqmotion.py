@@ -155,9 +155,12 @@ class EqMotionTrainer:
 
     def __init__(self, cfg: EqMotionConfig = EqMotionConfig(), lr=5e-4,
                  vnet=None, valueloss_w: float = 0.0,
-                 value_loss_mode: str = "all"):
+                 value_loss_mode: str = "all", model=None):
         self.cfg = cfg
-        self.model = EqMotion(cfg)
+        # `model`: any flax module mapping past (B,A,Tp,2) →
+        # (B,A,nmode,Tf,2) — e.g. eqmotion_full.EqMotionFullEth, the
+        # architecture-exact port on the eth 20-mode interface
+        self.model = EqMotion(cfg) if model is None else model
         self.tx = optax.adam(lr)
         self.vnet = vnet
         self.valueloss_w = valueloss_w

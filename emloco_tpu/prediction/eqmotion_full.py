@@ -52,6 +52,24 @@ class EqMotionFullConfig:
     category_num: int = 4
     n_agent: int = 22
     add_agent_token: bool = True
+    # ETH-UCY variant (main_eth_diverse.py:292: `model(nodes, loc, vel,
+    # num_valid)` returning (B, N, 20, T_f, 2)): >1 puts a mode axis on the
+    # predict head; the per-agent validity mask rides through __call__.
+    # The eth model file itself (eth_ucy/model_t.py) is absent from the
+    # mount — the mode head and masking are reconstructed from the main's
+    # call sites onto the h36m architecture the main says it shares.
+    nmode: int = 1
+
+
+def _masked_mean(x, valid, axes):
+    """Mean over `axes` counting only valid agents (valid broadcastable to
+    x; None → plain mean). Keeps dims."""
+    if valid is None:
+        return jnp.mean(x, axis=axes, keepdims=True)
+    num = jnp.sum(x * valid, axis=axes, keepdims=True)
+    den = jnp.sum(jnp.broadcast_to(valid, x.shape), axis=axes,
+                  keepdims=True)
+    return num / jnp.maximum(den, 1.0)
 
 
 def _dct_matrix(N: int) -> np.ndarray:
@@ -101,8 +119,13 @@ class FeatureLayer(nn.Module):
         self.layer_k = nn.Dense(c, use_bias=False, name="layer_k")
         self.mlp_q = nn.Dense(c, name="mlp_q_0")
 
-    def __call__(self, h, coord, vel, category):
+    def __call__(self, h, coord, vel, category, valid=None):
+        """valid: optional (B, N) 0/1 agent mask (ETH-UCY padded scenes,
+        get_valid_mask2 in main_eth_diverse.py:258) — invalid agents are
+        excluded from every cross-agent mean and neighbor aggregation."""
         B, N, C, _ = coord.shape
+        v_node = None if valid is None else valid[..., None, None]  # (B,N,1,1)
+        v_nbr = None if valid is None else valid[:, None, :, None]  # (B,1,N,1)
         h1 = jnp.broadcast_to(h[:, :, None], (B, N, N, h.shape[-1]))
         h2 = jnp.broadcast_to(h[:, None, :], (B, N, N, h.shape[-1]))
         coord_diff = coord[:, :, None] - coord[:, None, :]   # (B,N,N,C,3)
@@ -112,7 +135,7 @@ class FeatureLayer(nn.Module):
 
         # inner-agent attention (gcl_t.py:137-145)
         att = nn.silu(self.mlp_q(h))[..., None]              # (B,N,C,1)
-        v = coord - jnp.mean(coord, axis=(1, 2), keepdims=True)
+        v = coord - _masked_mean(coord, v_node, (1, 2))
         coord = att * v + coord
 
         # category-weighted neighbor aggregation (gcl_t.py:112-126);
@@ -121,6 +144,8 @@ class FeatureLayer(nn.Module):
         for i, ml in enumerate(self.cat_mlps):
             factors = factors + category[..., i:i + 1] * _run_mlp(ml, edge_h)
         factors = _run_mlp(self.factor_mlp, factors)
+        if v_nbr is not None:
+            factors = factors * v_nbr
         coord = coord + jnp.sum(factors[..., None] * coord_diff, axis=2)
 
         # velocity channel mix
@@ -128,7 +153,7 @@ class FeatureLayer(nn.Module):
             self.coord_vel(jnp.swapaxes(vel, 2, 3)), 2, 3)
 
         # reflection-gate non-linearity (gcl_t.py:147-159)
-        mean = jnp.mean(coord, axis=(1, 2), keepdims=True)
+        mean = _masked_mean(coord, v_node, (1, 2))
         cc = coord - mean
         q = jnp.swapaxes(self.layer_q(jnp.swapaxes(cc, 2, 3)), 2, 3)
         k = jnp.swapaxes(self.layer_k(jnp.swapaxes(cc, 2, 3)), 2, 3)
@@ -141,7 +166,8 @@ class FeatureLayer(nn.Module):
 
         # node update with self-excluded edge sum (gcl_t.py:128-135)
         eye = jnp.eye(N)[None, :, :, None]
-        agg = jnp.sum((1.0 - eye) * edge_feat, axis=2)
+        w_edge = (1.0 - eye) if v_nbr is None else (1.0 - eye) * v_nbr
+        agg = jnp.sum(w_edge * edge_feat, axis=2)
         h = h + _run_mlp(self.node_mlp,
                          jnp.concatenate([h, agg], -1), act_last=False)
         return h, coord
@@ -161,7 +187,7 @@ class EqMotionFull(nn.Module):
                                     name="coord_trans")
         self.vel_trans = nn.Dense(c.channels, use_bias=False,
                                   name="vel_trans")
-        self.predict_head = nn.Dense(c.future, use_bias=False,
+        self.predict_head = nn.Dense(c.nmode * c.future, use_bias=False,
                                      name="predict_head")
         if c.add_agent_token:
             self.agent_embed = self.param(
@@ -181,7 +207,7 @@ class EqMotionFull(nn.Module):
                                     name=f"gcl_{i}")
                        for i in range(c.n_layers)]
 
-    def _calc_category(self, h, x_cat):
+    def _calc_category(self, h, x_cat, valid=None):
         B, N = h.shape[:2]
         diff = x_cat[:, :, None] - x_cat[:, None, :]
         dist = _safe_norm(diff)                              # (B,N,N,2C)
@@ -191,7 +217,10 @@ class EqMotionFull(nn.Module):
         edge_feat = _run_mlp(self.cat_edge_mlp,
                              jnp.concatenate([h1, h2, dist], -1))
         eye = jnp.eye(N)[None, :, :, None]
-        agg = jnp.sum((1.0 - eye) * edge_feat, axis=2)
+        w = (1.0 - eye)
+        if valid is not None:
+            w = w * valid[:, None, :, None]
+        agg = jnp.sum(w * edge_feat, axis=2)
         node = _run_mlp(self.cat_node_mlp, jnp.concatenate([h, agg], -1))
         n1 = jnp.broadcast_to(node[:, :, None], (B, N, N, node.shape[-1]))
         n2 = jnp.broadcast_to(node[:, None, :], (B, N, N, node.shape[-1]))
@@ -199,11 +228,13 @@ class EqMotionFull(nn.Module):
                           jnp.concatenate([n1, n2, dist], -1))
         return jax.nn.softmax(logits, axis=-1)               # tao = 1
 
-    def __call__(self, h, x, vel):
-        """h (B,N,T) node invariants, x (B,N,T,3) positions,
-        vel (B,N,T,3) → (pred (B,N,out,3), [category]·n_layers)."""
+    def __call__(self, h, x, vel, valid=None):
+        """h (B,N,T) node invariants, x (B,N,T,d) positions, vel (B,N,T,d),
+        valid optional (B,N) agent mask → (pred, [category]·n_layers) with
+        pred (B,N,out,d) for nmode==1, (B,N,nmode,out,d) otherwise."""
         c = self.cfg
-        B, N, T, _ = x.shape
+        B, N, T, dims = x.shape
+        v_node = None if valid is None else valid[..., None, None]
         # velocity turning-angle invariant (model_t.py:116-123)
         vel_pre = jnp.concatenate([vel[:, :, :1], vel[:, :, :-1]], axis=2)
         cos = jnp.sum(vel_pre * vel, -1) / (
@@ -211,7 +242,7 @@ class EqMotionFull(nn.Module):
             * (jnp.linalg.norm(vel, axis=-1) + 1e-6))
         vel_angle = _safe_arccos(cos)
 
-        x_center = jnp.mean(x, axis=(1, 2), keepdims=True)
+        x_center = _masked_mean(x, v_node, (1, 2))
         x = x - x_center
         dct = jnp.asarray(_dct_matrix(c.past), x.dtype)
         idct = jnp.asarray(np.linalg.inv(_dct_matrix(c.future)), x.dtype)
@@ -224,23 +255,73 @@ class EqMotionFull(nn.Module):
             tok = jnp.broadcast_to(self.agent_embed, (B, N, c.nf))
             h = _run_mlp(self.embed_mlp, jnp.concatenate([h, tok], -1))
 
-        x_mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        x_mean = _masked_mean(x, v_node, (1, 2))
         x = jnp.swapaxes(self.coord_trans(jnp.swapaxes(x - x_mean, 2, 3)),
                          2, 3) + x_mean
         vel = jnp.swapaxes(self.vel_trans(jnp.swapaxes(vel, 2, 3)), 2, 3)
         category = self._calc_category(
-            h, jnp.concatenate([x, vel], axis=-2))
+            h, jnp.concatenate([x, vel], axis=-2), valid=valid)
 
         cats = []
         for lyr in self.layers:
-            h, x = lyr(h, x, vel, category)
+            h, x = lyr(h, x, vel, category, valid=valid)
             cats.append(category)
 
-        x_mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        x = jnp.swapaxes(self.predict_head(jnp.swapaxes(x - x_mean, 2, 3)),
-                         2, 3) + x_mean
-        x = jnp.einsum("kt,bntd->bnkd", idct, x)
-        return x + x_center, cats
+        x_mean = _masked_mean(x, v_node, (1, 2))
+        y = self.predict_head(jnp.swapaxes(x - x_mean, 2, 3))
+        if c.nmode == 1:
+            x = jnp.swapaxes(y, 2, 3) + x_mean
+            x = jnp.einsum("kt,bntd->bnkd", idct, x)
+            return x + x_center, cats
+        # mode axis: (B,N,d,nmode·Tf) → (B,N,nmode,Tf,d), coefficients
+        # IDCT'd per mode, centers re-added broadcast over modes
+        y = y.reshape(B, N, dims, c.nmode, c.future)
+        y = jnp.transpose(y, (0, 1, 3, 4, 2)) + x_mean[:, :, None]
+        y = jnp.einsum("kt,bnmtd->bnmkd", idct, y)
+        return y + x_center[:, :, None], cats
+
+
+class EqMotionFullEth(nn.Module):
+    """The faithful architecture on the ETH-UCY pedestrian domain, with the
+    compact trainer's interface: past (B,A,Tp,2) → (B,A,nmode,Tf,2).
+
+    Featurization is the reference train loop's verbatim
+    (main_eth_diverse.py:283-291): vel by backward difference with
+    vel[:,0] = vel[:,1], node invariants = per-step speeds, positions fed
+    absolute. The validity mask replaces the loader's `num_valid` (the
+    windowing here pads short scenes with static far-away dummies at
+    +pad_radius·k metres instead of carrying a count): an agent whose
+    anchor sits further than `pad_radius` from the ego anchor is a pad.
+    Model ctor parity (main_eth_diverse.py:169): no agent tokens, nf=64,
+    channels=64 (zara1: 128), n_layers=4."""
+
+    cfg: EqMotionFullConfig
+    pad_radius: float = 500.0
+
+    def setup(self):
+        self.core = EqMotionFull(self.cfg)
+
+    def __call__(self, past):
+        B, A, T, _ = past.shape
+        vel = jnp.diff(past, axis=2, prepend=past[:, :, :1])
+        vel = vel.at[:, :, 0].set(vel[:, :, 1])            # vel[0]=vel[1]
+        h = jnp.linalg.norm(vel, axis=-1)                  # (B,A,T) speeds
+        anchor = past[:, :, -1]                            # (B,A,2)
+        dist = jnp.linalg.norm(anchor - anchor[:, :1], axis=-1)
+        valid = (dist < self.pad_radius).astype(past.dtype)
+        pred, _ = self.core(h, past, vel, valid=valid)
+        if self.cfg.nmode == 1:
+            pred = pred[:, :, None]                        # (B,A,1,Tf,2)
+        return pred
+
+
+def eth_full_config(past=8, future=12, nmode=20,
+                    channels=64) -> EqMotionFullConfig:
+    """main_eth_diverse.py defaults: nf 64, channels 64 (zara1 128,
+    :119-122), n_layers 4, 20-mode output, no agent tokens."""
+    return EqMotionFullConfig(past=past, future=future, nf=64,
+                              channels=channels, n_layers=4,
+                              add_agent_token=False, nmode=nmode)
 
 
 # ---------------------------------------------------------------------------

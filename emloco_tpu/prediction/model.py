@@ -46,6 +46,14 @@ class TransMotionConfig:
     num_3dpose: int = 24
     num_2dpose: int = 22
     multi_modal: bool = True
+    # stream selection: the JRDB variant (model_jrdb.py:12-145, token_num
+    # 26 = traj + 2D box + 24 3D-pose joints) has NO 3D-box and NO 2D-pose
+    # stream — with these off the local former runs the reference's exact
+    # 246-token sequence (21 + 9 + 216) and creates no params for the
+    # absent streams. Token INPUT keeps the superset layout either way
+    # (absent slots are simply never read).
+    use_3dbb: bool = True
+    use_2dpose: bool = True
     # architecture selector: "transmotion" | "lstm" (the reference ships LSTM
     # baselines as alternate configs, configs/*lstm.yaml)
     arch: str = "transmotion"
@@ -186,14 +194,16 @@ class TransMotion(nn.Module):
                 ks[3], (B, F, N, c.num_2dpose, 1)) > c.mask_joints
             tgt_2dpose = tgt_2dpose * jm2
             # whole-modality dropout per person (model_jta.py:218-226)
-            tgt_3dbb = tgt_3dbb * (jax.random.uniform(
-                ks[4], (B, 1, N, 1)) > c.mask_modality)
+            if c.use_3dbb:
+                tgt_3dbb = tgt_3dbb * (jax.random.uniform(
+                    ks[4], (B, 1, N, 1)) > c.mask_modality)
             tgt_2dbb = tgt_2dbb * (jax.random.uniform(
                 ks[5], (B, 1, N, 1)) > c.mask_modality)
             tgt_3dpose = tgt_3dpose * (jax.random.uniform(
                 ks[6], (B, 1, N, 1, 1)) > c.mask_modality)
-            tgt_2dpose = tgt_2dpose * (jax.random.uniform(
-                ks[7], (B, 1, N, 1, 1)) > c.mask_modality)
+            if c.use_2dpose:
+                tgt_2dpose = tgt_2dpose * (jax.random.uniform(
+                    ks[7], (B, 1, N, 1, 1)) > c.mask_modality)
 
         # keep only the last `limit_obs` observed frames (evaluate_jta.py
         # --all_frames sweep; model_jta.py:266-275). Traced, not static: the
@@ -223,31 +233,36 @@ class TransMotion(nn.Module):
         traj_f = traj_f + emb("pe_traj_time", F)[None, :, None]
         traj_f = traj_f + emb("pe_traj_id", 1)[0][None, None, None]
 
-        bb3_f = nn.Dense(D, name="fc_in_3dbb")(tgt_3dbb[:, :in_F])
-        bb3_f = bb3_f + emb("pe_3dbb", in_F)[None, :, None]
+        if c.use_3dbb:
+            bb3_f = nn.Dense(D, name="fc_in_3dbb")(tgt_3dbb[:, :in_F])
+            bb3_f = bb3_f + emb("pe_3dbb", in_F)[None, :, None]
         bb2_f = nn.Dense(D, name="fc_in_2dbb")(tgt_2dbb[:, :in_F])
         bb2_f = bb2_f + emb("pe_2dbb", in_F)[None, :, None]
 
         p3_f = nn.Dense(D, name="fc_in_3dpose")(tgt_3dpose[:, :in_F])
         p3_f = p3_f + emb("pe_3dpose", in_F * c.num_3dpose).reshape(
             in_F, c.num_3dpose, D)[None, :, None]
-        p2_f = nn.Dense(D, name="fc_in_2dpose")(tgt_2dpose[:, :in_F])
-        p2_f = p2_f + emb("pe_2dpose", in_F * c.num_2dpose).reshape(
-            in_F, c.num_2dpose, D)[None, :, None]
+        if c.use_2dpose:
+            p2_f = nn.Dense(D, name="fc_in_2dpose")(tgt_2dpose[:, :in_F])
+            p2_f = p2_f + emb("pe_2dpose", in_F * c.num_2dpose).reshape(
+                in_F, c.num_2dpose, D)[None, :, None]
 
         # ---- local (CMT) former: per person, over its token sequence ----
+        # stream order matches the reference concat (model_jta.py:309 /
+        # model_jrdb.py:118): traj, [3dbb], 2dbb, 3dpose, [2dpose]
         def flatten_person(x):
             # (B, T, N, …, D) → (B·N, T·…, D)
             x = jnp.moveaxis(x, 2, 1)                        # (B,N,T,…,D)
             return x.reshape(B * N, -1, D)
 
-        seq = jnp.concatenate([
-            flatten_person(traj_f),
-            flatten_person(bb3_f),
-            flatten_person(bb2_f),
-            flatten_person(p3_f),
-            flatten_person(p2_f),
-        ], axis=1)                                           # (B·N, S, D)
+        parts = [flatten_person(traj_f)]
+        if c.use_3dbb:
+            parts.append(flatten_person(bb3_f))
+        parts.append(flatten_person(bb2_f))
+        parts.append(flatten_person(p3_f))
+        if c.use_2dpose:
+            parts.append(flatten_person(p2_f))
+        seq = jnp.concatenate(parts, axis=1)                 # (B·N, S, D)
 
         local_in = seq
         h = EncoderStack(c.nlayers_local, D, c.nhead, c.dim_ff, c.dropout,

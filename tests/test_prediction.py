@@ -790,3 +790,56 @@ def test_eqmotion_full_h36m_trains():
                                np.asarray(jnp.einsum("ij,bntj->bnti", R,
                                                      pred)),
                                atol=2e-4)
+
+
+def test_eqmotion_full_eth_interface():
+    """The faithful port wired to the ETH-UCY 20-mode interface
+    (eqmotion_full.EqMotionFullEth; reference main_eth_diverse.py:292
+    `model(nodes, loc, vel, num_valid)` → (B,N,modes,Tf,2)): trains under
+    the compact trainer's WTA loss, is exactly invariant to pad-dummy
+    placement (the num_valid masking), and rotation-equivariant."""
+    import jax
+    import jax.numpy as jnp
+
+    from emloco_tpu.prediction.eqmotion import (EqMotionConfig,
+                                                EqMotionTrainer,
+                                                synthetic_eth_batch)
+    from emloco_tpu.prediction.eqmotion_full import (EqMotionFullEth,
+                                                     eth_full_config)
+
+    key = jax.random.PRNGKey(0)
+    past, future = synthetic_eth_batch(key, batch=8)
+    model = EqMotionFullEth(eth_full_config(nmode=5, channels=16))
+    tr = EqMotionTrainer(EqMotionConfig(nmode=5), model=model, lr=1e-3)
+    ts, _ = tr.init(key, past)
+    assert tr.predict(ts.params, past).shape == (8, 4, 5, 12, 2)
+
+    losses = []
+    for i in range(10):
+        p, f = synthetic_eth_batch(jax.random.fold_in(key, i), batch=8)
+        ts, aux = tr.train_step(ts, None, p, f)
+        losses.append(float(aux["wta"]))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+    # num_valid masking: moving a static far-away pad dummy does not change
+    # the ego prediction at all (the mask excludes it from every mean and
+    # neighbor aggregation)
+    p2 = np.asarray(past).copy()
+    p2[:, -1] = p2[:, 0, -1:] + 1000.0
+    pred_a = np.asarray(tr.predict(ts.params, jnp.asarray(p2)))
+    p3 = p2.copy()
+    p3[:, -1] = p3[:, 0, -1:] + 2000.0
+    pred_b = np.asarray(tr.predict(ts.params, jnp.asarray(p3)))
+    np.testing.assert_array_equal(pred_a[:, 0], pred_b[:, 0])
+
+    # E(2) equivariance (relative tolerance: f32 roundoff scales with the
+    # coordinate/channel magnitudes; the f64 architecture error is ~1e-11)
+    ang = 0.7
+    c, s = np.cos(ang), np.sin(ang)
+    R = jnp.asarray(np.array([[c, -s], [s, c]], np.float32))
+    pred = tr.predict(ts.params, past)
+    pred_r = tr.predict(ts.params, past @ R.T)
+    ref = np.asarray(pred @ R.T)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(pred_r), ref,
+                               atol=3e-4 * max(scale, 1.0))

@@ -88,6 +88,7 @@ def ref():
         ValuePoseNet as TorchValuePoseNet)
     from pacer.utils import torch_utils as pacer_tu              # noqa: E402
     import model_jta                                             # noqa: E402
+    import model_jrdb                                            # noqa: E402
     from utils import metrics as ref_metrics                     # noqa: E402
     ns.r3d = r3d
     ns.SkeletonState = SkeletonState
@@ -95,6 +96,7 @@ def ref():
     ns.TorchValuePoseNet = TorchValuePoseNet
     ns.pacer_tu = pacer_tu
     ns.model_jta = model_jta
+    ns.model_jrdb = model_jrdb
     ns.metrics = ref_metrics
     return ns
 
@@ -621,6 +623,121 @@ def test_transmotion_limit_obs_parity(ref):
                         torch.from_numpy(np.zeros((B, N), bool)),
                         limit_obs=3))
     np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+def _build_jrdb_parity_pair(ref, nhid=64, nhead=4, dim_ff=128, nl_local=2,
+                            nl_global=2, nmode=3):
+    """torch TransMotionJRDB (model_jrdb.py:12-145: token_num 26 = traj +
+    2D box + 24 3D-pose joints, local sequence 21+9+216=246) + the rebuild
+    with use_3dbb/use_2dpose off, identical weights, zeroed PEs. Unlike the
+    JTA harness no local-former monkeypatch is needed: with tok_dim=246 the
+    reference's local padding mask is correctly shaped, and with all-valid
+    persons it is a no-op."""
+    import jax
+    from emloco_tpu.prediction.model import TransMotion, TransMotionConfig
+
+    tm = ref.model_jrdb.TransMotionJRDB(
+        tok_dim=21 + 9 + 9 * 24, nhid=nhid, nhead=nhead, dim_feedfwd=dim_ff,
+        nlayers_local=nl_local, nlayers_global=nl_global, nmode=nmode,
+        num_tokens=26, device="cpu", multi_modal=True)
+    tm.eval()
+
+    cfg = TransMotionConfig(nhid=nhid, nhead=nhead, dim_ff=dim_ff,
+                            nlayers_local=nl_local, nlayers_global=nl_global,
+                            nmode=nmode, dropout=0.0,
+                            use_3dbb=False, use_2dpose=False)
+    jm = TransMotion(cfg)
+    toks = np.zeros((1, 9, 1, 49, 4), np.float32)
+    params = jm.init({"params": jax.random.PRNGKey(0)}, toks,
+                     np.ones((1, 1), bool))
+    p = jax.tree.map(np.asarray, params["params"])
+    assert "fc_in_3dbb" not in p and "fc_in_2dpose" not in p, (
+        "absent streams must create no params")
+
+    tsd = tm.state_dict()
+    with torch.no_grad():
+        for name, mod in tm.named_modules():
+            if isinstance(mod, torch.nn.Embedding):
+                mod.weight.zero_()
+    for k in list(p):
+        if k.startswith("pe_"):
+            p[k] = np.zeros_like(p[k])
+    for k in ("fc_in_traj", "fc_in_2dbb", "fc_in_3dpose"):
+        p[k] = {"kernel": t2n(tsd[f"{k}.weight"]).T.copy(),
+                "bias": t2n(tsd[f"{k}.bias"]).copy()}
+    p["local"]["layers"]["EncoderLayer_0"] = _stack_layers(
+        [_map_encoder_layer(tsd, "local_former", i, nhid, nhead)
+         for i in range(nl_local)])
+    p["global"]["layers"]["EncoderLayer_0"] = _stack_layers(
+        [_map_encoder_layer(tsd, "global_former", i, nhid, nhead)
+         for i in range(nl_global)])
+    hw = np.concatenate([t2n(tsd[f"predict_head.{i}.weight"]).T
+                         for i in range(nmode)], axis=1)
+    hb = np.concatenate([t2n(tsd[f"predict_head.{i}.bias"])
+                         for i in range(nmode)])
+    p["heads"] = {"kernel": hw, "bias": hb}
+    return tm, jm, {"params": p}
+
+
+def _jrdb_tokens_from_superset(toks):
+    """Superset (B,9,N,49,4) → reference JRDB layout (B,9,N·26,4):
+    [traj, 2dbb, 3dpose×24] (superset indices 0, 2, 3:27)."""
+    B, T, N = toks.shape[:3]
+    sel = np.concatenate([toks[:, :, :, 0:1], toks[:, :, :, 2:3],
+                          toks[:, :, :, 3:27]], axis=3)
+    return sel.reshape(B, T, N * 26, 4)
+
+
+def test_transmotion_jrdb_logits_parity(ref):
+    """JRDB forward logits agree after weight transplant; the superset
+    slots the JRDB model lacks (3D box, 2D pose) are filled with large junk
+    to prove the rebuild never reads them."""
+    rng = np.random.default_rng(21)
+    tm, jm, params = _build_jrdb_parity_pair(ref)
+    B, N = 2, 3
+    toks = rng.normal(size=(B, 9, N, 49, 4)).astype(np.float32)
+    theirs_in = _jrdb_tokens_from_superset(toks)
+    # poison the unused superset slots AFTER extracting the reference input
+    toks[:, :, :, 1] = 1e6                               # 3D box slot
+    toks[:, :, :, 27:] = -1e6                            # 2D pose slots
+
+    ours = np.asarray(jm.apply(params, toks, np.ones((B, N), bool)))
+    with torch.no_grad():
+        theirs = t2n(tm(torch.from_numpy(theirs_in),
+                        torch.from_numpy(np.zeros((B, N), bool))))
+    assert ours.shape == theirs.shape == (B, 21, 3, 2)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+def test_transmotion_jrdb_padding_mask_parity(ref):
+    """JRDB global-former padding semantics agree (torch True=pad). The
+    reference's correctly-shaped local mask would NaN a fully-padded
+    person's local tokens, so (like its own training batches, which always
+    contain the primary agent) padded persons are non-primary and the
+    comparison is on the primary output."""
+    rng = np.random.default_rng(22)
+    tm, jm, params = _build_jrdb_parity_pair(ref)
+    B, N = 2, 3
+    toks = rng.normal(size=(B, 9, N, 49, 4)).astype(np.float32)
+    theirs_in = _jrdb_tokens_from_superset(toks)
+    pad = np.zeros((B, N), bool)
+    pad[:, 2] = True
+    # drop the local-former key mask as in the JTA harness: with a fully
+    # padded person the torch local former emits NaN rows for that person
+    # (softmax over an empty key set), which contaminate nothing of the
+    # primary's output downstream but make intermediate allclose fail
+    orig_fwd = tm.local_former.forward
+    tm.local_former.forward = (
+        lambda src, mask=None, src_key_padding_mask=None, get_attn=False:
+        orig_fwd(src, mask=mask, src_key_padding_mask=None))
+
+    ours = np.asarray(jm.apply(params, toks, ~pad))
+    with torch.no_grad():
+        theirs = t2n(tm(torch.from_numpy(theirs_in),
+                        torch.from_numpy(pad)))
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
+    ours_valid = np.asarray(jm.apply(params, toks, np.ones((B, N), bool)))
+    assert np.abs(ours_valid - ours).max() > 1e-6
 
 
 # ---------------------------------------------------------------------------
