@@ -402,8 +402,9 @@ def cmd_train_eqmotion(cfg, args):
                               jnp.asarray(ev_future), vnet_params=vp,
                               threshold=args.threshold)
     else:
-        past, future = synthetic_eth_batch(jax.random.fold_in(key, -1),
-                                           batch=256)
+        # fold_in requires a non-negative int (uint32 path data)
+        past, future = synthetic_eth_batch(
+            jax.random.fold_in(key, 0x7FFFFFFF), batch=256)
         ev = trainer.evaluate(ts.params, past, future, vnet_params=vp,
                               threshold=args.threshold)
     for k, v in sorted(ev.items()):

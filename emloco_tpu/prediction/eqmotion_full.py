@@ -303,12 +303,19 @@ class EqMotionFullEth(nn.Module):
 
     def __call__(self, past):
         B, A, T, _ = past.shape
-        vel = jnp.diff(past, axis=2, prepend=past[:, :, :1])
-        vel = vel.at[:, :, 0].set(vel[:, :, 1])            # vel[0]=vel[1]
-        h = jnp.linalg.norm(vel, axis=-1)                  # (B,A,T) speeds
         anchor = past[:, :, -1]                            # (B,A,2)
         dist = jnp.linalg.norm(anchor - anchor[:, :1], axis=-1)
         valid = (dist < self.pad_radius).astype(past.dtype)
+        # park invalid agents ON the ego anchor before the core sees them:
+        # the mask already removes them from every aggregation, but their
+        # raw +1000·k-metre dummy coordinates overflow f32 through the MLP
+        # chains and 0·inf from a masked sum is NaN (the reference's
+        # loader pads zeros, so its rows never blow up)
+        ego = past[:, :1, -1:]                             # (B,1,1,2)
+        past = jnp.where(valid[..., None, None] > 0, past, ego)
+        vel = jnp.diff(past, axis=2, prepend=past[:, :, :1])
+        vel = vel.at[:, :, 0].set(vel[:, :, 1])            # vel[0]=vel[1]
+        h = jnp.linalg.norm(vel, axis=-1)                  # (B,A,T) speeds
         pred, _ = self.core(h, past, vel, valid=valid)
         if self.cfg.nmode == 1:
             pred = pred[:, :, None]                        # (B,A,1,Tf,2)

@@ -50,3 +50,16 @@ def test_train_policy_resume_restores_norms(tmp_path):
     # value_norm accumulated statistics during training and round-trips
     count = np.asarray(tree["value_norm"].count)
     assert count > 1
+
+
+def test_train_eqmotion_arch_full(tmp_path):
+    """train-eqmotion --arch full runs the architecture-exact EqMotion port
+    on the eth 20-mode interface end-to-end through the CLI (synthetic
+    scenes) and writes a loadable checkpoint."""
+    out = str(tmp_path)
+    main(["train-eqmotion", "--arch", "full", "--channels", "8",
+          "--batch-size", "4", "--batches", "2", "--threshold", "0.1",
+          f"out_dir={out}", "epochs=2", "eqmotion.nmode=2"])
+    tree, _ = load_pytree(str(tmp_path / "eqmotion.ckpt"))
+    # the faithful module tree (core/gcl_*) — not the compact one
+    assert "core" in tree["params"]["params"]
