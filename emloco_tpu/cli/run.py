@@ -363,10 +363,6 @@ def cmd_train_eqmotion(cfg, args):
         model = EqMotionFullEth(eth_full_config(
             past=cfg.eqmotion.past_length, future=cfg.eqmotion.future_length,
             nmode=cfg.eqmotion.nmode, channels=args.channels))
-    trainer = EqMotionTrainer(cfg.eqmotion, vnet=vnet,
-                              valueloss_w=args.valueloss_w if vnet else 0.0,
-                              value_loss_mode=args.value_loss_mode,
-                              model=model)
     key = jax.random.PRNGKey(cfg.seed)
     if cfg.ethucy:
         tr_past, tr_future = ethucy_windows(cfg.ethucy)
@@ -377,6 +373,19 @@ def cmd_train_eqmotion(cfg, args):
     else:
         tr_past = tr_future = None
         example, _ = synthetic_eth_batch(key, batch=args.batch_size)
+    lr = 5e-4                                  # main_eth_diverse.py --lr
+    if args.apply_decay:
+        # the reference's staircase anneal: ×lr_gamma(0.8) every
+        # epoch_decay(2) epochs (main_eth_diverse.py:40-42,215-217)
+        import optax
+        steps_per_epoch = (max(1, tr_past.shape[0] // args.batch_size)
+                           if tr_past is not None else args.batches)
+        lr = optax.exponential_decay(5e-4, 2 * steps_per_epoch, 0.8,
+                                     staircase=True)
+    trainer = EqMotionTrainer(cfg.eqmotion, lr=lr, vnet=vnet,
+                              valueloss_w=args.valueloss_w if vnet else 0.0,
+                              value_loss_mode=args.value_loss_mode,
+                              model=model)
     ts, vp = trainer.init(key, example, vnet_params=vp)
     logger = MetricsLogger(cfg.out_dir, "eqmotion")
     for ep in range(cfg.epochs):
@@ -649,6 +658,10 @@ def main(argv=None):
                    help="train-eqmotion --arch full: equivariant channel "
                         "count (main_eth_diverse.py:119-122: 128 for "
                         "zara1, else 64)")
+    p.add_argument("--apply-decay", action="store_true",
+                   help="train-eqmotion: the reference's staircase lr "
+                        "anneal, x0.8 every 2 epochs "
+                        "(main_eth_diverse.py --apply_decay)")
     p.add_argument("--threshold", type=float, default=0.7,
                    help="eval-predictor: LocoVal filter threshold "
                         "(reference evaluate_jta.py:526)")
