@@ -101,16 +101,24 @@ def height_at_min2_xy(hf: Heightfield, x, y) -> jnp.ndarray:
     """Component-array variant of height_at_min2 (avoids trailing-2 stacks —
     TPU lane-padding; see envs/observations.py heightmap_obs).
 
-    The lookup is a LINEARIZED take, not 2-D advanced indexing: inside the
-    compiled train epoch XLA lowered `min2_tex[x0, y0]` to a scalar-path
-    "custom fusion" at ~10 ns/lookup — 16.6 ms/step for the 1,600-env
-    32x32 sensor, 53% of the whole epoch (round-5 trace; the same op in a
-    bare step scan is vectorized and cheap). `take(ravel, x0*W+y0)` keeps
-    the vectorized kernel in every program context measured
-    (scripts/epoch_gather_probe.py: epoch 1.005 s -> 0.844 s)."""
+    The lookup reads min(h00, h11) from the 4-channel CORNER texture with a
+    linearized row take — not `min2_tex[x0, y0]`. Inside the compiled train
+    epoch, XLA's alternate-memory assignment promotes the 1.7 MB min2
+    table into VMEM and lowers its gather to a ~10 ns/lookup scalar
+    "custom fusion" (round-5 trace: 16.6 ms/step for the 1,600-env 32x32
+    sensor — 53% of the 1.005 s epoch; the same op in a bare env.step scan
+    stays a fast HBM gather). A plain linearized take still promotes
+    (0.841 s); the 6.9 MB corner texture exceeds the promotion budget, so
+    the gather stays on the HBM DMA path in every program context measured:
+    epoch 1.005 -> 0.690 s (scripts/epoch_gather_probe.py). Values are
+    bit-identical (min2_tex IS min of corner channels 0 and 3)."""
     gx, gy = _grid_coords_xy(hf, x, y)
     x0 = jnp.floor(gx).astype(jnp.int32)
     y0 = jnp.floor(gy).astype(jnp.int32)
+    if hf.corner_tex is not None:
+        W = hf.corner_tex.shape[1]
+        t = jnp.take(hf.corner_tex.reshape(-1, 4), x0 * W + y0, axis=0)
+        return jnp.minimum(t[..., 0], t[..., 3])
     if hf.min2_tex is not None:
         W = hf.min2_tex.shape[1]
         return jnp.take(hf.min2_tex.ravel(), x0 * W + y0)

@@ -78,6 +78,18 @@ def sep_min2(hf, x, y):
     return h.reshape(x0.shape)
 
 
+def viacorner_min2(hf, x, y):
+    """min(h00, h11) from the 4-channel corner texture: the 6.9 MB operand
+    should exceed the alternate-memory promotion budget that pins the
+    1.7 MB min2 table into VMEM (where the gather runs scalar)."""
+    gx, gy = terr_mod._grid_coords_xy(hf, x, y)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    W = hf.corner_tex.shape[1]
+    t = jnp.take(hf.corner_tex.reshape(-1, 4), x0 * W + y0, axis=0)
+    return jnp.minimum(t[..., 0], t[..., 3])
+
+
 _ORIG_CORNERS = terr_mod._corners
 
 
@@ -99,6 +111,7 @@ def run(variant):
     obs_mod.height_at_min2_xy = {
         "flat": flat_min2, "cflat": flat_min2,
         "barrier": barrier_min2, "sep": sep_min2,
+        "viacorner": viacorner_min2,
     }.get(variant, terr_mod.height_at_min2_xy)
     terr_mod._corners = (flat_corners if variant == "cflat"
                          else _ORIG_CORNERS)
