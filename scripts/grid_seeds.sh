@@ -8,7 +8,7 @@
 set -u
 RUN="python -m emloco_tpu.cli.run"
 R17=output/pipeline_r17_group3k
-GRP="env.group_obs=true env.velocity_map=true env.terrain_obs=true"
+GRP="env.group_obs=true env.hard_negative=true"   # r17 flag set
 OUT=output/grid_seeds
 mkdir -p "$OUT"
 

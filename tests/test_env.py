@@ -313,3 +313,31 @@ def test_diverged_joint_rot_recycles():
     assert np.all(np.isfinite(np.asarray(out.amp_obs)))
     # the recycled env's fresh state is finite again
     assert np.all(np.isfinite(np.asarray(st2.physics.joint_rot[1])))
+
+
+def test_sensor_min2_lookup_paths_agree():
+    """The sensor height lookup's three fallback tiers (corner-texture
+    linearized take — the production path since the r5 VMEM-promotion fix —
+    min2-texture take, raw-heights min) return bit-identical values on the
+    same heightfield."""
+    import jax
+    import jax.numpy as jnp
+
+    from emloco_tpu.physics import generate_mixed_terrain
+    from emloco_tpu.physics.terrain import height_at_min2_xy
+
+    hf = generate_mixed_terrain(map_length=4.0, num_tiles=2, difficulty=0.7)
+    key = jax.random.PRNGKey(3)
+    kx, ky = jax.random.split(key)
+    ext = hf.heights.shape[0] * hf.cell
+    x = jax.random.uniform(kx, (64, 33), minval=-1.0, maxval=ext + 1.0) \
+        + hf.origin[0]
+    y = jax.random.uniform(ky, (64, 33), minval=-1.0, maxval=ext + 1.0) \
+        + hf.origin[1]
+
+    h_corner = height_at_min2_xy(hf, x, y)
+    h_min2 = height_at_min2_xy(hf.replace(corner_tex=None), x, y)
+    h_raw = height_at_min2_xy(
+        hf.replace(corner_tex=None, min2_tex=None), x, y)
+    np.testing.assert_array_equal(np.asarray(h_corner), np.asarray(h_min2))
+    np.testing.assert_array_equal(np.asarray(h_corner), np.asarray(h_raw))
