@@ -59,9 +59,19 @@ def flat_min2(hf, x, y):
 
 
 VARIANTS = {
-    "ix2d": terr_mod.height_at_min2_xy,
-    "flat": flat_min2,
+    "base": terr_mod.height_at_min2_xy,
+    "cflat": terr_mod.height_at_min2_xy,
 }
+
+_ORIG_CORNERS = terr_mod._corners
+
+
+def flat_corners(hf, x0, y0):
+    if hf.corner_tex is None:
+        return _ORIG_CORNERS(hf, x0, y0)
+    W = hf.corner_tex.shape[1]
+    t = jnp.take(hf.corner_tex.reshape(-1, 4), x0 * W + y0, axis=0)
+    return t[..., 0], t[..., 1], t[..., 2], t[..., 3]
 
 
 def run(envs, tiles):
@@ -77,7 +87,12 @@ def run(envs, tiles):
                                  (envs, cfg.num_actions),
                                  minval=-0.3, maxval=0.3)
     for name, fn in VARIANTS.items():
-        obs_mod.height_at_min2_xy = fn
+        if name.startswith("cflat"):
+            obs_mod.height_at_min2_xy = terr_mod.height_at_min2_xy
+            terr_mod._corners = flat_corners
+        else:
+            obs_mod.height_at_min2_xy = fn
+            terr_mod._corners = _ORIG_CORNERS
 
         @jax.jit
         def roll(s):
@@ -96,5 +111,5 @@ def run(envs, tiles):
 
 
 if __name__ == "__main__":
-    for envs, tiles in ((1600, 8), (1600, 2), (4096, 8), (4096, 2)):
+    for envs, tiles in ((4096, 2), (4096, 8)):
         run(envs, tiles)
