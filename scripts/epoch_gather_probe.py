@@ -78,6 +78,39 @@ def sep_min2(hf, x, y):
     return h.reshape(x0.shape)
 
 
+def tbarrier_min2(hf, x, y):
+    """Barrier on the TABLE operand per call: blocks treating it as a
+    prefetchable loop invariant (tests whether MSA promotion is the
+    residual cost of the corner-path gather)."""
+    gx, gy = terr_mod._grid_coords_xy(hf, x, y)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    W = hf.corner_tex.shape[1]
+    tex = jax.lax.optimization_barrier(hf.corner_tex)
+    t = jnp.take(tex.reshape(-1, 4), x0 * W + y0, axis=0)
+    return jnp.minimum(t[..., 0], t[..., 3])
+
+
+_PADTAB = {}
+
+
+def padtab_min2(hf, x, y):
+    """Corner table padded along W to 2048 (~21.6 MB at 659 rows): above
+    any plausible VMEM-promotion budget."""
+    gx, gy = terr_mod._grid_coords_xy(hf, x, y)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    key = id(hf.corner_tex)
+    if key not in _PADTAB:
+        H, W = hf.corner_tex.shape[:2]
+        Wp = 2048
+        pad = jnp.zeros((H, Wp, 4), hf.corner_tex.dtype)
+        _PADTAB[key] = pad.at[:, :W].set(hf.corner_tex)
+    texp = _PADTAB[key]
+    t = jnp.take(texp.reshape(-1, 4), x0 * 2048 + y0, axis=0)
+    return jnp.minimum(t[..., 0], t[..., 3])
+
+
 def viacorner_min2(hf, x, y):
     """min(h00, h11) from the 4-channel corner texture: the 6.9 MB operand
     should exceed the alternate-memory promotion budget that pins the
@@ -112,6 +145,7 @@ def run(variant):
         "flat": flat_min2, "cflat": flat_min2,
         "barrier": barrier_min2, "sep": sep_min2,
         "viacorner": viacorner_min2,
+        "tbarrier": tbarrier_min2, "padtab": padtab_min2,
     }.get(variant, terr_mod.height_at_min2_xy)
     terr_mod._corners = (flat_corners if variant == "cflat"
                          else _ORIG_CORNERS)
