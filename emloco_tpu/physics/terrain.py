@@ -187,18 +187,24 @@ def corner_patch(hf: Heightfield, center_xy: jnp.ndarray, size: int):
 
 
 def height_and_normal_at_patch(hf: Heightfield, patch, xb, yb,
-                               xy: jnp.ndarray):
+                               xy: jnp.ndarray, return_oob: bool = False):
     """height_and_normal_at through a corner_patch window: identical math,
     the per-point corner fetch done by two one-hot contractions inside the
     per-env patch (matmuls instead of gather rows). Exact wherever the
     query's cell lies inside the window; points farther than ~size/2 cells
     from the patch center clamp to the window edge (contact points live
     within the humanoid's ~1.2 m reach of the root, so a 32-cell window at
-    0.1 m cells has 1.6 m of margin)."""
+    0.1 m cells has 1.6 m of margin). With `return_oob` also returns the
+    (N, C) bool mask of queries whose cell fell OUTSIDE the window (and
+    therefore silently clamped — wrong height/normal): callers with
+    longer-reach bodies or ragdoll flights should terminate or flag those
+    envs instead of mis-colliding (tests/test_engine.py pins the mask)."""
     x0, y0, fx, fy = _bilinear_parts(hf, xy)             # (N, C)
     sx, sy = patch.shape[1], patch.shape[2]
-    lx = jnp.clip(x0 - xb[:, None], 0, sx - 1)
-    ly = jnp.clip(y0 - yb[:, None], 0, sy - 1)
+    rx = x0 - xb[:, None]
+    ry = y0 - yb[:, None]
+    lx = jnp.clip(rx, 0, sx - 1)
+    ly = jnp.clip(ry, 0, sy - 1)
     ohx = (lx[..., None] == jnp.arange(sx)).astype(patch.dtype)
     ohy = (ly[..., None] == jnp.arange(sy)).astype(patch.dtype)
     rows = jnp.einsum("ncs,nstk->nctk", ohx, patch)      # (N, C, sy, 4)
@@ -206,7 +212,11 @@ def height_and_normal_at_patch(hf: Heightfield, patch, xb, yb,
     h00, h10, h01, h11 = t[..., 0], t[..., 1], t[..., 2], t[..., 3]
     h = (h00 * (1 - fx) * (1 - fy) + h10 * fx * (1 - fy)
          + h01 * (1 - fx) * fy + h11 * fx * fy)
-    return h, _normal_from_corners(hf, h00, h10, h01, h11, fx, fy)
+    n = _normal_from_corners(hf, h00, h10, h01, h11, fx, fy)
+    if return_oob:
+        oob = (rx != lx) | (ry != ly)
+        return h, n, oob
+    return h, n
 
 
 # ---------------------------------------------------------------------------

@@ -765,6 +765,22 @@ def test_terrain_patch_lookup_matches_global():
     np.testing.assert_array_equal(np.asarray(h_g), np.asarray(h_p))
     np.testing.assert_array_equal(np.asarray(n_g), np.asarray(n_p))
 
+    # in-window queries report no clamping; a far query flags oob instead
+    # of silently mis-colliding (ADVICE r4: the clamp needs a signal)
+    h_m, n_m, oob = height_and_normal_at_patch(hf, patch, xb, yb, pts,
+                                               return_oob=True)
+    np.testing.assert_array_equal(np.asarray(h_m), np.asarray(h_p))
+    assert not np.asarray(oob).any()
+    # controlled interior case: a root mid-grid, one query 2.5 m away —
+    # inside the GRID (so the shared grid-border clamp doesn't alias it)
+    # but outside the 32-cell window's ~1.6 m half-extent
+    root_c = jnp.asarray([[0.0, 0.0]], jnp.float32)
+    pts_c = jnp.asarray([[[0.1, 0.1], [2.5, 0.0]]], jnp.float32)
+    patch_c, xb_c, yb_c = corner_patch(hf, root_c, 32)
+    _, _, oob_c = height_and_normal_at_patch(hf, patch_c, xb_c, yb_c,
+                                             pts_c, return_oob=True)
+    np.testing.assert_array_equal(np.asarray(oob_c), [[False, True]])
+
     # and through the engine: one step on rough terrain, patch vs global
     model, _ = make_world(2)
     st = rest_state(model)
