@@ -13,7 +13,7 @@
 set -u
 RUN="python -m emloco_tpu.cli.run"
 BASE=/root/reference/EqMotion/ETH-UCY-Trajectory-Visualizer/datasets_visualize
-VNET=output/pipeline_r6/valuenet_00000299.ckpt
+VNET=${EMLOCO_VNET:-output/pipeline_r6/valuenet_00000299.ckpt}
 OUT=output/ethucy_loo
 
 declare -A SCENES=(
